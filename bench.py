@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing counts full plan execution (collect-to-count, not show) after a
+warmup pass that absorbs session/JIT startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dug_data_ingest_spark.queries import all_queries
+from dug_data_ingest_spark.session import get_spark
+
+# Headline set: the flagship pipeline shape plus the heaviest
+# join/agg/window/extension operators — the ones whose plans matter at
+# 100 TB.
+HEADLINE = [
+    "flagship-index-report",
+    "join-gen3-picsure",
+    "agg-groupby-dtid",
+    "agg-pivot-report",
+    "agg-nested-counts",
+    "win-uniquify-id",
+    "agg-group-by-key-files",
+    "set-except",
+    "dedup-minhash",
+    "dedup-exact",
+    "sim-topk-bruteforce",
+    "text-quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    spark = get_spark("dug-data-ingest-spark-bench")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warmup: run the first query once to absorb JVM/codegen startup.
+    if names:
+        queries[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
