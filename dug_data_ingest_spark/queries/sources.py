@@ -1,1 +1,330 @@
-"""Placeholder — filled in during this round."""
+"""SURVEY.md §2.1 source/sink slugs bound to the testdata tables.
+
+Each binding genuinely exercises the reader/writer (round-trip through
+the scratch dir, or a fixture-replayed fetch stage) and then returns a
+DataFrame whose DuckDB oracle reads the ORIGINAL parquet — so the
+round-trip itself is what is verified.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dug_data_ingest_spark.queries import load, query
+from dug_data_ingest_spark.sources import scratch_dir
+from dug_data_ingest_spark.sources.files import (
+    read_csv,
+    read_json_docs,
+    read_recursive,
+    write_csv,
+    write_kgx,
+    write_partitioned,
+)
+from dug_data_ingest_spark.sources.rest import (
+    incremental_fetch,
+    keyed_fetch,
+    paginated_fetch,
+    parquet_page_fetcher,
+    _spark_schema_for,
+)
+from dug_data_ingest_spark.sources.xml_dbgap import (
+    parse_data_tables,
+    render_data_tables,
+)
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@query("src-csv", oracle="SELECT * FROM nation")
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("src-csv")
+    write_csv(load(spark, sf_dir, "nation"), path, single_file=True)
+    return read_csv(spark, path, _NATION_SCHEMA)
+
+
+@query(
+    "snk-csv",
+    oracle="SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem",
+)
+def snk_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("snk-csv")
+    df = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    write_csv(df, path, sep="\t")
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    return read_csv(spark, path, schema, sep="\t")
+
+
+@query("src-json-doc", oracle="SELECT * FROM customer")
+def src_json_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("src-json-doc")
+    cust = load(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").json(path)
+    return read_json_docs(
+        spark, path, schema=cust.schema, with_provenance=False
+    ).select(*cust.columns)
+
+
+@query(
+    "src-rest-paginated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders
+    """,
+)
+def src_rest_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/orders.parquet"
+    total = load(spark, sf_dir, "orders").count()
+    fetched = paginated_fetch(
+        spark,
+        parquet_page_fetcher(path, ["o_orderkey"]),
+        total=total,
+        limit=1000,
+        schema=_spark_schema_for(path),
+    )
+    return fetched.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+@query("src-rest-keyed", oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def src_rest_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/customer.parquet"
+    keys = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def fetch_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(path, columns=["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
+        return pdf[pdf["c_custkey"].isin(set(batch["c_custkey"]))]
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return keyed_fetch(keys, fetch_batch, schema, partitions=8)
+
+
+@query(
+    "src-ftp-files",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CASE WHEN s_suppkey <= 5 THEN 'cached' ELSE 'downloaded' END AS method
+    FROM supplier
+    """,
+)
+def src_ftp_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/supplier.parquet"
+    listing = load(spark, sf_dir, "supplier").select("s_suppkey")
+    manifest = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 5)
+        .select("s_suppkey", "s_name", F.lit("cached").alias("method"))
+    )
+
+    def fetch_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        pdf = pq.read_table(path, columns=["s_suppkey", "s_name"]).to_pandas()
+        pdf = pdf[pdf["s_suppkey"].isin(set(batch["s_suppkey"]))].copy()
+        pdf["method"] = "downloaded"
+        return pdf
+
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("method", T.StringType()),
+        ]
+    )
+    fetched = incremental_fetch(listing, manifest, "s_suppkey", fetch_batch, schema)
+    return fetched.unionByName(manifest)
+
+
+def _part_as_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → canonical VARIABLE_SCHEMA rows (study=brand, dd=type)."""
+    return load(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("study_id"),
+        F.col("p_type").alias("dd_id"),
+        F.col("p_partkey").cast("string").alias("var_id"),
+        F.col("p_name").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit("encoded value").alias("type"),
+        F.array(
+            F.struct(
+                F.col("p_size").cast("string").alias("code"),
+                F.col("p_brand").alias("label"),
+            )
+        ).alias("values"),
+    )
+
+
+@query(
+    "src-xml",
+    oracle="""
+    SELECT p_brand AS study_id, p_type AS dd_id,
+           CAST(p_partkey AS VARCHAR) AS var_id, p_name AS name,
+           CAST(p_size AS VARCHAR) AS first_code
+    FROM part
+    """,
+)
+def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip: render part rows to <data_table> docs, parse
+    back, flatten — parse(render(df)) == df (SURVEY §5)."""
+    variables = _part_as_variables(spark, sf_dir)
+    parsed = parse_data_tables(render_data_tables(variables))
+    return parsed.select(
+        "study_id",
+        "dd_id",
+        "var_id",
+        "name",
+        F.col("values").getItem(0).getField("code").alias("first_code"),
+    )
+
+
+@query(
+    "snk-xml",
+    oracle="""
+    SELECT CAST(n_regionkey AS VARCHAR) AS dd_id, CAST(COUNT(*) AS BIGINT) AS n_vars
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def snk_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation").select(
+        F.lit("nations").alias("study_id"),
+        F.col("n_regionkey").cast("string").alias("dd_id"),
+        F.col("n_nationkey").cast("string").alias("var_id"),
+        F.col("n_name").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit("string").alias("type"),
+        F.lit(None)
+        .cast("array<struct<code:string,label:string>>")
+        .alias("values"),
+    )
+    docs = render_data_tables(nation)
+    parsed = parse_data_tables(docs)
+    return parsed.groupBy("dd_id").agg(F.count("*").alias("n_vars"))
+
+
+@query("src-fs-recursive", oracle="SELECT * FROM region")
+def src_fs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = scratch_dir("src-fs-recursive")
+    region = load(spark, sf_dir, "region")
+    region.filter(F.col("r_regionkey") < 2).write.mode("overwrite").parquet(
+        f"{base}/a/inner"
+    )
+    region.filter(F.col("r_regionkey") >= 2).write.mode("overwrite").parquet(
+        f"{base}/b"
+    )
+    return read_recursive(
+        spark, "parquet", base, glob="*.parquet", schema=region.schema
+    )
+
+
+@query(
+    "snk-json-kgx",
+    oracle="""
+    SELECT 'CUST:' || CAST(o_custkey AS VARCHAR) AS subject,
+           'biolink:related_to' AS predicate,
+           'ORD:' || CAST(o_orderkey AS VARCHAR) AS object
+    FROM orders
+    """,
+)
+def snk_json_kgx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("snk-json-kgx")
+    cust = load(spark, sf_dir, "customer")
+    nodes = cust.select(
+        F.concat(F.lit("CUST:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.col("c_name").alias("name"),
+        F.array(F.lit("biolink:Study")).alias("categories"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.concat(F.lit("CUST:"), F.col("o_custkey").cast("string")).alias("subject"),
+        F.lit("biolink:related_to").alias("predicate"),
+        F.concat(F.lit("ORD:"), F.col("o_orderkey").cast("string")).alias("object"),
+    )
+    write_kgx(nodes, edges, path)
+    schema = T.StructType(
+        [
+            T.StructField("subject", T.StringType()),
+            T.StructField("predicate", T.StringType()),
+            T.StructField("object", T.StringType()),
+        ]
+    )
+    return read_json_docs(spark, f"{path}/edges", schema=schema, with_provenance=False)
+
+
+@query(
+    "snk-object-store",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def snk_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = scratch_dir("snk-object-store")
+    orders = load(spark, sf_dir, "orders")
+    write_partitioned(orders, path, "o_orderstatus")
+    # Partition-pruned read-back: only the o_orderstatus=O directory
+    # is scanned (dynamic partition pruning at scale).
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "O")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+@query(
+    "src-dug-api",
+    oracle="""
+    SELECT doc_id AS collection_id, source AS collection_name,
+           lang AS collection_action
+    FROM documents WHERE source <> 'CDE' ORDER BY collection_id
+    """,
+)
+def src_dug_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dug search-API pull: 3-field projection → TSV → grep -v
+    placeholder → sort (scripts/dug/get_dug_data_dictionaries.sh:17-18)."""
+    path = scratch_dir("src-dug-api")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("collection_id"),
+        F.col("source").alias("collection_name"),
+        F.col("lang").alias("collection_action"),
+    )
+    write_csv(docs, path, sep="\t", single_file=True)
+    schema = T.StructType(
+        [
+            T.StructField("collection_id", T.LongType()),
+            T.StructField("collection_name", T.StringType()),
+            T.StructField("collection_action", T.StringType()),
+        ]
+    )
+    back = read_csv(spark, path, schema, sep="\t")
+    return back.filter(F.col("collection_name") != "CDE").orderBy("collection_id")

@@ -1,0 +1,131 @@
+"""dbGaP XML render & parse — the one format Spark lacks natively
+(SURVEY.md §2.10: the only genuinely custom code in the engine).
+
+Render: grouped-map (``applyInPandas``) — a group of variable rows
+becomes ONE ``<data_table>`` document row, exactly the shape produced
+at scripts/bdc/xml_generator.py:111-162 and
+scripts/heal/get_heal_platform_mds_data_dicts.py:303-499. Groups are
+bounded (variables per data table, 10^2–10^3 rows) per SURVEY §7
+hard-part 5, so per-group pandas frames stay small at any total scale.
+
+Parse: ``mapInPandas`` over (path, xml) rows → exploded variable rows,
+the read side at scripts/lakefs/generate_lakefs_dbgap_xml_index.py:110-180
+(stdlib ElementTree; one XML doc yields many rows, UDTF-shaped).
+
+Round-trip property (SURVEY §5): ``parse(render(df)) == df`` — tested
+in tests/test_xml_roundtrip.py.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Canonical flat variable row (FIXTURES.md §B5 shape).
+VARIABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("study_id", T.StringType()),
+        T.StructField("dd_id", T.StringType()),
+        T.StructField("var_id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField(
+            "values",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("code", T.StringType()),
+                        T.StructField("label", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+XML_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("study_id", T.StringType()),
+        T.StructField("dd_id", T.StringType()),
+        T.StructField("xml", T.StringType()),
+    ]
+)
+
+
+def _render_one(study_id: str, dd_id: str, group: pd.DataFrame) -> str:
+    root = ET.Element("data_table", attrib={"id": dd_id or "", "study_id": study_id or ""})
+    for row in group.itertuples(index=False):
+        var = ET.SubElement(root, "variable", attrib={"id": row.var_id or ""})
+        for tag in ("name", "description", "type"):
+            val = getattr(row, tag)
+            if val is not None and not (isinstance(val, float) and pd.isna(val)):
+                ET.SubElement(var, tag).text = str(val)
+        values = row.values
+        if values is not None:
+            for v in values:
+                code = v["code"] if isinstance(v, dict) else v.code
+                label = v["label"] if isinstance(v, dict) else v.label
+                el = ET.SubElement(var, "value", attrib={"code": code or ""})
+                el.text = label
+    return ET.tostring(root, encoding="unicode")
+
+
+def render_data_tables(variables: DataFrame) -> DataFrame:
+    """variables (VARIABLE_SCHEMA rows) → one XML doc per
+    (study_id, dd_id), deterministically ordered by var_id."""
+
+    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        study_id, dd_id = key
+        pdf = pdf.sort_values(["var_id", "name"], kind="mergesort")
+        return pd.DataFrame(
+            {"study_id": [study_id], "dd_id": [dd_id], "xml": [_render_one(study_id, dd_id, pdf)]}
+        )
+
+    return variables.groupBy("study_id", "dd_id").applyInPandas(
+        render, schema=XML_DOC_SCHEMA
+    )
+
+
+def parse_data_tables(docs: DataFrame) -> DataFrame:
+    """(study_id, dd_id, xml) rows → exploded VARIABLE_SCHEMA rows.
+
+    Tolerant reader: unknown child tags are ignored, missing children
+    become null (the reference raised ValueError on unknown tags at
+    generate_lakefs_dbgap_xml_index.py:163; we quarantine instead of
+    aborting a 100 TB job — SURVEY §7 principles).
+    """
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("study_id", "dd_id", "var_id", "name", "description", "type", "values")}
+            for row in batch.itertuples(index=False):
+                try:
+                    root = ET.fromstring(row.xml)
+                except ET.ParseError:
+                    continue
+                study_id = root.get("study_id")
+                dd_id = root.get("id")
+                for var in root.findall("variable"):
+                    out["study_id"].append(study_id)
+                    out["dd_id"].append(dd_id)
+                    out["var_id"].append(var.get("id"))
+                    for tag in ("name", "description", "type"):
+                        el = var.find(tag)
+                        out[tag].append(el.text if el is not None else None)
+                    vals = [
+                        {"code": v.get("code"), "label": v.text}
+                        for v in var.findall("value")
+                    ]
+                    out["values"].append(vals if vals else None)
+            # object dtype so empty batches still carry the right
+            # Arrow type for the nested values column
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return docs.mapInPandas(parse, schema=VARIABLE_SCHEMA)
