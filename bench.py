@@ -33,8 +33,10 @@ HEADLINE = [
     "set-except",
     "dedup-minhash",
     "dedup-exact",
+    "dedup-ngram-jaccard",
     "sim-topk-bruteforce",
     "text-quality",
+    "stream-session-window",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Text-analysis expressions for the documents table (SURVEY.md §7 M5 /
+the large-scale training-data-pipeline surface).
+
+All pure Column expressions: language-ID by stopword-marker counts,
+quality scoring, token counting (whitespace + BPE-ish regex), document
+fingerprinting. At 100 TB each of these is a single projection fused
+into the scan by whole-stage codegen — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker words per language for the n-gram/stopword language heuristic.
+# Deterministic tie-break: earlier entry wins.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "et", "les"],
+    "de": ["der", "und", "die"],
+}
+
+
+def marker_count(text: Column, word: str) -> Column:
+    """Occurrences of a whole word (word-boundary regex count)."""
+    return F.regexp_count(text, F.lit(rf"\b{word}\b"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((marker_count(text, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def detect_lang(text: Column, default: str = "und") -> Column:
+    """Argmax over marker-word scores; deterministic order-priority
+    tie-break; ``und`` when no marker is seen."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best: Column = F.lit(default)
+    # build from last to first so earlier langs win ties
+    for lang in reversed(langs):
+        others_after = [scores[o] for o in langs[langs.index(lang) + 1 :]]
+        cond = scores[lang] > 0
+        for o in others_after:
+            cond = cond & (scores[lang] >= o)
+        prior = [scores[o] for o in langs[: langs.index(lang)]]
+        for o in prior:
+            cond = cond & (scores[lang] > o)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    return best
+
+
+def word_tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def n_words(text: Column) -> Column:
+    return F.size(word_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: alpha runs, single digits, and
+    punctuation each count as one token."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.round(
+        F.regexp_count(text, F.lit(r"[.,!?;:]"))
+        / F.greatest(F.length(text), F.lit(1)),
+        4,
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    stop = sum((marker_count(text, w) for w in ("the", "a", "and", "of")), F.lit(0))
+    return F.round(stop / F.greatest(n_words(text), F.lit(1)), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, ~1]: favors texts of
+    reasonable length with some stopwords and little punctuation
+    noise (the usual pre-training quality gates)."""
+    length_term = F.least(F.length(text) / F.lit(400.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 10.0, F.lit(1.0))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 20.0)
+    return F.round(0.4 * length_term + 0.4 * stop_term + 0.2 * punct_term, 4)
+
+
+def normalized_words(text: Column) -> Column:
+    """lowercase, strip non-alphanumerics, split — the canonical token
+    stream used by fingerprinting and shingling."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")), r" +"
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted,
+    normalized word multiset. Robust to word reordering — the
+    cheap-and-cheerful near-dup key."""
+    return F.md5(F.array_join(F.array_sort(normalized_words(text)), " "))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """All k-word shingles (with duplicates) of the normalized word
+    stream; empty array when the text has fewer than k words."""
+    words = normalized_words(text)
+    return F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -1,1 +1,427 @@
-"""Placeholder — filled in during this round."""
+"""Extension slugs (SURVEY.md §7 M5 / BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal plumbing — each
+with a DuckDB oracle that replays the exact same deterministic
+algorithm (md5-derived hashing, identical normalization) so the gate
+verifies the full pipeline, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dug_data_ingest_spark.ext.dedup import (
+    doc_shingles,
+    exact_dedup_groups,
+    minhash_bands,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from dug_data_ingest_spark.ext.multimodal import (
+    as_media,
+    extract_features,
+    frame_sample,
+)
+from dug_data_ingest_spark.ext.similarity import (
+    cosine_dup_pairs,
+    ivf_topk,
+    topk_bruteforce,
+)
+from dug_data_ingest_spark.functions import text as TXT
+from dug_data_ingest_spark.queries import load, query
+
+# Shared SQL fragments so every oracle normalizes text exactly like
+# functions/text.py::normalized_words.
+_WORDS = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +')"
+)
+_SHINGLES_CTE = f"""
+words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM words,
+  unnest(CASE WHEN len(w) >= 3
+              THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              ELSE []::VARCHAR[] END) t(s)
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_SCORES_SQL = {
+    lang: " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
+    )
+    for lang, words in TXT.LANG_MARKERS.items()
+}
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_LANG_SCORES_SQL['en']} AS s_en,
+         {_LANG_SCORES_SQL['es']} AS s_es,
+         {_LANG_SCORES_SQL['fr']} AS s_fr,
+         {_LANG_SCORES_SQL['de']} AS s_de
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+       WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de AND s_es > s_en THEN 'es'
+       WHEN s_fr > 0 AND s_fr >= s_de AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+       WHEN s_de > 0 AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+       ELSE 'und' END AS pred_lang
+FROM scored
+"""
+
+
+@query("text-langid", oracle=_LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TXT.detect_lang(F.col("text")).alias("pred_lang")
+    )
+
+
+_QUALITY_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_words,
+         ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+               / greatest(length(text), 1), 4) AS punct_ratio,
+         ROUND((len(regexp_extract_all(text, '\\bthe\\b'))
+                + len(regexp_extract_all(text, '\\ba\\b'))
+                + len(regexp_extract_all(text, '\\band\\b'))
+                + len(regexp_extract_all(text, '\\bof\\b')))
+               / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4)
+           AS stopword_ratio,
+         length(text) AS n_chars_m
+  FROM documents
+)
+SELECT doc_id, n_words, punct_ratio, stopword_ratio,
+       ROUND(0.4 * least(n_chars_m / 400.0, 1.0)
+             + 0.4 * least(stopword_ratio * 10.0, 1.0)
+             + 0.2 * greatest(0.0, 1.0 - punct_ratio * 20.0), 4) AS quality
+FROM m
+"""
+
+
+@query("text-quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.n_words(t).cast("int").alias("n_words"),
+        TXT.punct_ratio(t).alias("punct_ratio"),
+        TXT.stopword_ratio(t).alias("stopword_ratio"),
+        TXT.quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "text-tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT)
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.n_words(t).cast("int").alias("ws_tokens"),
+        TXT.bpe_ish_token_count(t).cast("int").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "text-fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort({_WORDS}), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup-exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+_HASH64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+hs AS (
+  SELECT doc_id, seed,
+         {_HASH64.format(x="CAST(seed AS VARCHAR) || ':' || s")} AS h
+  FROM sh, seeds
+),
+sig AS (SELECT doc_id, seed, min(h) AS mh FROM hs GROUP BY doc_id, seed)
+SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+       md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+FROM sig GROUP BY doc_id, band
+"""
+
+
+@query("dedup-minhash", oracle=_MINHASH_ORACLE)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full minhash-LSH sketch pipeline; the oracle replays every
+    signature, so all 16 permutations are value-checked."""
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(doc_shingles(docs), num_hashes=16)
+    return minhash_bands(sig, rows_per_band=4)
+
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+hs AS (
+  SELECT doc_id, seed,
+         {_HASH64.format(x="CAST(seed AS VARCHAR) || ':' || s")} AS h
+  FROM sh, seeds
+),
+sig AS (SELECT doc_id, seed, min(h) AS mh FROM hs GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, band
+)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM bands x JOIN bands y USING (band, band_key)
+WHERE x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+"""
+
+
+@query("dedup-minhash-pairs", oracle=_MINHASH_PAIRS_ORACLE)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bands = minhash_bands(minhash_signatures(doc_shingles(docs)))
+    return minhash_candidate_pairs(bands)
+
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+"""
+
+
+@query("dedup-ngram-jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+_SIMHASH_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(16)
+)
+_SIMHASH_PACK = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH words AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+h AS (SELECT doc_id, {_HASH64.format(x="w")} AS h FROM words),
+votes AS (
+  SELECT doc_id,
+         {_SIMHASH_VOTES}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_PACK} AS INT) AS simhash FROM votes
+"""
+
+
+@query("dedup-simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup-embedding",
+    oracle="""
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4)
+             AS cos_sim
+    FROM embeddings x JOIN embeddings y
+      ON x.label = y.label AND x.vec_id < y.vec_id
+    WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4)
+          >= 0.4
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The search parameter: vec_id 0's embedding (tiny driver-side
+    parameter fetch, not a data collect)."""
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "sim-topk-bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@query(
+    "sim-ivf-topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(embedding[pos]::DOUBLE) AS m FROM (
+          SELECT label, embedding, generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+        GROUP BY label, pos)
+      GROUP BY label
+    ),
+    best AS (
+      SELECT label FROM cent, q
+      ORDER BY list_cosine_similarity(centroid, qv) DESC, label LIMIT 1
+    )
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cos_sim
+    FROM embeddings e JOIN best USING (label), q
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_probe=1)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (payload = utf-8 bytes of documents.text — the
+# real decode is stubbed; see ext/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return as_media(docs, "doc_id", "payload", "text/plain")
+
+
+@query(
+    "mm-binary-meta",
+    oracle="""
+    SELECT doc_id AS media_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _media(spark, sf_dir).select(
+        "media_id", "media_type", "n_bytes", "checksum"
+    )
+
+
+_DECODE_ORACLE = """
+WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+s AS (
+  SELECT doc_id, sum(ascii(substr(text, CAST(i AS INT), 1))) % 997 AS f1
+  FROM (SELECT doc_id, text, unnest(generate_series(1, least(16, n))) AS i FROM m)
+  GROUP BY doc_id
+)
+SELECT m.doc_id AS media_id,
+       ascii(substr(text, 1, 1)) + 1 AS width,
+       ascii(substr(text, CAST(n AS INT), 1)) + 1 AS height,
+       CAST(n AS DOUBLE) AS f0,
+       CAST(s.f1 AS DOUBLE) AS f1,
+       CAST(((ascii(substr(text, 1, 1)) + 1) * (ascii(substr(text, CAST(n AS INT), 1)) + 1)) % 101 AS DOUBLE) AS f2,
+       CAST(ascii(substr(text, CAST(n // 2 AS INT) + 1, 1)) AS DOUBLE) AS f3
+FROM m JOIN s USING (doc_id)
+"""
+
+
+@query("mm-decode-features", oracle=_DECODE_ORACLE)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("feature").getItem(0).alias("f0"),
+        F.col("feature").getItem(1).alias("f1"),
+        F.col("feature").getItem(2).alias("f2"),
+        F.col("feature").getItem(3).alias("f3"),
+    )
+
+
+@query(
+    "mm-frame-sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, greatest(octet_length(encode(text)) // 64, 1) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+           CAST(f * 64 AS BIGINT) AS byte_offset
+    FROM (SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS f FROM m)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = frame_sample(_media(spark, sf_dir), every_n_bytes=64)
+    return frames.select(
+        "media_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.col("byte_offset").cast("bigint").alias("byte_offset"),
+    )

@@ -1,1 +1,93 @@
-"""Placeholder — filled in during this round."""
+"""Streaming-extension slugs (SURVEY.md §2.9), run in batch mode over
+the events table so DuckDB can oracle them. The identical
+transformations run as true Structured Streaming queries in
+tests/test_streaming.py (file-source → memory sink) — Spark's unified
+API guarantees the same logical plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dug_data_ingest_spark.queries import load, query
+from dug_data_ingest_spark.streaming.events import (
+    first_event_dedup,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream-tumbling-agg",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load(spark, sf_dir, "events"), width="6 hours")
+
+
+@query(
+    "stream-sliding-agg",
+    oracle="""
+    WITH shifted AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '3 hours', ts),
+                     time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours'])
+               AS w_start_ts
+      FROM events
+    )
+    SELECT strftime(w_start_ts, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM shifted GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # width 6h / slide 3h → every event is in exactly 2 windows: the
+    # one starting at its 3h bucket and the one 3h earlier (what the
+    # oracle's unnest replays).
+    return sliding_counts(load(spark, sf_dir, "events"), width="6 hours", slide="3 hours")
+
+
+@query(
+    "stream-session-window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '4 hours'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_counts(load(spark, sf_dir, "events"), gap="4 hours")
+
+
+@query(
+    "stream-dedup-first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return first_event_dedup(load(spark, sf_dir, "events"))

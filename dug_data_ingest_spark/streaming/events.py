@@ -1,0 +1,124 @@
+"""Windowed event-stream operators.
+
+Each transformation takes any events DataFrame (batch or streaming —
+Spark's unified API executes the identical logical plan either way;
+in streaming the watermark bounds state). Column contract:
+``ts timestamp, user_id long, event_type string, value double``.
+
+Scale notes: windowed aggs shuffle on (window, key) with map-side
+partial aggregation; session windows shuffle on user_id; watermarks
+cap state so a 100 TB/day stream holds only the open windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_watermark_if_streaming(df: DataFrame, delay: str = "1 hour") -> DataFrame:
+    return df.withWatermark("ts", delay) if df.isStreaming else df
+
+
+def tumbling_counts(events: DataFrame, width: str = "6 hours") -> DataFrame:
+    """Per (tumbling window, event_type): count + value sum."""
+    df = with_watermark_if_streaming(events)
+    return (
+        df.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "6 hours", slide: str = "3 hours"
+) -> DataFrame:
+    """Per (sliding window, event_type) count — each event lands in
+    width/slide windows."""
+    df = with_watermark_if_streaming(events)
+    return (
+        df.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "4 hours") -> DataFrame:
+    """Per-user session windows (gap-merged): start + event count.
+
+    In streaming this is F.session_window state; the batch plan is the
+    same gaps-and-islands result, which the DuckDB oracle replays.
+    """
+    df = with_watermark_if_streaming(events)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def first_event_dedup(events: DataFrame) -> DataFrame:
+    """Keep the first event per (user_id, event_type) — the batch
+    equivalent of ``dropDuplicatesWithinWatermark`` on those keys,
+    made deterministic with an explicit (ts, event_id) order."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """True streaming dedup: watermark-bounded state."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos, see queries.load()
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (the landing-zone
+    pattern: new files appear, the query incrementally processes
+    them). Converts the nano-timestamp like queries.load()."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))

@@ -1,0 +1,78 @@
+"""True Structured Streaming runs of the windowed operators
+(file source → memory sink, processAllAvailable) checked against the
+batch plans — the unified-API guarantee, observed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dug_data_ingest_spark.queries import load
+from dug_data_ingest_spark.streaming.events import (
+    read_events_stream,
+    streaming_dedup,
+    tumbling_counts,
+)
+from tests.conftest import TEST_SF_DIR
+
+
+def _run_stream(df, name: str):
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark):
+    stream = read_events_stream(spark, TEST_SF_DIR)
+    _run_stream(tumbling_counts(stream), "tumbling_out")
+    got = {
+        (r.w_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r.w_start, r.event_type): (r.n, r.total_value)
+        for r in tumbling_counts(load(spark, TEST_SF_DIR, "events")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_bounds_state(spark):
+    stream = read_events_stream(spark, TEST_SF_DIR)
+    deduped = streaming_dedup(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
+    total = load(spark, TEST_SF_DIR, "events").count()
+    distinct = (
+        load(spark, TEST_SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # watermark-bounded dedup keeps at least the distinct keys and
+    # never more than the input
+    assert distinct <= n <= total
+
+
+def test_session_window_streaming_runs(spark):
+    from dug_data_ingest_spark.streaming.events import session_counts
+
+    stream = read_events_stream(spark, TEST_SF_DIR)
+    _run_stream(session_counts(stream), "session_out")
+    n = spark.sql("SELECT COUNT(*) AS n FROM session_out").collect()[0].n
+    assert n > 0
