@@ -23,7 +23,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dug_data_ingest_spark.functions.text import normalized_words, shingles
+from dug_data_ingest_spark.functions.text import normalized_words, shingles_of
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across every core before expensive per-row
+    derivations. Local test corpora arrive as 1-2 parquet partitions,
+    which would serialize the whole sketch pipeline onto one task; a
+    real-scale input already has partitions >> cores, so this is a
+    no-op there (the condition fails and no shuffle is added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -43,39 +55,115 @@ def _md5_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def doc_shingle_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document distinct shingle set: (id, sh: array<string>).
+
+    The word array is materialized in its own projection so the
+    regex-split runs once per row (see shingles_of), and the dedup is
+    row-local ``array_distinct`` — no shuffle, unlike a global
+    ``.distinct()`` over exploded pairs."""
+    words = fan_out(docs).select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("_words")
+    )
+    return words.select(
+        F.col(id_col), F.array_distinct(shingles_of(F.col("_words"), k)).alias("sh")
+    )
+
+
 def doc_shingles(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """Distinct k-word shingles per document: (id, shingle)."""
+    """Distinct k-word shingles per document: (id, shingle).
+
+    explode_outer + isNotNull, NOT plain explode: for a bare explode
+    the optimizer's InferFiltersFromGenerate synthesizes
+    ``size(sh) > 0 AND isnotnull(sh)`` and pushes it below the
+    repartition, inlining the whole shingle pipeline (including the
+    word-split inside the transform lambda, interpreted, per element)
+    into a pre-shuffle single-partition Filter — measured 20x slower
+    than the explode itself. explode_outer is exempt from that rule;
+    the explicit filter on the generated attribute stays above the
+    Generate and costs nothing."""
     return (
-        docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle"))
-        .distinct()
+        doc_shingle_sets(docs, text_col, id_col, k)
+        .select(F.col(id_col), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+
+
+def minhash_signatures_wide(
+    doc_shingles_df: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, h0..h{k-1}): all k permutation minima in ONE map-side-
+    combined groupBy. The k seeded hashes are k columns of the same
+    projection — no row multiplication, no (id, seed) shuffle; the
+    partial aggregate reduces each partition to one row per doc
+    before the exchange."""
+    hashed = doc_shingles_df.select(
+        F.col(id_col),
+        *[
+            _md5_hash64(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
     )
 
 
 def minhash_signatures(
     doc_shingles_df: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, seed, min_hash): k permutations via seeded md5 hashes.
-    The crossJoin side is a k-row literal frame (broadcast); the min
-    is a map-side-combined groupBy."""
-    spark = doc_shingles_df.sparkSession
-    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    hashed = doc_shingles_df.crossJoin(F.broadcast(seeds)).select(
-        F.col(id_col),
-        "seed",
-        _md5_hash64(
-            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-        ).alias("h"),
+    """(id, seed, min_hash) tall view of the wide signature — the
+    unpivot is a row-local ``stack``, not a shuffle."""
+    wide = minhash_signatures_wide(doc_shingles_df, num_hashes, id_col)
+    stack_args = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_args}) AS (seed, min_hash)"
     )
-    return hashed.groupBy(id_col, "seed").agg(F.min("h").alias("min_hash"))
+
+
+def minhash_band_keys(
+    wide_signatures: DataFrame,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) straight from the wide signature: each
+    band key is md5 over its seed-ordered signature values, computed
+    row-locally (explode of a k/r-element literal-struct array) — the
+    whole LSH sketch costs exactly one shuffle end-to-end."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide_signatures.select(F.col(id_col), F.explode(bands).alias("_b")).select(
+        F.col(id_col), F.col("_b.band").alias("band"), F.col("_b.band_key").alias("band_key")
+    )
 
 
 def minhash_bands(
     signatures: DataFrame, rows_per_band: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, band, band_key): md5 over the band's seed-ordered
-    signature values — the LSH bucket key."""
+    """(id, band, band_key) from a tall (id, seed, min_hash) frame.
+    Kept for composition with externally-built signatures; the fused
+    path is minhash_band_keys(minhash_signatures_wide(...))."""
     banded = signatures.withColumn(
         "band", (F.col("seed") / rows_per_band).cast("int")
     )
@@ -119,21 +207,21 @@ def ngram_jaccard_pairs(
     overlap; at 100 TB you'd pre-bucket by minhash band first and run
     this as the verify stage (compose with minhash_candidate_pairs).
     """
-    sh = doc_shingles(docs, text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
-    inter = (
+    # Set size rides along with every exploded shingle row, so no
+    # separate per-doc size aggregation and no post-join enrichment
+    # joins; the two join sides are the identical subplan, which the
+    # physical planner collapses into one computed + one
+    # ReusedExchange.
+    ex = doc_shingle_sets(docs, text_col, id_col, k).select(
+        F.col(id_col), F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    a = ex.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
+    b = ex.select(F.col(id_col).alias("b"), F.col("n").alias("nb"), "shingle")
+    return (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .groupBy("a", "b", "na", "nb")
         .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"))
-    return (
-        inter.join(sa, "a")
-        .join(sb, "b")
         .withColumn(
             "jaccard",
             F.round(
@@ -151,7 +239,7 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     16 bits keeps the bit-vote aggregation a flat sum() list that any
     SQL engine can replay; widen num bits for production use."""
-    words = docs.select(
+    words = fan_out(docs).select(
         F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("w")
     )
     hashed = words.select(id_col, _md5_hash64(F.col("w")).alias("h"))

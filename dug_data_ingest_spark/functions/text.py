@@ -105,10 +105,15 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(normalized_words(text)), " "))
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """All k-word shingles (with duplicates) of the normalized word
-    stream; empty array when the text has fewer than k words."""
-    words = normalized_words(text)
+def shingles_of(words: Column, k: int = 3) -> Column:
+    """All k-word shingles (with duplicates) of a word-array column;
+    empty array when fewer than k words.
+
+    Pass a *materialized* (projected) array column, not an inline
+    expression: higher-order functions are evaluated outside
+    whole-stage codegen, so an inline ``words`` expression would be
+    re-evaluated once per lambda element — O(n_words) regex runs per
+    row instead of one."""
     return F.when(
         F.size(words) >= k,
         F.transform(
@@ -116,3 +121,10 @@ def shingles(text: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(words, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Shingles straight from a text column. Convenience form; prefer
+    projecting ``normalized_words`` first and using ``shingles_of``
+    in hot paths (see its docstring)."""
+    return shingles_of(normalized_words(text), k)

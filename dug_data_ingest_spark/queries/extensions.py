@@ -13,9 +13,9 @@ from pyspark.sql import functions as F
 from dug_data_ingest_spark.ext.dedup import (
     doc_shingles,
     exact_dedup_groups,
-    minhash_bands,
+    minhash_band_keys,
     minhash_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_wide,
     ngram_jaccard_pairs,
     simhash16,
 )
@@ -193,8 +193,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full minhash-LSH sketch pipeline; the oracle replays every
     signature, so all 16 permutations are value-checked."""
     docs = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(doc_shingles(docs), num_hashes=16)
-    return minhash_bands(sig, rows_per_band=4)
+    sig = minhash_signatures_wide(doc_shingles(docs), num_hashes=16)
+    return minhash_band_keys(sig, num_hashes=16, rows_per_band=4)
 
 
 _MINHASH_PAIRS_ORACLE = f"""
@@ -221,7 +221,7 @@ GROUP BY x.doc_id, y.doc_id
 @query("dedup-minhash-pairs", oracle=_MINHASH_PAIRS_ORACLE)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bands = minhash_bands(minhash_signatures(doc_shingles(docs)))
+    bands = minhash_band_keys(minhash_signatures_wide(doc_shingles(docs)))
     return minhash_candidate_pairs(bands)
 
 
