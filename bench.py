@@ -34,6 +34,8 @@ HEADLINE = [
     "dedup-minhash",
     "dedup-exact",
     "dedup-ngram-jaccard",
+    "pipeline-bdc-summary",
+    "pipeline-heal-variable-index",
     "sim-topk-bruteforce",
     "text-quality",
     "stream-session-window",

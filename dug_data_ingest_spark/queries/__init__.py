@@ -60,6 +60,7 @@ def _register_all() -> None:
         scalars,
         sources,
         extensions,
+        pipelines,
         streaming,
     )
 
