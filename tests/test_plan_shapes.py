@@ -1,0 +1,107 @@
+"""Physical-plan regression tests (SURVEY.md §4): the properties that
+matter at 100 TB, asserted on the actual executed plans so a future
+refactor can't silently trade them away.
+
+- small-side joins stay broadcast (no sort-merge shuffle of the fact)
+- filters and projections reach the parquet scan (PushedFilters /
+  pruned ReadSchema)
+- scalar pipelines stay inside whole-stage codegen
+- shuffle counts stay at the designed minimum (e.g. the whole
+  minhash-LSH sketch = repartition fan-out + ONE aggregation shuffle)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_info(df) -> str:
+    # formatted explain includes PushedFilters / ReadSchema per scan
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from dug_data_ingest_spark.queries import all_queries
+
+    return all_queries()
+
+
+@pytest.mark.parametrize(
+    "slug",
+    ["join-gen3-picsure", "join-broadcast-map", "join-study-dd-link", "pipeline-bdc-summary"],
+)
+def test_small_side_joins_are_broadcast(queries, spark, slug):
+    plan = _plan(queries[slug](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, f"{slug} fell back to a fact-table shuffle join"
+
+
+@pytest.mark.parametrize(
+    "slug,expected",
+    [
+        ("filter-notnull-conj", "StringStartsWith(c_name"),
+        ("filter-membership", "Not(In(s_suppkey"),
+        ("filter-key-equality", "EqualTo"),
+    ],
+)
+def test_filters_reach_the_scan(queries, spark, slug, expected):
+    info = _scan_info(queries[slug](spark, SF_DIR))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", info)
+    assert any(expected in p for p in pushed), f"{slug}: {pushed}"
+
+
+def test_projection_prunes_scan_columns(queries, spark):
+    # proj-derive-studyid touches 1-2 columns; the scan must not read
+    # the whole customer schema
+    info = _scan_info(queries["proj-derive-studyid"](spark, SF_DIR))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", info)
+    assert schemas and all(len(s.split(",")) <= 2 for s in schemas), schemas
+
+
+@pytest.mark.parametrize("slug", ["proj-program-norm", "str-case-trim", "text-quality"])
+def test_scalar_queries_stay_in_codegen(queries, spark, slug):
+    plan = _plan(queries[slug](spark, SF_DIR))
+    # '*(n)' is toString's whole-stage-codegen marker
+    assert "*(" in plan, f"{slug} fell out of whole-stage codegen:\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{slug} fell off the JVM path (row Python UDF)"
+    assert "Exchange" not in plan, f"{slug} added a shuffle to a pure projection"
+
+
+def test_minhash_sketch_is_single_shuffle(queries, spark):
+    # fan-out repartition + the one signature aggregation; anything
+    # more means the 16-permutation fusion regressed
+    plan = _plan(queries["dedup-minhash"](spark, SF_DIR))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"minhash plan grew to {n_exchanges} exchanges:\n{plan}"
+
+
+def test_jaccard_candidate_join_never_sort_merges_at_test_scale(queries, spark):
+    # At test scale the shingle self-join's build side is small, so the
+    # planner must pick broadcast (build-side recompute is cheaper than
+    # two shuffles); at real scale both sides become identical
+    # hashpartitioning(shingle) exchanges and ReuseExchange kicks in.
+    # Either way a SortMergeJoin of a recomputed side is never right.
+    plan = _plan(queries["dedup-ngram-jaccard"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "ReusedExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_exact_dedup_is_one_shuffle(queries, spark):
+    plan = _plan(queries["dedup-exact"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_flagship_report_no_python_in_hot_path(queries, spark):
+    plan = _plan(queries["flagship-index-report"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
