@@ -91,3 +91,42 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_event_dedup(load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream-marker-sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER w AS prev_ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 14400
+                       OR prev_type = 'purchase'
+                     THEN 1 ELSE 0 END AS brk
+      FROM ordered
+    ),
+    islands AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged
+    )
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_terminal
+    FROM islands GROUP BY user_id, sess
+    """,
+)
+def stream_marker_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based sessions (close on gap OR terminal event) — the
+    custom stateful operator's batch twin; the streaming
+    applyInPandasWithState implementation is exercised in
+    tests/test_streaming.py."""
+    from dug_data_ingest_spark.streaming.sessionize import marker_sessions
+
+    return marker_sessions(load(spark, sf_dir, "events"))

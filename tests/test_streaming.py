@@ -76,3 +76,43 @@ def test_session_window_streaming_runs(spark):
     _run_stream(session_counts(stream), "session_out")
     n = spark.sql("SELECT COUNT(*) AS n FROM session_out").collect()[0].n
     assert n > 0
+
+
+def test_marker_sessionize_stream_matches_batch_closed_sessions(spark):
+    """The applyInPandasWithState sessions equal the batch twin's for
+    every session the stream can close (terminal event or in-stream
+    gap); only each user's trailing open session may be withheld
+    pending the event-time timeout."""
+    from dug_data_ingest_spark.streaming.sessionize import (
+        marker_sessions,
+        marker_sessions_stream,
+    )
+
+    stream = read_events_stream(spark, TEST_SF_DIR)
+    q = (
+        marker_sessions_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.n_terminal)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    batch = marker_sessions(load(spark, TEST_SF_DIR, "events")).collect()
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.n_terminal) for r in batch
+    }
+    assert len(got) > 0
+    # every emitted session matches the batch result exactly
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
+    # and nothing beyond one trailing session per user is missing
+    missing = set(want) - set(got)
+    users = {u for u, _ in missing}
+    assert len(missing) == len(users), f"non-trailing sessions missing: {missing}"
