@@ -37,6 +37,7 @@ HEADLINE = [
     "pipeline-bdc-summary",
     "pipeline-heal-variable-index",
     "sim-topk-bruteforce",
+    "dedup-embedding-lsh",
     "text-quality",
     "stream-session-window",
 ]

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dug_data_ingest_spark.functions.vectors import as_double, cosine
+from dug_data_ingest_spark.functions.vectors import as_double, cosine, dot
 
 
 def topk_bruteforce(
@@ -94,6 +94,77 @@ def ivf_topk(
         F.round(cosine(as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim, derived
+    from md5 so any engine (or oracle) regenerates the same planes.
+    These are model parameters: they fold into the plan as literals,
+    i.e. the moral broadcast — nothing is shuffled to distribute them.
+    """
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def rp_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-projection LSH bucket id: one sign bit per hyperplane,
+    packed to an int. Vectors with high cosine similarity agree on
+    most signs, so near-duplicates collide with high probability."""
+    bit = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = bit + F.when(dot(vec, p) > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bit
+
+
+def lsh_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH blocking —
+    the scale path: candidate pairs come only from same-bucket
+    collisions (corpus² / 2^n_planes expected comparisons), then exact
+    cosine verifies. Deterministic planes (see random_hyperplanes) keep
+    it oracle-replayable.
+
+    At 100 TB: bucket the corpus once (a write partitionBy(bucket)),
+    then the self-join is bucket-local; raise n_planes (and/or use
+    banded multi-probe) to keep per-bucket sizes bounded.
+    """
+    planes = random_hyperplanes(n_planes, dim)
+    bucketed = embeddings.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("v"),
+        rp_lsh_bucket(as_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("a"), F.col("v").alias("va")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def cosine_dup_pairs(

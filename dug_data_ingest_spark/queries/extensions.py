@@ -27,6 +27,8 @@ from dug_data_ingest_spark.ext.multimodal import (
 from dug_data_ingest_spark.ext.similarity import (
     cosine_dup_pairs,
     ivf_topk,
+    lsh_dup_pairs,
+    random_hyperplanes,
     topk_bruteforce,
 )
 from dug_data_ingest_spark.functions import text as TXT
@@ -425,3 +427,35 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("int").alias("frame_no"),
         F.col("byte_offset").cast("bigint").alias("byte_offset"),
     )
+
+# ---------------------------------------------------------------------------
+# LSH-blocked embedding dedup (the scale path): deterministic
+# random-hyperplane buckets, candidate pairs only within a bucket,
+# exact cosine verify. The planes are literals in BOTH engines.
+# ---------------------------------------------------------------------------
+
+_PLANES = random_hyperplanes(8, 64)
+_PLANES_SQL = [
+    "[" + ", ".join(f"{x}" for x in plane) + "]::DOUBLE[]" for plane in _PLANES
+]
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) > 0 THEN {2**j} ELSE 0 END)"
+    for j, p in enumerate(_PLANES_SQL)
+)
+
+_LSH_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4)
+         AS cos_sim
+FROM bucketed x JOIN bucketed y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4)
+      >= 0.3
+"""
+
+
+@query("dedup-embedding-lsh", oracle=_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
