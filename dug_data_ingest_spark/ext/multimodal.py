@@ -98,6 +98,38 @@ def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: truncate the opaque
+    payload to the target pixel budget. A real implementation decodes,
+    resamples, re-encodes (PIL/opencv — not in this container)."""
+    return payload[: width * height]
+
+
+def resize(media: DataFrame, width: int, height: int, resizer=fake_resize) -> DataFrame:
+    """Arrow-batched resize stage: payload → payload, metadata
+    recomputed. Same MEDIA_SCHEMA out as in, so resize stages compose
+    with extract_features/frame_sample; at scale this is the classic
+    map-heavy stage you'd run after a size-class repartition so one
+    4K video doesn't straggle a partition of thumbnails."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            for row in batch.itertuples(index=False):
+                resized = resizer(bytes(row.payload), width, height)
+                out["media_id"].append(row.media_id)
+                out["payload"].append(resized)
+                out["media_type"].append(row.media_type)
+                out["n_bytes"].append(len(resized))
+                out["checksum"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing demo over opaque payloads: one output
     row per sampled offset (video frame-extraction has this exact

@@ -23,6 +23,7 @@ from dug_data_ingest_spark.ext.multimodal import (
     as_media,
     extract_features,
     frame_sample,
+    resize,
 )
 from dug_data_ingest_spark.ext.similarity import (
     cosine_dup_pairs,
@@ -459,3 +460,20 @@ WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
 @query("dedup-embedding-lsh", oracle=_LSH_ORACLE)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@query(
+    "mm-resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(least(octet_length(encode(text)), 96) AS BIGINT) AS n_bytes,
+           md5(substr(text, 1, 96)) AS checksum
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize to a 12x8 'pixel' budget (96 bytes of the fake payload);
+    the oracle replays the truncation + md5 on the text source."""
+    return resize(_media(spark, sf_dir), width=12, height=8).select(
+        "media_id", "n_bytes", "checksum"
+    )
