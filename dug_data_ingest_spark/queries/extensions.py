@@ -30,6 +30,7 @@ from dug_data_ingest_spark.ext.similarity import (
     ivf_topk,
     lsh_dup_pairs,
     random_hyperplanes,
+    topk_arrow,
     topk_bruteforce,
 )
 from dug_data_ingest_spark.functions import text as TXT
@@ -477,3 +478,21 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize(_media(spark, sf_dir), width=12, height=8).select(
         "media_id", "n_bytes", "checksum"
     )
+
+
+@query(
+    "sim-topk-arrow",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same search as sim-topk-bruteforce through the Arrow-vectorized
+    scorer — the wide-vector plan; one numpy matmul per Arrow batch."""
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_arrow(emb, _query_vec(spark, sf_dir), k=10)
