@@ -78,3 +78,34 @@ def edge_gen(
         F.lit(predicate).alias("predicate"),
         F.col(object_).cast("string").alias("object"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the skewed (left) side gets a random salt
+    in [0, salt), the small-but-not-broadcastable right side is
+    replicated salt times, and the join key becomes (key, salt) — a
+    hot key's rows spread over ``salt`` reducers instead of one.
+
+    Use when the hot side is too big to broadcast AND AQE's skew
+    splitting isn't available/enough (e.g. a single study id carrying
+    10^8 variable rows). Semantics identical to ``left.join(right, on,
+    how)``; only the physical distribution changes. Output drops the
+    salt columns.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    replicated_right = right.crossJoin(
+        F.broadcast(
+            right.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    return (
+        salted_left.join(replicated_right, [on, "__salt"], how).drop("__salt")
+    )

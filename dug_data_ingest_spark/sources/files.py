@@ -115,3 +115,30 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(partition_by).parquet(path)
     if commit_hook is not None:
         commit_hook(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed parquet table: rows are hash-distributed into
+    ``n_buckets`` files by ``bucket_col`` at WRITE time, so a join or
+    aggregation on that key later needs NO shuffle — the scan itself
+    reports the hash distribution to the planner. The co-located-join
+    answer for fact tables joined repeatedly on the same key
+    (study_id/doc_id), where broadcast doesn't apply and per-query
+    shuffles would dominate.
+
+    Reference analogue: none (single-process pandas); this is the
+    Spark-native replacement for the reference's one-directory-per-
+    program file layout (scripts/bdc/ingest.sh:107-118).
+    """
+    writer = (
+        df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

@@ -1,0 +1,84 @@
+"""Scale-mechanism proofs: salting for skew and bucketing for
+co-located joins (SURVEY.md §4 / SCALE.md) — semantics verified
+against the plain plans, physical effect verified on the plans
+themselves.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dug_data_ingest_spark.operators.joins import salted_join
+from dug_data_ingest_spark.sources.files import write_bucketed
+from tests.conftest import TEST_SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, cust, "o_custkey", salt=8).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_the_key(spark):
+    # every original key now joins under `salt` distinct composite keys
+    orders = spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plan = _plan(salted_join(orders, cust, "o_custkey", salt=8))
+    assert "__salt" in plan  # composite join key in the physical plan
+    assert "BroadcastExchange" in plan  # replication side is broadcast
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark, tmp_path_factory):
+    loc = tmp_path_factory.mktemp("bucketed_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed_test LOCATION '{loc}'")
+    orders = spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet")
+    write_bucketed(orders, "bucketed_test.orders_b", "o_custkey", 8)
+    write_bucketed(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_acctbal"),
+        "bucketed_test.cust_b",
+        "o_custkey",
+        8,
+    )
+    yield "bucketed_test"
+    spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")
+
+
+def test_bucketed_join_needs_no_shuffle(spark, bucketed_db):
+    orders = spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet")
+    ob = spark.table(f"{bucketed_db}.orders_b")
+    cb = spark.table(f"{bucketed_db}.cust_b")
+    # forbid broadcast so the only shuffle-free path is the bucketing
+    joined = ob.hint("merge").join(cb, "o_custkey")
+    plan = _plan(joined)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan
+    # and the result is right
+    n = joined.count()
+    plain = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_acctbal"),
+        "o_custkey",
+    ).count()
+    assert n == plain
+
+
+def test_bucketed_aggregation_needs_no_shuffle(spark, bucketed_db):
+    ob = spark.table(f"{bucketed_db}.orders_b")
+    agg = ob.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("t"))
+    plan = _plan(agg)
+    assert "Exchange hashpartitioning" not in plan, plan
