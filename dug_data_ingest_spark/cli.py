@@ -1,0 +1,110 @@
+"""Command-line entry points — the engine's equivalent of the
+reference's shell orchestrators (scripts/bdc/ingest.sh,
+scripts/heal/ingest.sh, scripts/lakefs/generate_lakefs_dbgap_xml_index.py).
+
+    python -m dug_data_ingest_spark bdc   --gen3 G --picsure P --out DIR
+    python -m dug_data_ingest_spark heal  --studies S --fields F --mapping M --out DIR
+    python -m dug_data_ingest_spark index --variables V --out DIR [--repos r1 r2]
+
+Inputs are parquet (or CSV with --csv, using the declared schemas);
+outputs land under --out as parquet/CSV/JSON exactly as the reference
+produced them (XML docs, variable index, KGX graph, summary
+scoreboard, pivot report).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _read(spark: SparkSession, path: str, csv: bool, schema=None) -> DataFrame:
+    if csv:
+        reader = spark.read.option("header", True)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.csv(path)
+    return spark.read.parquet(path)
+
+
+def run_bdc(spark: SparkSession, args) -> None:
+    from dug_data_ingest_spark.plans.bdc import bdc_pipeline
+    from dug_data_ingest_spark.plans.fixtures import GEN3_SCHEMA, PICSURE_SCHEMA
+    from dug_data_ingest_spark.sources.files import write_csv
+
+    out = bdc_pipeline(
+        _read(spark, args.gen3, args.csv, GEN3_SCHEMA),
+        _read(spark, args.picsure, args.csv, PICSURE_SCHEMA),
+    )
+    out["xml_docs"].write.mode("overwrite").parquet(f"{args.out}/dbgap_xml")
+    write_csv(out["summary"], f"{args.out}/processing_summary", single_file=True)
+    write_csv(out["quarantine"], f"{args.out}/quarantine", single_file=True)
+    out["scoreboard"].show(truncate=False)
+
+
+def run_heal(spark: SparkSession, args) -> None:
+    from dug_data_ingest_spark.plans.fixtures import (
+        HDP_MAPPING_SCHEMA,
+        HEAL_FIELDS_SCHEMA,
+        HEAL_STUDIES_SCHEMA,
+    )
+    from dug_data_ingest_spark.plans.heal import heal_pipeline
+    from dug_data_ingest_spark.sources.files import write_csv, write_kgx
+
+    out = heal_pipeline(
+        _read(spark, args.studies, False, HEAL_STUDIES_SCHEMA if args.csv else None),
+        _read(spark, args.fields, False, HEAL_FIELDS_SCHEMA if args.csv else None),
+        _read(spark, args.mapping, args.csv, HDP_MAPPING_SCHEMA),
+    )
+    out["xml_docs"].write.mode("overwrite").parquet(f"{args.out}/dbgap_xml")
+    write_csv(out["variable_index"], f"{args.out}/variable_index", single_file=True)
+    write_kgx(out["kgx_nodes"], out["kgx_edges"], f"{args.out}/kgx")
+    write_csv(out["stray_dds"], f"{args.out}/stray_dds", single_file=True)
+
+
+def run_index(spark: SparkSession, args) -> None:
+    from dug_data_ingest_spark.plans.lakefs_index import variable_index_report
+    from dug_data_ingest_spark.sources.files import write_csv
+
+    variables = _read(spark, args.variables, args.csv)
+    repos = args.repos or [
+        r[0] for r in variables.select("repository").distinct().orderBy("repository").collect()
+    ]
+    write_csv(
+        variable_index_report(variables, repos),
+        f"{args.out}/dbgap_xml_index",
+        single_file=True,
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="dug_data_ingest_spark")
+    p.add_argument("--csv", action="store_true", help="inputs are CSV, not parquet")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    bdc = sub.add_parser("bdc", help="EP1: BDC ingest")
+    bdc.add_argument("--gen3", required=True)
+    bdc.add_argument("--picsure", required=True)
+    bdc.add_argument("--out", required=True)
+
+    heal = sub.add_parser("heal", help="EP2: HEAL ingest")
+    heal.add_argument("--studies", required=True)
+    heal.add_argument("--fields", required=True)
+    heal.add_argument("--mapping", required=True)
+    heal.add_argument("--out", required=True)
+
+    index = sub.add_parser("index", help="EP3: cross-repository XML index")
+    index.add_argument("--variables", required=True)
+    index.add_argument("--repos", nargs="*")
+    index.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    from dug_data_ingest_spark.session import get_spark
+
+    spark = get_spark(f"dug-data-ingest-{args.cmd}")
+    {"bdc": run_bdc, "heal": run_heal, "index": run_index}[args.cmd](spark, args)
+
+
+if __name__ == "__main__":
+    main()
