@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the custom code where
+hand-picked fixtures are weakest: XML render/parse round-trip under
+adversarial strings, and window-based uniquification vs a literal
+seen-set reference walk.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# XML 1.0 forbids most control chars; stick to what a compliant
+# document can carry (the engine's contract is valid-XML payloads).
+xml_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), blacklist_characters="￾￿"
+    ),
+    min_size=0,
+    max_size=40,
+)
+ids = st.text(alphabet="abcdefghij0123456789_", min_size=1, max_size=12)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(ids, ids, xml_text, xml_text),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda r: r[1],
+    )
+)
+def test_xml_roundtrip_arbitrary_strings(spark, rows):
+    """parse(render(vars)) == vars for arbitrary XML-legal content —
+    escaping of quotes/angles/ampersands/unicode must survive."""
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        VARIABLE_SCHEMA,
+        parse_data_tables,
+        render_data_tables,
+    )
+
+    data = [
+        ("s1", "dd1", vid, name, desc, typ, None)
+        for (name, vid, desc, typ) in rows
+    ]
+    df = spark.createDataFrame(data, VARIABLE_SCHEMA)
+    back = parse_data_tables(render_data_tables(df))
+    got = {
+        (r.var_id, r.name, r.description, r.type)
+        for r in back.collect()
+    }
+    # empty strings come back as empty-element text → None; the
+    # reference's safe_text treats them identically (xml_generator.py:57-61)
+    want = {
+        (vid, name or None, desc or None, typ or None)
+        for (name, vid, desc, typ) in rows
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "e"]), min_size=1, max_size=30
+    )
+)
+def test_uniquify_matches_seen_set_walk(spark, names):
+    """The window-based uniquify must reproduce the reference's
+    global seen-set walk (get_heal_platform_mds_data_dicts.py:358-400)
+    for any duplicate pattern, under any partitioning."""
+    from dug_data_ingest_spark.operators.windows import uniquify_ids
+
+    # reference semantics, literally
+    seen: dict[str, int] = {}
+    expected = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            expected.append(f"{n}_{seen[n]}")
+        else:
+            seen[n] = 0
+            expected.append(n)
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], ["ord", "name"]
+    ).repartition(5)
+    out = uniquify_ids(df, "name", [F.col("ord")], "uname")
+    got = [r.uname for r in out.orderBy("ord").collect()]
+    assert got == expected
