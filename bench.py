@@ -39,7 +39,12 @@ HEADLINE = [
     "sim-topk-bruteforce",
     "dedup-embedding-lsh",
     "text-quality",
+    "text-langid",
+    "dedup-simhash",
+    "sim-ivf-topk",
+    "mm-decode-features",
     "stream-session-window",
+    "stream-marker-sessionize",
 ]
 
 
