@@ -206,6 +206,74 @@ def lsh_dup_pairs(
     )
 
 
+def _assign(embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment by squared L2 — one broadcast join
+    (centroids are k rows) + a window-free argmin via groupBy-min
+    struct ordering. Deterministic tie-break on cluster id."""
+    dist2 = F.aggregate(
+        F.zip_with(
+            as_double(F.col(vec_col)), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = embeddings.join(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("cluster"),
+        F.round(dist2, 9).alias("d2"),
+    )
+    best = F.min(F.struct(F.col("d2"), F.col("cluster"))).alias("best")
+    return (
+        scored.groupBy(id_col)
+        .agg(best, F.first(vec_col).alias(vec_col))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("best.cluster").alias("cluster"),
+        )
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on DataFrames — the learned coarse quantizer
+    for IVF (ivf_topk uses stored labels; this learns real cells).
+
+    Deterministic: init assigns cluster = id % k (seeded-sample init
+    would work too but breaks oracle replay); each iteration is
+    (assign: broadcast join + argmin) → (update: posexplode +
+    per-position mean), i.e. one shuffle per iteration on (cluster,
+    pos). k and dim are small (centroids always fit one broadcast);
+    the corpus is never shuffled — only scanned per iteration.
+    Returns (cluster, centroid, n_members).
+    """
+    from dug_data_ingest_spark.ext.dedup import fan_out
+
+    assigned = fan_out(embeddings).select(
+        F.col(id_col), F.col(vec_col), (F.col(id_col) % k).cast("int").alias("cluster")
+    )
+    for _ in range(n_iters):
+        pos = assigned.select(
+            "cluster", F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
+        )
+        means = pos.groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+        ordered = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m").alias("v")))
+            ),
+            lambda s: s.getField("v"),
+        )
+        cents = means.groupBy("cluster").agg(ordered.alias("centroid"))
+        assigned = _assign(embeddings, cents, id_col, vec_col)
+    return assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float,

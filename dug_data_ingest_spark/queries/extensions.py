@@ -29,6 +29,7 @@ from dug_data_ingest_spark.ext.similarity import (
     cosine_dup_pairs,
     ivf_topk,
     lsh_dup_pairs,
+    kmeans_centroids,
     random_hyperplanes,
     topk_arrow,
     topk_bruteforce,
@@ -496,3 +497,42 @@ def sim_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer — the wide-vector plan; one numpy matmul per Arrow batch."""
     emb = load(spark, sf_dir, "embeddings")
     return topk_arrow(emb, _query_vec(spark, sf_dir), k=10)
+
+
+# ---------------------------------------------------------------------------
+# k-means learned IVF cells: iterative DataFrame algorithm; the oracle
+# unrolls the same two Lloyd iterations as SQL CTEs.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int, n_iters: int) -> str:
+    dist = ("list_sum([ (e.v[i] - c.centroid[i]) * (e.v[i] - c.centroid[i]) "
+            "for i in range(1, len(e.v) + 1) ])")
+    sql = [f"WITH a0 AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+           f"CAST(vec_id % {k} AS INT) AS cluster FROM embeddings)"]
+    for it in range(1, n_iters + 1):
+        prev = f"a{it - 1}"
+        sql.append(f""",
+c{it} AS (
+  SELECT cluster, list(m ORDER BY pos) AS centroid FROM (
+    SELECT cluster, pos, avg(x) AS m FROM (
+      SELECT cluster, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM {prev})
+    GROUP BY cluster, pos)
+  GROUP BY cluster),
+a{it} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM a0 e CROSS JOIN c{it} c) WHERE rn = 1)""")
+    sql.append(f"""
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM a{n_iters} GROUP BY cluster""")
+    return "".join(sql)
+
+
+@query("sim-kmeans-cells", oracle=_kmeans_oracle(8, 2))
+def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations from a deterministic init — the learned
+    coarse quantizer behind IVF; output is the cell population table."""
+    return kmeans_centroids(load(spark, sf_dir, "embeddings"), k=8, n_iters=2)
