@@ -105,3 +105,11 @@ def test_exact_dedup_is_one_shuffle(queries, spark):
 def test_flagship_report_no_python_in_hot_path(queries, spark):
     plan = _plan(queries["flagship-index-report"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan
+
+
+def test_kmeans_broadcasts_centroids_every_iteration(queries, spark):
+    # the corpus must never shuffle for assignment: every join in the
+    # plan is a broadcast of the k-row centroid table
+    plan = _plan(queries["sim-kmeans-cells"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
