@@ -328,3 +328,32 @@ def src_dug_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = read_csv(spark, path, schema, sep="\t")
     return back.filter(F.col("collection_name") != "CDE").orderBy("collection_id")
+
+
+@query(
+    "snk-xml-gapexchange",
+    oracle="""
+    SELECT 'phs' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS study_id,
+           'phs' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') || '.v1.p1' AS accession,
+           c_name AS study_name, c_mktsegment AS description,
+           c_mktsegment AS program
+    FROM customer
+    """,
+)
+def snk_xml_gapexchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Study-level GaPExchange render + parse round-trip: the oracle
+    sees the original study fields, so escaping and structure are
+    value-checked through the XML."""
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        parse_gap_exchange,
+        render_gap_exchange,
+    )
+
+    studies = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("phs"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")).alias("study_id"),
+        F.concat(F.lit("phs"), F.lpad(F.col("c_custkey").cast("string"), 6, "0"), F.lit(".v1.p1")).alias("accession"),
+        F.col("c_name").alias("study_name"),
+        F.col("c_mktsegment").alias("description"),
+        F.col("c_mktsegment").alias("program"),
+    )
+    return parse_gap_exchange(render_gap_exchange(studies))

@@ -129,3 +129,86 @@ def parse_data_tables(docs: DataFrame) -> DataFrame:
             )
 
     return docs.mapInPandas(parse, schema=VARIABLE_SCHEMA)
+
+
+GAP_EXCHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("study_id", T.StringType()),
+        T.StructField("xml", T.StringType()),
+    ]
+)
+
+STUDY_SCHEMA = T.StructType(
+    [
+        T.StructField("study_id", T.StringType()),
+        T.StructField("accession", T.StringType()),
+        T.StructField("study_name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("program", T.StringType()),
+    ]
+)
+
+
+def render_gap_exchange(studies: DataFrame, add_stylesheet: bool = False) -> DataFrame:
+    """One study-level ``GaPExchange`` document per study row —
+    the second XML artifact the BDC pipeline publishes alongside the
+    per-table data_table docs.
+
+    Reference: create_gap_exchange_xml (scripts/bdc/xml_generator.py:63-109)
+    and the optional xml-stylesheet processing instruction in save_xml
+    (scripts/bdc/xml_generator.py:164-186).
+    """
+    pi = '<?xml-stylesheet type="text/xsl" href="gap-exchange.xsl"?>\n'
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {"study_id": [], "xml": []}
+            for row in batch.itertuples(index=False):
+                root = ET.Element("GaPExchange")
+                studies_el = ET.SubElement(root, "Studies")
+                study = ET.SubElement(
+                    studies_el, "Study", attrib={"accession": row.accession or ""}
+                )
+                conf = ET.SubElement(study, "Configuration")
+                for tag, val in (
+                    ("StudyNameEntrez", row.study_name),
+                    ("Description", row.description),
+                    ("StudyTypes", row.program),
+                ):
+                    el = ET.SubElement(conf, tag)
+                    if val is not None:
+                        el.text = str(val)
+                doc = ET.tostring(root, encoding="unicode")
+                out["study_id"].append(row.study_id)
+                out["xml"].append((pi + doc) if add_stylesheet else doc)
+            yield pd.DataFrame({k: pd.Series(v, dtype="object") for k, v in out.items()})
+
+    return studies.mapInPandas(render, GAP_EXCHANGE_SCHEMA)
+
+
+def parse_gap_exchange(docs: DataFrame) -> DataFrame:
+    """(study_id, xml) → STUDY_SCHEMA rows (round-trip read side)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in STUDY_SCHEMA.fields}
+            for row in batch.itertuples(index=False):
+                try:
+                    root = ET.fromstring(row.xml.split("?>\n")[-1])
+                except ET.ParseError:
+                    continue
+                study = root.find("Studies/Study")
+                conf = study.find("Configuration") if study is not None else None
+
+                def text(tag):
+                    el = conf.find(tag) if conf is not None else None
+                    return el.text if el is not None else None
+
+                out["study_id"].append(row.study_id)
+                out["accession"].append(study.get("accession") if study is not None else None)
+                out["study_name"].append(text("StudyNameEntrez"))
+                out["description"].append(text("Description"))
+                out["program"].append(text("StudyTypes"))
+            yield pd.DataFrame({k: pd.Series(v, dtype="object") for k, v in out.items()})
+
+    return docs.mapInPandas(parse, STUDY_SCHEMA)

@@ -48,3 +48,24 @@ def test_parse_tolerates_malformed(spark):
     )
     rows = parse_data_tables(docs).collect()
     assert len(rows) == 1 and rows[0].var_id == "v1"
+
+
+def test_gap_exchange_stylesheet_pi(spark):
+    from pyspark.sql import functions as F
+
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        parse_gap_exchange,
+        render_gap_exchange,
+    )
+
+    studies = spark.createDataFrame(
+        [("phs000001", "phs000001.v1.p1", "S & T <study>", 'desc "quoted"', "prog|x")],
+        ["study_id", "accession", "study_name", "description", "program"],
+    )
+    with_pi = render_gap_exchange(studies, add_stylesheet=True)
+    xml = with_pi.first().xml
+    assert xml.startswith('<?xml-stylesheet type="text/xsl"')
+    # parse back through the PI, escaping intact
+    row = parse_gap_exchange(with_pi).first()
+    assert row.study_name == "S & T <study>"
+    assert row.description == 'desc "quoted"'
