@@ -45,6 +45,9 @@ HEADLINE = [
     "mm-decode-features",
     "stream-session-window",
     "stream-marker-sessionize",
+    "olap-pricing-summary",
+    "olap-revenue-by-nation",
+    "olap-top-orders",
 ]
 
 

@@ -56,6 +56,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def _register_all() -> None:
     # Import for side effects: each module registers its slugs.
     from dug_data_ingest_spark.queries import (  # noqa: F401
+        analytics,
         relational,
         scalars,
         sources,

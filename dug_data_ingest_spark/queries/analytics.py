@@ -1,0 +1,246 @@
+"""Star-schema OLAP queries over the full testdata scale.
+
+The reference workload is metadata-sized (thousands of studies), so
+none of its operators ever stress the shuffle machinery. These queries
+are the engine's large-fact-table surface — the shapes a 100 TB
+training-data warehouse actually runs (BASELINE.json north star;
+SURVEY.md §7 M6): full-scan aggregation with map-side combine,
+multi-way dim joins that must stay broadcast, top-k without a global
+sort, windowed rollups, and time-series lag — each over ``lineitem``
+(the largest table at every sf) with a DuckDB oracle.
+
+Scale notes per query are inline; the plan properties are locked in by
+``tests/test_plan_shapes.py`` (broadcast of every dim side, shipdate
+filter pushed to the parquet scan, TakeOrderedAndProject for top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dug_data_ingest_spark.queries import load, query
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): one full scan of the fact table,
+# 4 output groups. All aggregates are partial-aggregated map-side, so
+# the single shuffle moves ~groups × partitions rows, never the data.
+# The shipdate predicate reaches the parquet scan (PushedFilters).
+# ---------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("olap-pricing-summary", oracle=_PRICING_ORACLE)
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue by nation (TPC-H Q5 shape): fact ⋈ orders ⋈ customer ⋈
+# supplier ⋈ nation ⋈ region with the local-supplier predicate
+# (c_nationkey = s_nationkey). Every dim side is explicitly
+# broadcast — at 100 TB the only shuffle this plan may contain is the
+# lineitem ⋈ orders equi-join (both sides huge); nation/region/
+# customer/supplier are O(sf) and must never trigger a sort-merge of
+# the fact. The orderdate/region filters prune before the fact join.
+# ---------------------------------------------------------------------------
+
+_REVENUE_NATION_ORACLE = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("olap-revenue-by-nation", oracle=_REVENUE_NATION_ORACLE)
+def olap_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top unshipped orders (TPC-H Q3 shape): top-10 by revenue WITHOUT a
+# global sort — Spark plans orderBy+limit as TakeOrderedAndProject
+# (per-partition heap of 10, driver merge of 10×partitions rows).
+# ---------------------------------------------------------------------------
+
+_TOP_ORDERS_ORACLE = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS orderdate,
+       MIN(o_orderpriority) AS o_orderpriority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC
+LIMIT 10
+"""
+
+
+@query("olap-top-orders", oracle=_TOP_ORDERS_ORACLE)
+def olap_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+            F.min("o_orderpriority").alias("o_orderpriority"),
+        )
+        .orderBy(F.desc("revenue"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nation rank within region: aggregate-then-window. The window runs
+# over the ~25-row rollup, not the fact — the cheap place for ranking;
+# ranking the fact first would shuffle everything per region.
+# ---------------------------------------------------------------------------
+
+_NATION_RANK_ORACLE = """
+WITH rollup_rev AS (
+  SELECT r_name, n_name, SUM(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, ROUND(rev, 2) AS revenue,
+       CAST(RANK() OVER (PARTITION BY r_name ORDER BY rev DESC) AS INT) AS rev_rank
+FROM rollup_rev
+"""
+
+
+@query("olap-nation-rank-window", oracle=_NATION_RANK_ORACLE)
+def olap_nation_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rollup = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return rollup.select(
+        "r_name",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.rank()
+        .over(W.partitionBy("r_name").orderBy(F.desc("rev")))
+        .cast("int")
+        .alias("rev_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue with month-over-month delta: time-series lag over a
+# pre-aggregated monthly rollup (one shuffle to months, then a single-
+# partition window over ~80 rows — bounded regardless of sf).
+# ---------------------------------------------------------------------------
+
+_MONTHLY_LAG_ORACLE = """
+WITH monthly AS (
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month, ROUND(rev, 2) AS revenue,
+       ROUND(rev - LAG(rev) OVER (ORDER BY month), 2) AS mom_delta
+FROM monthly
+"""
+
+
+@query("olap-monthly-revenue-lag", oracle=_MONTHLY_LAG_ORACLE)
+def olap_monthly_revenue_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    return monthly.select(
+        "month",
+        F.round("rev", 2).alias("revenue"),
+        F.round(
+            F.col("rev") - F.lag("rev").over(W.orderBy("month")), 2
+        ).alias("mom_delta"),
+    )

@@ -113,3 +113,38 @@ def test_kmeans_broadcasts_centroids_every_iteration(queries, spark):
     plan = _plan(queries["sim-kmeans-cells"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Star-schema OLAP plans (queries/analytics.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "slug", ["olap-revenue-by-nation", "olap-top-orders", "olap-nation-rank-window"]
+)
+def test_olap_dim_joins_stay_broadcast(queries, spark, slug):
+    # dim sides (nation/region/customer/supplier/filtered orders) are
+    # O(sf); a sort-merge join here would shuffle the fact table once
+    # per dim at 100 TB
+    plan = _plan(queries[slug](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, f"{slug} shuffles the fact for a dim join"
+
+
+def test_olap_pricing_summary_pushdown_and_partial_agg(queries, spark):
+    df = queries["olap-pricing-summary"](spark, SF_DIR)
+    info = _scan_info(df)
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", info)
+    assert any("LessThanOrEqual(l_shipdate" in p for p in pushed), pushed
+    # map-side combine: the shuffle moves one partial row per
+    # (group, partition), never the fact rows
+    plan = _plan(df)
+    assert "partial_sum" in plan, plan
+
+
+def test_olap_topk_avoids_global_sort(queries, spark):
+    # orderBy + limit must plan as TakeOrderedAndProject (per-partition
+    # heap), not a full Sort + Exchange of every group
+    plan = _plan(queries["olap-top-orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
