@@ -79,7 +79,7 @@ def render_data_tables(variables: DataFrame) -> DataFrame:
     """variables (VARIABLE_SCHEMA rows) → one XML doc per
     (study_id, dd_id), deterministically ordered by var_id."""
 
-    def render(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         study_id, dd_id = key
         pdf = pdf.sort_values(["var_id", "name"], kind="mergesort")
         return pd.DataFrame(
