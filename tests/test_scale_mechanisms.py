@@ -82,3 +82,51 @@ def test_bucketed_aggregation_needs_no_shuffle(spark, bucketed_db):
     agg = ob.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("t"))
     plan = _plan(agg)
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-write fan-out (write_partitioned = the reference's
+# per-program repo fan-out) and the read-back pruning it buys
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def partitioned_lineitem(spark, tmp_path_factory):
+    from dug_data_ingest_spark.sources.files import write_partitioned
+
+    path = str(tmp_path_factory.mktemp("part") / "lineitem_by_flag")
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet")
+    write_partitioned(li, path, "l_returnflag")
+    return path
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_static_partition_pruning_on_readback(spark, partitioned_lineitem):
+    # a literal filter on the partition column must become a
+    # PartitionFilters entry (directory pruning — zero data files of
+    # the other partitions are opened), not a post-scan Filter
+    df = spark.read.parquet(partitioned_lineitem).filter(F.col("l_returnflag") == "R")
+    info = _formatted(df)
+    assert "PartitionFilters" in info and "l_returnflag" in info.split("PartitionFilters", 1)[1].split("]", 1)[0], info
+    got = df.select(F.countDistinct("l_returnflag")).first()[0]
+    assert got == 1
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, partitioned_lineitem):
+    # the selective filter lives on the dim side; DPP must push a
+    # runtime subquery filter into the fact scan's partition filters —
+    # at 100 TB this is the difference between scanning one program
+    # partition and scanning the warehouse
+    fact = spark.read.parquet(partitioned_lineitem)
+    dim = (
+        spark.createDataFrame([("R", "returned")], ["flag", "label"])
+        .filter(F.col("label") == "returned")
+    )
+    joined = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").count()
+    info = _formatted(joined)
+    assert "dynamicpruning" in info, info
