@@ -351,6 +351,52 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_probe=1)
 
 
+@query(
+    "sim-ivf-recall",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    truth AS (
+      SELECT vec_id FROM embeddings, q
+      ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+      LIMIT 5
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(embedding[pos]::DOUBLE) AS m FROM (
+          SELECT label, embedding, generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+        GROUP BY label, pos)
+      GROUP BY label
+    ),
+    best AS (
+      SELECT label FROM cent, q
+      ORDER BY list_cosine_similarity(centroid, qv) DESC, label LIMIT 1
+    ),
+    approx AS (
+      SELECT e.vec_id FROM embeddings e JOIN best USING (label), q
+      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+      LIMIT 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           ROUND(COUNT(*) / 5.0, 2) AS recall_at_5
+    FROM truth JOIN approx USING (vec_id)
+    """,
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: recall@5 of the 1-probe IVF path against
+    brute-force ground truth — the quality/throughput dial every ANN
+    deployment has to read before raising n_probe. Both sides are tiny
+    top-k results, so the join is driver-trivial at any corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    truth = topk_bruteforce(emb, qv, k=5).select("vec_id")
+    approx = ivf_topk(emb, qv, k=5, n_probe=1).select("vec_id")
+    return truth.join(approx, "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_matched"),
+        F.round(F.count("*") / 5.0, 2).alias("recall_at_5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (payload = utf-8 bytes of documents.text — the
 # real decode is stubbed; see ext/multimodal.py)
