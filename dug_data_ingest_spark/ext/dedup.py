@@ -258,3 +258,58 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.lit(0),
     )
     return agg.select(F.col(id_col), code.cast("int").alias("simhash"))
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of the candidate-pair graph → one
+    (doc_id, component) row per document that has a duplicate, where
+    component = min doc id in its cluster (the canonical survivor).
+
+    Iterative min-label propagation on DataFrames: each round every
+    node takes the min of its own and its neighbors' labels — one
+    neighbor-min aggregation shuffle per round, converging in
+    O(cluster diameter) rounds. Near-dup clusters are stars/chains of
+    depth 2-4, so this beats the constant factors of the O(log n)
+    large-star/small-star contraction that arbitrary graphs need.
+    Lineage is truncated per round (localCheckpoint) so the plan
+    doesn't compound across iterations; convergence is a driver-side
+    count of changed labels (0 changes = fixpoint = exact components).
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        merged = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                F.col("node"),
+                F.col("comp").alias("old_comp"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = merged.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = merged.select("node", "comp")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))

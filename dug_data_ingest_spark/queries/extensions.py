@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from dug_data_ingest_spark.ext.dedup import (
     doc_shingles,
+    duplicate_clusters,
     exact_dedup_groups,
     minhash_band_keys,
     minhash_candidate_pairs,
@@ -19,6 +20,7 @@ from dug_data_ingest_spark.ext.dedup import (
     ngram_jaccard_pairs,
     simhash16,
 )
+from dug_data_ingest_spark.functions.vectors import as_double, cosine
 from dug_data_ingest_spark.ext.multimodal import (
     as_media,
     extract_features,
@@ -249,6 +251,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
 
 
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+@query("dedup-cluster", oracle=_CLUSTER_ORACLE)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs are only half the job: dedup keeps ONE doc per
+    transitive cluster, so pairs must become components. Min-label
+    propagation over the Jaccard-pair graph (ext/dedup.py), verified
+    against DuckDB's recursive-CTE reachability — the oracle computes
+    true components, so the fixpoint is checked, not the iteration."""
+    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    return duplicate_clusters(pairs)
+
+
 _SIMHASH_VOTES = ",\n         ".join(
     f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
     for j in range(16)
@@ -394,6 +430,66 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(approx, "vec_id").agg(
         F.count("*").cast("bigint").alias("n_matched"),
         F.round(F.count("*") / 5.0, 2).alias("recall_at_5"),
+    )
+
+
+@query(
+    "sim-topk-multiquery",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS raw,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT qid, vec_id, ROUND(raw, 4) AS cos_sim FROM scored WHERE rn <= 3
+    """,
+)
+def sim_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch search: N query vectors answered in ONE corpus pass.
+    The query set folds into the plan as a literal struct array (the
+    moral broadcast — at real scale, F.broadcast a query DataFrame);
+    per-query top-k is a window rank over qid, so there's exactly one
+    shuffle however many queries ride along — never one scan each."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(qid).cast("bigint").alias("qid"),
+                F.array(*[F.lit(x) for x in qv]).alias("qv"),
+            )
+            for qid, qv in qrows
+        ]
+    )
+    scored = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", "v", F.explode(qlit).alias("q"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            "vec_id",
+            cosine(F.col("v"), F.col("q.qv")).alias("raw"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("raw"), F.col("vec_id"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("qid", "vec_id", F.round("raw", 4).alias("cos_sim"))
     )
 
 
