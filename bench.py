@@ -48,6 +48,8 @@ HEADLINE = [
     "olap-pricing-summary",
     "olap-revenue-by-nation",
     "olap-top-orders",
+    "dedup-cluster",
+    "sim-topk-multiquery",
 ]
 
 
