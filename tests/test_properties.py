@@ -97,3 +97,45 @@ def test_uniquify_matches_seen_set_walk(spark, names):
     out = uniquify_ids(df, "name", [F.col("ord")], "uname")
     got = [r.uname for r in out.orderBy("ord").collect()]
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_duplicate_clusters_match_union_find(spark, edges):
+    """Min-label propagation fixpoint == reference union-find
+    components on arbitrary small graphs (chains, stars, cycles,
+    multi-edges) — the oracle checks one dataset; this checks the
+    algorithm."""
+    from dug_data_ingest_spark.ext.dedup import duplicate_clusters
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == expected
