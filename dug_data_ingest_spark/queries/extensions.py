@@ -285,6 +285,48 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+_SURVIVORS_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+
+
+@query("dedup-survivors", oracle=_SURVIVORS_ORACLE)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: the corpus minus every non-canonical
+    cluster member — what a training-data pipeline actually writes
+    out. The drop set (cluster members ≠ canonical) is a tiny
+    fraction of the corpus, so the final subtraction is a broadcast
+    anti-join: the 100 TB side is scanned once, never shuffled."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    drop = (
+        duplicate_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("component"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
+
+
 _SIMHASH_VOTES = ",\n         ".join(
     f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
     for j in range(16)
