@@ -148,3 +148,11 @@ def test_olap_topk_avoids_global_sort(queries, spark):
     # heap), not a full Sort + Exchange of every group
     plan = _plan(queries["olap-top-orders"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_survivors_anti_join_stays_broadcast(queries, spark):
+    # the drop set is tiny relative to the corpus; the final
+    # subtraction must be a broadcast anti-join (corpus scanned once,
+    # never shuffled for the subtraction)
+    plan = _plan(queries["dedup-survivors"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
