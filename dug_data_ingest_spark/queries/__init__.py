@@ -47,9 +47,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # `ts div 1000`, not `ts / 1000`: epoch-nanos (~1.7e18) exceed a
+        # double's 53-bit mantissa, so float division rounds the
+        # microsecond value off by ±1 vs DuckDB's exact ns→us truncation
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

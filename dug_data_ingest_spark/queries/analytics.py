@@ -244,3 +244,111 @@ def olap_monthly_revenue_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev") - F.lag("rev").over(W.orderBy("month")), 2
         ).alias("mom_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup (grouping sets): the reference has none (SURVEY §2.4); the
+# engine exposes Spark's native rollup — subtotals and grand total in
+# ONE pass (a single shuffle computes every grouping set; the naive
+# alternative is 3 scans + a union).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("olap-rollup-summary", oracle=_ROLLUP_ORACLE)
+def olap_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: events within a time window of each other, same user.
+# The reference has no range/theta joins (SURVEY §2.3); here the equi
+# component (user_id) keeps the join hash-partitioned — the range
+# predicate evaluates inside each matched user group, so there's no
+# cross product. At 100 TB you additionally bucket both sides by
+# (user_id, time_bucket) so a window never spans partitions.
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+SELECT e.event_id, COUNT(c.ts) AS n_clicks_10m
+FROM events e LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click'
+ AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
+@query("join-range-events", oracle=_RANGE_JOIN_ORACLE)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks by the same user within 10 minutes after each error."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("euid"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"), F.col("ts").alias("cts")
+    )
+    cond = (
+        (F.col("euid") == F.col("cuid"))
+        & (F.col("cts") > F.col("ts"))
+        & (F.col("cts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return (
+        errors.join(clicks, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("cts").alias("n_clicks_10m"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (backward): latest preceding click per error event.
+# Composition: equi+inequality join, then max / max_by pick the as-of
+# row — no window over the fact, no sort of the big side. Same
+# bucketing strategy as the range join at scale.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT e.event_id,
+       epoch_us(MAX(c.ts)) AS last_click_us,
+       ROUND(arg_max(c.value, c.ts), 2) AS last_click_value
+FROM events e LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
+@query("join-asof-events", oracle=_ASOF_ORACLE)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: each error event picks the most recent earlier
+    click (timestamp + its value) by the same user."""
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("euid"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+        F.col("value").alias("cvalue"),
+    )
+    cond = (F.col("euid") == F.col("cuid")) & (F.col("cts") < F.col("ts"))
+    return (
+        errors.join(clicks, cond, "left")
+        .groupBy("event_id")
+        .agg(
+            F.unix_micros(F.max("cts")).alias("last_click_us"),
+            F.round(F.max_by("cvalue", "cts"), 2).alias("last_click_value"),
+        )
+    )

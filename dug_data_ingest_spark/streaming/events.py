@@ -121,4 +121,6 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # `div`, not `/`: see queries.load() — float division of epoch-nanos
+    # rounds the microsecond off by ±1
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
