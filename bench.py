@@ -50,6 +50,10 @@ HEADLINE = [
     "olap-top-orders",
     "dedup-cluster",
     "sim-topk-multiquery",
+    "olap-rollup-summary",
+    "join-range-events",
+    "join-asof-events",
+    "text-length-quantiles",
 ]
 
 

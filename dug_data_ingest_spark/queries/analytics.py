@@ -352,3 +352,33 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("cvalue", "cts"), 2).alias("last_click_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution stats: per-source length quantiles over documents —
+# the profile every corpus-quality pass starts from. Registered with
+# EXACT percentile (Spark `percentile` == DuckDB `quantile_cont`,
+# both linear-interpolated) so the oracle verifies values; at 100 TB
+# swap in `approx_percentile` — a mergeable sketch that partial-
+# aggregates map-side instead of sorting each group.
+# ---------------------------------------------------------------------------
+
+_QUANTILES_ORACLE = """
+SELECT source,
+       ROUND(quantile_cont(n_chars, 0.5), 2) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 2) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 2) AS p99,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+@query("text-length-quantiles", oracle=_QUANTILES_ORACLE)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 2).alias("p99"),
+        F.count("*").alias("n_docs"),
+    )
