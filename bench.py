@@ -4,7 +4,12 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Timing counts full plan execution (collect-to-count, not show) after a
-warmup pass that absorbs session/JIT startup.
+warmup pass that absorbs session/JIT startup. The warmup runs every
+headline query once untimed: a fresh JVM pays whole-stage-codegen
+compilation, classloading, and C2 JIT per plan shape — one-time costs
+that a long-lived cluster amortizes to nothing, and that would
+otherwise swamp the sub-second steady-state numbers this harness is
+meant to track round-over-round.
 """
 
 from __future__ import annotations
@@ -68,9 +73,10 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warmup: run the first query once to absorb JVM/codegen startup.
-    if names:
-        queries[names[0]](spark, sf_dir).count()
+    # Warmup: run every headline query once untimed to absorb
+    # JVM/codegen/JIT startup (see module docstring).
+    for name in names:
+        queries[name](spark, sf_dir).count()
 
     # Two timed runs per query, report the min: the first run pays
     # one-time whole-stage-codegen compilation (seconds for the wide

@@ -100,11 +100,23 @@ def minhash_signatures_wide(
     combined groupBy. The k seeded hashes are k columns of the same
     projection — no row multiplication, no (id, seed) shuffle; the
     partial aggregate reduces each partition to one row per doc
-    before the exchange."""
-    hashed = doc_shingles_df.select(
+    before the exchange.
+
+    Each shingle is md5-hashed ONCE; the k permutations are affine
+    maps h_s = ((2s+1)·(base mod P) + s) mod P over the Mersenne
+    prime P = 2^31-1 — the standard universal-hash family for
+    minhash. One cryptographic hash + k integer ops per shingle
+    instead of k full md5s: at 100 TB the hash stage is the sketch's
+    dominant CPU cost, and this cuts it ~k-fold. All operands stay
+    non-negative and products under 2^40, so the identical integer
+    expression replays exactly in any 64-bit SQL engine (the DuckDB
+    oracle uses the same formula)."""
+    P = 2147483647  # 2^31 - 1
+    base = (_md5_hash64(F.col("shingle")) % F.lit(P)).alias("_base")
+    hashed = doc_shingles_df.select(F.col(id_col), base).select(
         F.col(id_col),
         *[
-            _md5_hash64(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"h{s}")
+            ((F.lit(2 * s + 1) * F.col("_base") + F.lit(s)) % F.lit(P)).alias(f"h{s}")
             for s in range(num_hashes)
         ],
     )

@@ -183,10 +183,10 @@ _HASH64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 _MINHASH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
+base AS (SELECT doc_id, ({_HASH64.format(x="s")}) % 2147483647 AS hb FROM sh),
 hs AS (
-  SELECT doc_id, seed,
-         {_HASH64.format(x="CAST(seed AS VARCHAR) || ':' || s")} AS h
-  FROM sh, seeds
+  SELECT doc_id, seed, ((2 * seed + 1) * hb + seed) % 2147483647 AS h
+  FROM base, seeds
 ),
 sig AS (SELECT doc_id, seed, min(h) AS mh FROM hs GROUP BY doc_id, seed)
 SELECT doc_id, CAST(seed // 4 AS INT) AS band,
@@ -207,10 +207,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PAIRS_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 seeds AS (SELECT unnest(range(0, 16)) AS seed),
+base AS (SELECT doc_id, ({_HASH64.format(x="s")}) % 2147483647 AS hb FROM sh),
 hs AS (
-  SELECT doc_id, seed,
-         {_HASH64.format(x="CAST(seed AS VARCHAR) || ':' || s")} AS h
-  FROM sh, seeds
+  SELECT doc_id, seed, ((2 * seed + 1) * hb + seed) % 2147483647 AS h
+  FROM base, seeds
 ),
 sig AS (SELECT doc_id, seed, min(h) AS mh FROM hs GROUP BY doc_id, seed),
 bands AS (
