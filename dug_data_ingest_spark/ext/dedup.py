@@ -292,6 +292,11 @@ def duplicate_clusters(
     Lineage is truncated per round (localCheckpoint) so the plan
     doesn't compound across iterations; convergence is a driver-side
     count of changed labels (0 changes = fixpoint = exact components).
+    The per-round checkpoint is lazy (eager=False): the convergence
+    count is the action that materializes it, so each round runs ONE
+    Spark job instead of a checkpoint job plus a count job — per-round
+    scheduling overhead, not data volume, dominates once the pair
+    graph is orders of magnitude smaller than the corpus.
     """
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = e.unionByName(
@@ -318,7 +323,7 @@ def duplicate_clusters(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("comp") != F.col("old_comp")).count()
         labels = merged.select("node", "comp")
