@@ -302,10 +302,12 @@ def duplicate_clusters(
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
+    # Initial label = min(self, min neighbor): the node set and the
+    # first propagation round are the same groupBy, so convergence
+    # starts one round ahead of the identity-label textbook init.
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
