@@ -20,7 +20,7 @@ between engines), so the DuckDB oracles can replay them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dug_data_ingest_spark.functions.text import normalized_words, shingles_of
@@ -211,22 +211,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs that share
     at least one shingle: (a, b, jaccard ≥ threshold).
 
-    The shared-shingle join bounds work to documents with real
-    overlap; at 100 TB you'd pre-bucket by minhash band first and run
-    this as the verify stage (compose with minhash_candidate_pairs).
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents BEFORE the self-join (Jaccard is then over the filtered
+    sets on both sides). Without it, one ubiquitous shingle shared by
+    m documents creates an m² join bucket — the classic shared-token
+    blowup: at 100 TB a single stop-word shingle in 10⁶ docs is a
+    10¹²-row bucket. A shingle in >cap docs carries no discriminating
+    signal anyway (its contribution to any pair's Jaccard is ≤ 1/n
+    for all but tiny sets), so the cap changes candidate generation
+    from O(Σ df²) unbounded to O(n · cap). The hot list itself is
+    tiny (few shingles exceed any sane cap), so it broadcasts and the
+    corpus-side filter is shuffle-free; the cap costs one map-side-
+    combined groupBy over the shingle frame plus one doc-keyed window
+    for the post-filter set sizes.
+
+    For even tighter blocking at scale, pre-bucket by minhash band and
+    run this as the verify stage (compose with
+    minhash_candidate_pairs).
     """
-    # Set size rides along with every exploded shingle row, so no
-    # separate per-doc size aggregation and no post-join enrichment
-    # joins; the two join sides are the identical subplan, which the
-    # physical planner collapses into one computed + one
-    # ReusedExchange.
-    ex = doc_shingle_sets(docs, text_col, id_col, k).select(
-        F.col(id_col), F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
-    ).filter(F.col("shingle").isNotNull())
+    if max_doc_freq is None:
+        # Set size rides along with every exploded shingle row, so no
+        # separate per-doc size aggregation and no post-join
+        # enrichment joins; the two join sides are the identical
+        # subplan, which the physical planner collapses into one
+        # computed + one ReusedExchange.
+        ex = doc_shingle_sets(docs, text_col, id_col, k).select(
+            F.col(id_col),
+            F.size("sh").alias("n"),
+            F.explode_outer("sh").alias("shingle"),
+        ).filter(F.col("shingle").isNotNull())
+    else:
+        sh = doc_shingles(docs, text_col, id_col, k)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        ex = kept.withColumn(
+            "n", F.count("*").over(Window.partitionBy(id_col))
+        )
     a = ex.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
     b = ex.select(F.col(id_col).alias("b"), F.col("n").alias("nb"), "shingle")
     return (

@@ -232,12 +232,27 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(bands)
 
 
+# Document-frequency cap for the shared-shingle candidate join: a
+# shingle in more than this many documents is dropped before the
+# self-join on BOTH engines (at sf0.01 the max observed df is 7, so
+# the cap is a no-op on values here while the plan machinery it
+# exercises is what prevents the m²-per-hot-shingle blowup at scale).
+_JACCARD_CAP = 100
+
+_KEPT_CTE = f"""
+kept AS (
+  SELECT doc_id, s FROM sh
+  QUALIFY count(*) OVER (PARTITION BY s) <= {_JACCARD_CAP}
+)
+"""
+
 _JACCARD_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+{_KEPT_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  FROM kept x JOIN kept y USING (s) WHERE x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 )
 SELECT a, b, ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
@@ -248,15 +263,18 @@ WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 4) >= 0.8
 
 @query("dedup-ngram-jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8, max_doc_freq=_JACCARD_CAP
+    )
 
 
 _CLUSTER_ORACLE = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+{_KEPT_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  FROM kept x JOIN kept y USING (s) WHERE x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 ),
 pairs AS (
@@ -281,16 +299,19 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation over the Jaccard-pair graph (ext/dedup.py), verified
     against DuckDB's recursive-CTE reachability — the oracle computes
     true components, so the fixpoint is checked, not the iteration."""
-    pairs = ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+    pairs = ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.8, max_doc_freq=_JACCARD_CAP
+    )
     return duplicate_clusters(pairs)
 
 
 _SURVIVORS_ORACLE = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+{_KEPT_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
 inter AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-  FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+  FROM kept x JOIN kept y USING (s) WHERE x.doc_id < y.doc_id
   GROUP BY x.doc_id, y.doc_id
 ),
 pairs AS (
@@ -318,7 +339,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the corpus, so the final subtraction is a broadcast
     anti-join: the 100 TB side is scanned once, never shuffled."""
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.8)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=_JACCARD_CAP)
     drop = (
         duplicate_clusters(pairs)
         .filter(F.col("doc_id") != F.col("component"))

@@ -130,3 +130,46 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, partitioned_lineitem):
     joined = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").count()
     info = _formatted(joined)
     assert "dynamicpruning" in info, info
+
+
+# ---------------------------------------------------------------------------
+# ngram-Jaccard shingle document-frequency cap (ext/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_df_cap_kills_hot_shingle_blowup(spark):
+    # n docs all sharing ONE ubiquitous shingle ("the quick fox") plus
+    # per-doc unique shingles. Uncapped, the shared shingle alone
+    # creates C(n,2) candidate pairs — the m²-per-hot-shingle blowup
+    # that at 100 TB makes a stop-word shingle a 10^12-row join
+    # bucket. With df cap < n the shingle is dropped from both sides
+    # and candidate generation is bounded by O(n * cap).
+    from dug_data_ingest_spark.ext.dedup import ngram_jaccard_pairs
+
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"the quick fox w{i}a w{i}b w{i}c") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.0, max_doc_freq=None
+    ).count()
+    capped = ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=5).count()
+    assert uncapped == n * (n - 1) // 2  # the quadratic bucket, live
+    assert capped == 0  # hot shingle dropped -> no candidates
+
+
+def test_jaccard_df_cap_is_noop_below_cap(spark):
+    # When no shingle exceeds the cap the capped and uncapped paths
+    # must produce identical pairs AND identical jaccard values (the
+    # post-filter set sizes equal the raw set sizes).
+    from dug_data_ingest_spark.ext.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    plain = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, 0.8, max_doc_freq=None).collect())
+    )
+    capped = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, 0.8, max_doc_freq=100).collect())
+    )
+    assert plain == capped and len(plain) > 0
