@@ -275,31 +275,120 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash: per-word 60-bit md5 hash; each bit position
-    votes +1/-1; the sign vector is packed into an int.
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash as 4 × 16-bit lanes: per-word, four 16-bit
+    hashes come from four hex slices of ONE md5 (hash once, slice
+    four times — same cost model as the affine minhash permutations);
+    each of the 64 bit positions votes +1/−1 over the document's
+    words; the sign vector packs into four lane ints ``band0..band3``
+    plus a 16-hex-char ``simhash`` string (lane0 printed first).
 
-    16 bits keeps the bit-vote aggregation a flat sum() list that any
-    SQL engine can replay; widen num bits for production use."""
+    The lanes double as the Hamming-≤3 blocking keys (pigeonhole:
+    two codes within Hamming distance 3 agree exactly on ≥1 of the 4
+    lanes), so near-dup lookup is a per-lane equality join — see
+    simhash_near_pairs. The whole sketch is one map-side-combined
+    groupBy (64 sum columns), and every expression replays exactly in
+    a 64-bit SQL engine: the DuckDB oracle uses the same md5-slice /
+    vote / pack formulas."""
     words = fan_out(docs).select(
         F.col(id_col), F.explode(normalized_words(F.col(text_col))).alias("w")
     )
-    hashed = words.select(id_col, _md5_hash64(F.col("w")).alias("h"))
+    lanes = words.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring(F.md5(F.col("w")), 4 * l + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"h{l}")
+            for l in range(4)
+        ],
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"h{j // 16}"), j % 16).bitwiseAND(1) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(16)
+        for j in range(64)
     ]
-    agg = hashed.groupBy(id_col).agg(*votes)
-    code = sum(
+    agg = lanes.groupBy(id_col).agg(*votes)
+    lane_cols = [
+        sum(
+            (F.when(F.col(f"b{16 * l + j}") > 0, 2**j).otherwise(0) for j in range(16)),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias(f"band{l}")
+        for l in range(4)
+    ]
+    packed = agg.select(F.col(id_col), *lane_cols)
+    return packed.select(
+        F.col(id_col),
+        F.format_string(
+            "%04x%04x%04x%04x", *[F.col(f"band{l}") for l in range(4)]
+        ).alias("simhash"),
+        *[F.col(f"band{l}") for l in range(4)],
+    )
+
+
+def simhash_near_pairs(
+    codes: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """(a, b, hamming) for code pairs within ``max_hamming`` ≤ 3 bits.
+
+    Candidates come from a per-lane equality join on the 4 × 16-bit
+    lanes — bucket-local, never all-pairs — which by pigeonhole finds
+    EVERY pair within Hamming distance 3 (4 lanes, ≤3 differing bits
+    → ≥1 identical lane). Exact distance is then xor + bit_count over
+    the lanes. Both sides' lanes ride along the banded rows, so no
+    join-back to the code table; duplicate candidates (pairs sharing
+    several lanes) collapse in the same groupBy that carries the
+    lanes."""
+    lane_rows = F.array(
+        *[
+            F.struct(F.lit(l).alias("lane"), F.col(f"band{l}").alias("key"))
+            for l in range(4)
+        ]
+    )
+    tall = codes.select(
+        F.col(id_col),
+        *[F.col(f"band{l}") for l in range(4)],
+        F.explode(lane_rows).alias("_b"),
+    ).select(
+        F.col(id_col),
+        F.col("_b.lane").alias("lane"),
+        F.col("_b.key").alias("key"),
+        *[F.col(f"band{l}") for l in range(4)],
+    )
+    a = tall.select(
+        F.col(id_col).alias("a"),
+        "lane",
+        "key",
+        *[F.col(f"band{l}").alias(f"a{l}") for l in range(4)],
+    )
+    b = tall.select(
+        F.col(id_col).alias("b"),
+        "lane",
+        "key",
+        *[F.col(f"band{l}").alias(f"b{l}") for l in range(4)],
+    )
+    cand = (
+        a.join(b, ["lane", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", *[f"a{l}" for l in range(4)], *[f"b{l}" for l in range(4)])
+        .agg(F.count("*").alias("_n_shared_lanes"))
+    )
+    hamming = sum(
         (
-            F.when(F.col(f"b{j}") > 0, 2**j).otherwise(0)
-            for j in range(16)
+            F.bit_count(F.col(f"a{l}").bitwiseXOR(F.col(f"b{l}")).cast("bigint"))
+            for l in range(4)
         ),
         F.lit(0),
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
     )
-    return agg.select(F.col(id_col), code.cast("int").alias("simhash"))
 
 
 def duplicate_clusters(

@@ -18,7 +18,8 @@ from dug_data_ingest_spark.ext.dedup import (
     minhash_candidate_pairs,
     minhash_signatures_wide,
     ngram_jaccard_pairs,
-    simhash16,
+    simhash64,
+    simhash_near_pairs,
 )
 from dug_data_ingest_spark.functions.vectors import as_double, cosine
 from dug_data_ingest_spark.ext.multimodal import (
@@ -348,29 +349,86 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
 
 
-_SIMHASH_VOTES = ",\n         ".join(
-    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
-    for j in range(16)
+# 64-bit SimHash shared fragments: four 16-bit lanes sliced from one
+# md5 per word, 64 bit votes, lanes packed into band0..band3 — the
+# identical formulas ext/dedup.py::simhash64 evaluates.
+_SH64_LANES = ", ".join(
+    f"CAST(('0x' || substr(md5(w), {4 * l + 1}, 4)) AS BIGINT) AS h{l}"
+    for l in range(4)
 )
-_SIMHASH_PACK = " + ".join(
-    f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+_SH64_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN (h{j // 16} >> {j % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(64)
+)
+_SH64_PACKS = ",\n         ".join(
+    "CAST("
+    + " + ".join(f"(CASE WHEN b{16 * l + j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+    + f" AS INTEGER) AS band{l}"
+    for l in range(4)
 )
 
-_SIMHASH_ORACLE = f"""
-WITH words AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
-h AS (SELECT doc_id, {_HASH64.format(x="w")} AS h FROM words),
+_SIMHASH64_CTE = f"""
+words AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+h AS (SELECT doc_id, {_SH64_LANES} FROM words),
 votes AS (
   SELECT doc_id,
-         {_SIMHASH_VOTES}
+         {_SH64_VOTES}
   FROM h GROUP BY doc_id
+),
+packed AS (
+  SELECT doc_id,
+         {_SH64_PACKS}
+  FROM votes
 )
-SELECT doc_id, CAST({_SIMHASH_PACK} AS INT) AS simhash FROM votes
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH {_SIMHASH64_CTE}
+SELECT doc_id, printf('%04x%04x%04x%04x', band0, band1, band2, band3) AS simhash,
+       band0, band1, band2, band3
+FROM packed
 """
 
 
 @query("dedup-simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash16(load(spark, sf_dir, "documents"))
+    return simhash64(load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH {_SIMHASH64_CTE},
+tall AS (
+  SELECT doc_id, 0 AS lane, band0 AS key, band0, band1, band2, band3 FROM packed
+  UNION ALL
+  SELECT doc_id, 1, band1, band0, band1, band2, band3 FROM packed
+  UNION ALL
+  SELECT doc_id, 2, band2, band0, band1, band2, band3 FROM packed
+  UNION ALL
+  SELECT doc_id, 3, band3, band0, band1, band2, band3 FROM packed
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         x.band0 AS a0, x.band1 AS a1, x.band2 AS a2, x.band3 AS a3,
+         y.band0 AS b0, y.band1 AS b1, y.band2 AS b2, y.band3 AS b3
+  FROM tall x JOIN tall y USING (lane, key)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY ALL
+)
+SELECT a, b,
+       CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+            + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+      + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+"""
+
+
+@query("dedup-simhash-pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 near-dup pairs via the 4×16-bit banded lookup —
+    proves the 64-bit code actually blocks (candidates are per-lane
+    buckets, never all-pairs)."""
+    return simhash_near_pairs(simhash64(load(spark, sf_dir, "documents")), max_hamming=3)
 
 
 @query(

@@ -173,3 +173,42 @@ def test_jaccard_df_cap_is_noop_below_cap(spark):
         map(tuple, ngram_jaccard_pairs(docs, 0.8, max_doc_freq=100).collect())
     )
     assert plain == capped and len(plain) > 0
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash banded Hamming lookup (ext/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_banded_lookup_matches_bruteforce(spark):
+    # The 4x16-bit lane join must find EXACTLY the brute-force
+    # Hamming<=3 pairs (pigeonhole completeness + exact xor/bit_count
+    # verify). Brute force here is the O(n^2) reference, fine at n=500.
+    from dug_data_ingest_spark.ext.dedup import simhash64, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    codes = simhash64(docs).collect()
+    brute = set()
+    for i in range(len(codes)):
+        for j in range(i + 1, len(codes)):
+            x, y = codes[i], codes[j]
+            h = sum(
+                bin(x[f"band{l}"] ^ y[f"band{l}"]).count("1") for l in range(4)
+            )
+            if h <= 3:
+                a, b = sorted((x.doc_id, y.doc_id))
+                brute.add((a, b, h))
+    banded = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_near_pairs(simhash64(docs), max_hamming=3).collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_pairs_join_is_bucket_local(spark):
+    # the candidate join must be an equi-join on (lane, key) — never a
+    # cartesian / nested-loop over the corpus
+    from dug_data_ingest_spark.queries import all_queries
+
+    plan = _plan(all_queries()["dedup-simhash-pairs"](spark, TEST_SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
