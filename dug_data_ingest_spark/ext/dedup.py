@@ -429,6 +429,7 @@ def duplicate_clusters(
         .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
         .localCheckpoint()
     )
+    changed = -1  # unknown until the first round runs
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.v == labels.node)
@@ -450,4 +451,14 @@ def duplicate_clusters(
         labels = merged.select("node", "comp")
         if changed == 0:
             break
+    else:
+        # Exiting by exhaustion means labels are NOT a fixpoint — some
+        # chain in the pair graph is longer than max_iters and the
+        # components returned would be silently wrong (split clusters
+        # → duplicates survive dedup). Fail loudly instead.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); the pair graph has a "
+            f"component with diameter > {max_iters} — raise max_iters."
+        )
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))

@@ -217,11 +217,16 @@ def _assign(embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str) 
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Raw doubles, NOT rounded: the DuckDB oracle's argmin orders by
+    # the un-rounded distance, and both engines fold the squared
+    # differences left-to-right over array positions, so the doubles
+    # match bit-for-bit — rounding on one side only would flip
+    # tie-breaks for clusters within the rounding epsilon.
     scored = embeddings.join(F.broadcast(cents)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cluster"),
-        F.round(dist2, 9).alias("d2"),
+        dist2.alias("d2"),
     )
     best = F.min(F.struct(F.col("d2"), F.col("cluster"))).alias("best")
     return (
@@ -241,6 +246,7 @@ def kmeans_centroids(
     n_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_centroids: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means on DataFrames — the learned coarse quantizer
     for IVF (ivf_topk uses stored labels; this learns real cells).
@@ -251,13 +257,20 @@ def kmeans_centroids(
     per-position mean), i.e. one shuffle per iteration on (cluster,
     pos). k and dim are small (centroids always fit one broadcast);
     the corpus is never shuffled — only scanned per iteration.
-    Returns (cluster, centroid, n_members).
+
+    Returns (cluster, n_members); with ``with_centroids=True`` also
+    the learned ``centroid`` vector per cell (the coarse-quantizer
+    table an IVF probe broadcasts). The oracle-replayed query keeps
+    the default: per-position avg() goes through partial aggregation
+    in partition order, so centroid doubles are not guaranteed
+    bit-identical across engines, while populations are exact.
     """
     from dug_data_ingest_spark.ext.dedup import fan_out
 
     assigned = fan_out(embeddings).select(
         F.col(id_col), F.col(vec_col), (F.col(id_col) % k).cast("int").alias("cluster")
     )
+    cents = None
     for _ in range(n_iters):
         pos = assigned.select(
             "cluster", F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
@@ -271,7 +284,10 @@ def kmeans_centroids(
         )
         cents = means.groupBy("cluster").agg(ordered.alias("centroid"))
         assigned = _assign(embeddings, cents, id_col, vec_col)
-    return assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    pops = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    if with_centroids and cents is not None:
+        return pops.join(cents, "cluster").select("cluster", "centroid", "n_members")
+    return pops
 
 
 def cosine_dup_pairs(

@@ -95,9 +95,22 @@ def salted_join(
     Use when the hot side is too big to broadcast AND AQE's skew
     splitting isn't available/enough (e.g. a single study id carrying
     10^8 variable rows). Semantics identical to ``left.join(right, on,
-    how)``; only the physical distribution changes. Output drops the
-    salt columns.
+    how)`` for the supported ``how`` values; only the physical
+    distribution changes. Output drops the salt columns.
+
+    ``how`` is restricted to inner/left/left_semi/left_anti: for
+    right/full outer joins the salt-replicated right side would emit
+    every unmatched right row ``salt`` times, silently changing the
+    semantics.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated right "
+            "side duplicates unmatched right rows under right/full outer. "
+            f"Use one of {sorted(allowed)}."
+        )
     salted_left = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

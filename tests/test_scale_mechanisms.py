@@ -212,3 +212,34 @@ def test_simhash_pairs_join_is_bucket_local(spark):
 
     plan = _plan(all_queries()["dedup-simhash-pairs"](spark, TEST_SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_rejects_outer_how(spark):
+    # right/full outer would emit unmatched right rows `salt` times
+    import pytest as _pytest
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="unsupported"):
+        salted_join(df, df, "k", salt=4, how="full")
+
+
+def test_kmeans_with_centroids_returns_quantizer_table(spark):
+    from dug_data_ingest_spark.ext.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet")
+    out = kmeans_centroids(emb, k=4, n_iters=1, with_centroids=True)
+    rows = out.collect()
+    assert set(out.columns) == {"cluster", "centroid", "n_members"}
+    assert len(rows) == 4 and all(len(r.centroid) > 0 for r in rows)
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    # a 6-node chain has diameter 5; max_iters=1 cannot reach fixpoint
+    import pytest as _pytest
+    from dug_data_ingest_spark.ext.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["a", "b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iters=1)
