@@ -92,17 +92,41 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+    # Round-over-round stability: append every run to a history log
+    # (per-query minima are the stable signal; totals swing with
+    # machine load — see SCALE.md "Bench posture") and flag on stderr
+    # if this run regressed >2x against the best prior total at the
+    # same sf. stdout stays exactly one JSON line for the driver.
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_HISTORY.jsonl")
+    try:
+        prior = []
+        if os.path.exists(hist_path):
+            with open(hist_path) as fh:
+                prior = [json.loads(ln) for ln in fh if ln.strip()]
+        best_prior = min(
+            (p["value"] for p in prior if p.get("sf") == sf_val), default=None
         )
-    )
+        with open(hist_path, "a") as fh:
+            fh.write(json.dumps({**result, "ts": int(time.time())}) + "\n")
+        if best_prior is not None and result["value"] > 2 * best_prior:
+            print(
+                f"WARNING: bench total {result['value']}s is >2x the best "
+                f"prior {best_prior}s at sf={sf_val}; check per-query times "
+                f"in {hist_path} before trusting (cold-JVM noise is real).",
+                file=sys.stderr,
+            )
+    except OSError:
+        pass  # history is best-effort; never break the bench contract
 
 
 if __name__ == "__main__":
