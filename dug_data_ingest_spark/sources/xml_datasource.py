@@ -1,0 +1,215 @@
+"""Python DataSource (Spark DSv2 API) for directories of dbGaP
+``data_table`` XML — ``spark.read.format("dbgap_xml").load(dir)``
+yields VARIABLE_SCHEMA rows; ``df.write.format("dbgap_xml")`` renders
+one XML document file per (study_id, dd_id) group.
+
+This is the DataSource-v2 packaging of the same parse/render logic as
+xml_dbgap.py (reference read side:
+scripts/lakefs/generate_lakefs_dbgap_xml_index.py:110-180; render:
+scripts/bdc/xml_generator.py:111-162). What the v2 form adds over the
+mapInPandas stages:
+
+- **native planning**: files are split into input partitions by the
+  planner, so a million-file directory reads with full cluster
+  parallelism and no driver-side DataFrame of paths;
+- **file pruning via filter pushdown**: with the
+  ``filename_scheme=study_dd`` option (the layout this writer
+  produces: ``{study_id}__{dd_id}[.partN].xml``), an
+  ``EqualTo``/``In`` filter on ``study_id`` prunes non-matching
+  files at planning time — the dbGaP analogue of partition pruning.
+  Pruned-away filters are still reported unsupported, so Spark also
+  applies them row-level: pruning is an optimization, never a
+  correctness dependency (a mis-named foreign file yields correct
+  results, just without the skip).
+
+Scale note: one partition per ``files_per_partition`` files (default
+1 — dbGaP data-dictionary XMLs are ~10²-10³ variables each, so a file
+is the natural work unit; raise it for directories of tiny files).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+from dug_data_ingest_spark.sources.xml_dbgap import VARIABLE_SCHEMA
+
+
+class XmlFilesPartition(InputPartition):
+    def __init__(self, paths: list[str]):
+        self.paths = paths
+
+
+class DbGapXmlReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dbgap_xml: a directory path is required (.load(dir))")
+        self.glob = options.get("glob", "*.xml")
+        self.files_per_partition = int(options.get("files_per_partition", 1))
+        self.filename_scheme = options.get("filename_scheme", "none")
+        self._study_prefixes: set[str] | None = None  # None = no pruning
+
+    # -- planning ---------------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:  # noqa: N802
+        """Record study_id equality/membership filters for file-level
+        pruning under the study_dd filename scheme. ALL filters are
+        returned (reported unsupported) so Spark still evaluates them
+        on rows — pruning only skips files that cannot match."""
+        if self.filename_scheme == "study_dd":
+            wanted: set[str] = set()
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("study_id",):
+                    wanted.add(str(f.value))
+                elif isinstance(f, In) and f.attribute == ("study_id",):
+                    wanted.update(str(v) for v in f.values)
+            if wanted:
+                self._study_prefixes = wanted
+        return filters
+
+    def _files(self) -> list[str]:
+        files = sorted(
+            _glob.glob(os.path.join(self.path, "**", self.glob), recursive=True)
+        )
+        if self._study_prefixes is not None:
+            files = [
+                p
+                for p in files
+                if os.path.basename(p).split("__", 1)[0] in self._study_prefixes
+            ]
+        return files
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = self._files()
+        n = self.files_per_partition
+        parts = [XmlFilesPartition(files[i : i + n]) for i in range(0, len(files), n)]
+        # an empty directory still needs one (empty) partition
+        return parts or [XmlFilesPartition([])]
+
+    # -- execution --------------------------------------------------------
+    def read(self, partition: XmlFilesPartition):
+        import xml.etree.ElementTree as ET
+
+        for path in partition.paths:
+            with open(path, encoding="utf-8") as fh:
+                try:
+                    root = ET.fromstring(fh.read())
+                except ET.ParseError:
+                    continue  # quarantine-not-abort, as in xml_dbgap.parse
+            study_id = root.get("study_id")
+            dd_id = root.get("id")
+            for var in root.findall("variable"):
+                fields = {}
+                for tag in ("name", "description", "type"):
+                    el = var.find(tag)
+                    fields[tag] = el.text if el is not None else None
+                vals = [
+                    (v.get("code"), v.text) for v in var.findall("value")
+                ]
+                yield (
+                    study_id,
+                    dd_id,
+                    var.get("id"),
+                    fields["name"],
+                    fields["description"],
+                    fields["type"],
+                    vals or None,
+                )
+
+
+class XmlCommit(WriterCommitMessage):
+    def __init__(self, n_files: int):
+        self.n_files = n_files
+
+
+class DbGapXmlWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dbgap_xml: a directory path is required (.save(dir))")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from dug_data_ingest_spark.sources.xml_dbgap import _render_one
+
+        pid = TaskContext.get().partitionId()
+        groups: dict[tuple, list] = {}
+        for row in iterator:
+            groups.setdefault((row["study_id"], row["dd_id"]), []).append(
+                {
+                    "var_id": row["var_id"],
+                    "name": row["name"],
+                    "description": row["description"],
+                    "type": row["type"],
+                    "values": [
+                        {"code": v["code"], "label": v["label"]} for v in row["values"]
+                    ]
+                    if row["values"] is not None
+                    else None,
+                }
+            )
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        for (study_id, dd_id), rows in groups.items():
+            pdf = pd.DataFrame(
+                rows, columns=["var_id", "name", "description", "type", "values"]
+            ).sort_values(["var_id", "name"], kind="mergesort")
+            xml = _render_one(study_id, dd_id, pdf)
+            # study/dd in the name enables read-side pruning; the
+            # partition suffix keeps concurrent tasks collision-free
+            # when a group spans partitions (repartition by
+            # (study_id, dd_id) upstream for the one-file-per-dd form)
+            fname = f"{study_id}__{dd_id}.part{pid}.xml"
+            with open(os.path.join(self.path, fname), "w", encoding="utf-8") as fh:
+                fh.write(xml)
+            n += 1
+        return XmlCommit(n)
+
+
+def register(spark) -> None:
+    """Register the source and enable Python-datasource filter
+    pushdown (a runtime SQL conf, off by default in Spark 4.1 —
+    without it the planner refuses any reader that implements
+    pushFilters)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DbGapXmlDataSource)
+
+
+class DbGapXmlDataSource(DataSource):
+    """``xml_datasource.register(spark)`` then
+    ``spark.read.format("dbgap_xml")`` / ``df.write.format("dbgap_xml")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dbgap_xml"
+
+    def schema(self) -> StructType:
+        return VARIABLE_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return DbGapXmlReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            # clear previous output driver-side before tasks launch
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for p in _glob.glob(os.path.join(path, "*.xml")):
+                    os.remove(p)
+        return DbGapXmlWriter(self.options, overwrite)
