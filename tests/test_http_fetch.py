@@ -178,3 +178,24 @@ def test_driver_side_gen3_list_short_page_termination(base, server):
     )
     assert len(items) == 23
     assert server.hits.count("/studies") == 3  # 10 + 10 + 3(short -> stop)
+
+
+def test_incremental_fetch_only_pulls_missing_keys(spark, base, server):
+    # idempotent bulk download: listing minus manifest -> only the
+    # remainder hits the network (reference skip-if-downloaded,
+    # get_dbgap_data_dicts.py:230-235, as a broadcast anti-join)
+    from dug_data_ingest_spark.sources.rest import incremental_fetch
+
+    listing = spark.createDataFrame(
+        [(s["study_id"],) for s in STUDIES[:10]], ["study_id"]
+    )
+    manifest = spark.createDataFrame(
+        [(s["study_id"],) for s in STUDIES[:6]], ["study_id"]
+    )
+    fetch = keyed_item_fetcher(
+        base + "/meta/{key}", "study_id", ["study_id", "name"]
+    )
+    out = incremental_fetch(listing, manifest, "study_id", fetch, SCHEMA)
+    got = sorted(r.study_id for r in out.collect())
+    assert got == sorted(s["study_id"] for s in STUDIES[6:10])
+    assert sum(h.startswith("/meta/") for h in server.hits) == 4  # only missing
