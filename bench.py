@@ -125,8 +125,8 @@ def main() -> None:
                 f"in {hist_path} before trusting (cold-JVM noise is real).",
                 file=sys.stderr,
             )
-    except OSError:
-        pass  # history is best-effort; never break the bench contract
+    except Exception:  # noqa: BLE001 — a corrupt/truncated history line
+        pass  # must never break the bench contract; history is best-effort
 
 
 if __name__ == "__main__":

@@ -211,14 +211,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    max_doc_freq: int | None = 1000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs that share
     at least one shingle: (a, b, jaccard ≥ threshold).
 
     ``max_doc_freq`` drops shingles appearing in more than that many
     documents BEFORE the self-join (Jaccard is then over the filtered
-    sets on both sides). Without it, one ubiquitous shingle shared by
+    sets on both sides, so values can differ from the uncapped exact
+    Jaccard — which is why the cap is opt-in rather than a default;
+    ALWAYS set it on corpora where any shingle may be ubiquitous). Without it, one ubiquitous shingle shared by
     m documents creates an m² join bucket — the classic shared-token
     blowup: at 100 TB a single stop-word shingle in 10⁶ docs is a
     10¹²-row bucket. A shingle in >cap docs carries no discriminating
@@ -417,6 +419,8 @@ def duplicate_clusters(
     scheduling overhead, not data volume, dominates once the pair
     graph is orders of magnitude smaller than the corpus.
     """
+    if max_iters < 1:
+        raise ValueError("duplicate_clusters: max_iters must be >= 1")
     e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -429,7 +433,6 @@ def duplicate_clusters(
         .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
         .localCheckpoint()
     )
-    changed = -1  # unknown until the first round runs
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.v == labels.node)

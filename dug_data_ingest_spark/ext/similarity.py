@@ -267,6 +267,11 @@ def kmeans_centroids(
     """
     from dug_data_ingest_spark.ext.dedup import fan_out
 
+    if with_centroids and n_iters < 1:
+        raise ValueError(
+            "kmeans_centroids: with_centroids requires n_iters >= 1 "
+            "(no centroid table exists before the first update step)"
+        )
     assigned = fan_out(embeddings).select(
         F.col(id_col), F.col(vec_col), (F.col(id_col) % k).cast("int").alias("cluster")
     )

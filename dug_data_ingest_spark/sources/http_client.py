@@ -27,7 +27,7 @@ the one-connection-per-partition design of the mapInPandas stages.
 from __future__ import annotations
 
 import time
-from collections.abc import Callable, Iterable
+from collections.abc import Callable
 
 import pandas as pd
 
@@ -75,6 +75,15 @@ def http_get(
     raise RuntimeError(f"Could not download {url}: {last_err}")
 
 
+def _page_url(base_url: str, limit, offset) -> str:
+    """Append pagination params with '&' or '?' as the base requires.
+    (The reference demands a base 'ending with arguments or at least a
+    question mark' — get_bdc_studies_from_gen3.py:39-41; handling the
+    bare-path case here removes that silent-misuse trap.)"""
+    sep = "&" if "?" in base_url else "?"
+    return f"{base_url}{sep}limit={limit}&offset={offset}"
+
+
 def _worker_session(state: dict):
     """One pooled Session per worker process, created lazily inside
     the task (a Session must never ride the closure through pickle)."""
@@ -111,7 +120,7 @@ def gen3_page_fetcher(
         ses = _worker_session(state)
         frames = []
         for row in batch.itertuples(index=False):
-            url = f"{base_url}&limit={row.limit}&offset={row.offset}"
+            url = _page_url(base_url, row.limit, row.offset)
             items = http_get(
                 url,
                 session=ses,
@@ -244,7 +253,7 @@ def download_gen3_list(
     complete: list = []
     offset = 0
     while True:
-        url = f"{base_url}&limit={download_limit}&offset={offset}"
+        url = _page_url(base_url, download_limit, offset)
         page = http_get(
             url,
             session=ses,
@@ -257,15 +266,3 @@ def download_gen3_list(
             break
         offset += download_limit
     return complete
-
-
-def iter_url_batches(urls: Iterable[str], batch_size: int) -> Iterable[list[str]]:
-    """Chunk a URL list for work-list construction."""
-    batch: list[str] = []
-    for u in urls:
-        batch.append(u)
-        if len(batch) == batch_size:
-            yield batch
-            batch = []
-    if batch:
-        yield batch

@@ -69,7 +69,10 @@ class LakeFSClient:
         )
         if resp.ok:
             return resp.json()
-        if ignore_empty and "no changes" in resp.text:
+        # Only LakeFS's specific empty-commit rejection (HTTP 400,
+        # "commit: no changes") counts as the idempotent-re-run case;
+        # a 5xx that happens to mention "no changes" is still a failure.
+        if ignore_empty and resp.status_code == 400 and "no changes" in resp.text:
             return {"empty": True}
         raise RuntimeError(
             f"LakeFS commit to {repository}/{branch} failed: "

@@ -85,10 +85,16 @@ class DbGapXmlReader(DataSourceReader):
             _glob.glob(os.path.join(self.path, "**", self.glob), recursive=True)
         )
         if self._study_prefixes is not None:
+            # Only files that actually FOLLOW the scheme are candidates
+            # for pruning; a foreign file without the "__" separator
+            # carries no study in its name, so it must always be read
+            # (Spark's row-level filter handles it) — pruning stays an
+            # optimization, never a correctness dependency.
             files = [
                 p
                 for p in files
-                if os.path.basename(p).split("__", 1)[0] in self._study_prefixes
+                if "__" not in os.path.basename(p)
+                or os.path.basename(p).split("__", 1)[0] in self._study_prefixes
             ]
         return files
 
@@ -131,11 +137,18 @@ class DbGapXmlReader(DataSourceReader):
 
 
 class XmlCommit(WriterCommitMessage):
-    def __init__(self, n_files: int):
-        self.n_files = n_files
+    def __init__(self, staged: list[tuple[str, str]]):
+        self.staged = staged  # [(tmp_path, final_path)]
 
 
 class DbGapXmlWriter(DataSourceWriter):
+    """Staged two-phase write: tasks render to ``*.xml.tmp-{pid}``
+    files (invisible to the reader's ``*.xml`` glob), and only the
+    driver-side ``commit`` — which runs after every task succeeded —
+    deletes the previous output (overwrite mode) and renames the
+    staged files into place. A failed job ``abort``s by removing its
+    staging files, leaving the previous version fully intact."""
+
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
@@ -165,7 +178,7 @@ class DbGapXmlWriter(DataSourceWriter):
                 }
             )
         os.makedirs(self.path, exist_ok=True)
-        n = 0
+        staged: list[tuple[str, str]] = []
         for (study_id, dd_id), rows in groups.items():
             pdf = pd.DataFrame(
                 rows, columns=["var_id", "name", "description", "type", "values"]
@@ -175,11 +188,30 @@ class DbGapXmlWriter(DataSourceWriter):
             # partition suffix keeps concurrent tasks collision-free
             # when a group spans partitions (repartition by
             # (study_id, dd_id) upstream for the one-file-per-dd form)
-            fname = f"{study_id}__{dd_id}.part{pid}.xml"
-            with open(os.path.join(self.path, fname), "w", encoding="utf-8") as fh:
+            final = os.path.join(self.path, f"{study_id}__{dd_id}.part{pid}.xml")
+            tmp = f"{final}.tmp-{pid}"
+            with open(tmp, "w", encoding="utf-8") as fh:
                 fh.write(xml)
-            n += 1
-        return XmlCommit(n)
+            staged.append((tmp, final))
+        return XmlCommit(staged)
+
+    def commit(self, messages) -> None:
+        staged = [s for m in messages if m is not None for s in m.staged]
+        if self.overwrite:
+            finals = {f for _, f in staged}
+            for p in _glob.glob(os.path.join(self.path, "**", "*.xml"), recursive=True):
+                if p not in finals and os.path.isfile(p):
+                    os.remove(p)
+        for tmp, final in staged:
+            os.replace(tmp, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _ in m.staged:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
 
 def register(spark) -> None:
@@ -206,10 +238,4 @@ class DbGapXmlDataSource(DataSource):
         return DbGapXmlReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
-        if overwrite:
-            # clear previous output driver-side before tasks launch
-            path = self.options.get("path")
-            if path and os.path.isdir(path):
-                for p in _glob.glob(os.path.join(path, "*.xml")):
-                    os.remove(p)
         return DbGapXmlWriter(self.options, overwrite)

@@ -101,3 +101,52 @@ def test_write_then_read_roundtrip(spark, tmp_path):
     # overwrite re-run is idempotent: same rows, no stale files
     src.write.format("dbgap_xml").mode("overwrite").save(out)
     assert _rows(spark.read.format("dbgap_xml").load(out)) == _rows(_variables(spark))
+
+
+def test_pruning_never_drops_foreign_files(spark, xml_dir, tmp_path):
+    # a file that doesn't follow the study__dd naming carries no study
+    # in its name, so pruning must keep it and let Spark's row filter
+    # decide — pruning is an optimization, never a correctness gate
+    import shutil
+
+    foreign = f"{xml_dir}/legacy.xml"
+    shutil.copy(f"{xml_dir}/s2__dd3.xml", foreign)
+    from pyspark.sql.datasource import EqualTo
+
+    reader = DbGapXmlReader({"path": xml_dir, "filename_scheme": "study_dd"})
+    reader.pushFilters([EqualTo(("study_id",), "s2")])
+    files = [p for part in reader.partitions() for p in part.paths]
+    assert foreign in files  # kept despite the filter
+    assert not any("s1__" in p for p in files)  # scheme files still pruned
+    # end-to-end: rows from the mis-named file still arrive correctly
+    xml_datasource.register(spark)
+    got = (
+        spark.read.format("dbgap_xml")
+        .option("filename_scheme", "study_dd")
+        .load(xml_dir)
+        .filter(F.col("study_id") == "s2")
+    )
+    assert got.count() == 2  # s2's variable in both the real and copied file
+
+
+def test_url_joining_handles_bare_paths():
+    from dug_data_ingest_spark.sources.http_client import _page_url
+
+    assert _page_url("http://h/mds/metadata", 10, 0) == "http://h/mds/metadata?limit=10&offset=0"
+    assert _page_url("http://h/mds?x=1", 10, 50) == "http://h/mds?x=1&limit=10&offset=50"
+
+
+def test_overwrite_commit_is_staged(spark, tmp_path):
+    # stale recursive files vanish on commit; tmp files never visible
+    import os
+
+    xml_datasource.register(spark)
+    out = tmp_path / "staged"
+    (out / "sub").mkdir(parents=True)
+    (out / "sub" / "stale__old.xml").write_text("<data_table/>")
+    src = _variables(spark).repartition("study_id", "dd_id")
+    src.write.format("dbgap_xml").mode("overwrite").save(str(out))
+    names = sorted(os.path.basename(p) for p in __import__("glob").glob(f"{out}/**/*.xml*", recursive=True))
+    assert not any(".tmp-" in n for n in names)  # all staged files promoted
+    assert "stale__old.xml" not in names  # recursive stale cleanup
+    assert _rows(spark.read.format("dbgap_xml").load(str(out))) == _rows(_variables(spark))
