@@ -205,6 +205,50 @@ def minhash_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFra
     )
 
 
+def minhash_jaccard_estimates(
+    wide_signatures: DataFrame,
+    candidates: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Estimate Jaccard for candidate pairs from their minhash
+    signatures alone: Pr[min-hash collision] = J, so the fraction of
+    agreeing permutations is an unbiased estimate with std error
+    ~1/sqrt(k). This is the cheap middle stage of the full LSH
+    pipeline — candidates (band join) → estimate (this, two joins
+    against the k-column signature table, no shingle data touched) →
+    exact verify only for pairs whose estimate clears the margin. At
+    100 TB the exact-verify join is the expensive step; a 16-hash
+    estimate at threshold−2σ typically discards the bulk of band
+    collisions before it.
+
+    Returns (a, b, est_jaccard ∈ [0,1]).
+    """
+    sig_a = wide_signatures.select(
+        F.col(id_col).alias("a"),
+        *[F.col(f"h{s}").alias(f"ha{s}") for s in range(num_hashes)],
+    )
+    sig_b = wide_signatures.select(
+        F.col(id_col).alias("b"),
+        *[F.col(f"h{s}").alias(f"hb{s}") for s in range(num_hashes)],
+    )
+    matches = sum(
+        (
+            F.when(F.col(f"ha{s}") == F.col(f"hb{s}"), 1).otherwise(0)
+            for s in range(num_hashes)
+        ),
+        F.lit(0),
+    )
+    return (
+        candidates.select("a", "b")
+        .join(sig_a, "a")
+        .join(sig_b, "b")
+        .select(
+            "a", "b", (matches / F.lit(float(num_hashes))).alias("est_jaccard")
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

