@@ -124,6 +124,8 @@ _EST_COST = {
     "stream-tumbling-agg": 0.437, "stream-sliding-agg": 0.477,
     "stream-session-window": 0.443, "stream-dedup-first": 0.452,
     "stream-marker-sessionize": 0.535,
+    # new this round; sorted last so it can't displace older fresh slugs
+    "dedup-minhash-estimate": 9.9,
 }
 
 

@@ -16,6 +16,7 @@ from dug_data_ingest_spark.ext.dedup import (
     exact_dedup_groups,
     minhash_band_keys,
     minhash_candidate_pairs,
+    minhash_jaccard_estimates,
     minhash_signatures_wide,
     ngram_jaccard_pairs,
     simhash64,
@@ -231,6 +232,46 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bands = minhash_band_keys(minhash_signatures_wide(doc_shingles(docs)))
     return minhash_candidate_pairs(bands)
+
+
+_MINHASH_EST_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+base AS (SELECT doc_id, ({_HASH64.format(x="s")}) % 2147483647 AS hb FROM sh),
+hs AS (
+  SELECT doc_id, seed, ((2 * seed + 1) * hb + seed) % 2147483647 AS h
+  FROM base, seeds
+),
+sig AS (SELECT doc_id, seed, min(h) AS mh FROM hs GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y USING (band, band_key)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.a
+JOIN sig sb ON sb.doc_id = c.b AND sb.seed = sa.seed
+GROUP BY c.a, c.b
+"""
+
+
+@query("dedup-minhash-estimate", oracle=_MINHASH_EST_ORACLE)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only Jaccard estimates for the band-join candidates —
+    the cheap middle stage of the LSH pipeline (candidates → estimate
+    → exact-verify survivors only). k/16 fractions are exact binary
+    doubles, so the estimate replays bit-for-bit in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures_wide(doc_shingles(docs))
+    cand = minhash_candidate_pairs(minhash_band_keys(sig))
+    return minhash_jaccard_estimates(sig, cand)
 
 
 # Document-frequency cap for the shared-shingle candidate join: a
