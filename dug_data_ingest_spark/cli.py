@@ -78,6 +78,66 @@ def run_index(spark: SparkSession, args) -> None:
     )
 
 
+def run_dedup(spark: SparkSession, args) -> None:
+    """Training-data dedup: documents in, survivors + report out.
+
+    Strategies compose the ext.dedup stages: ``exact`` keeps one doc
+    per content hash; ``jaccard`` clusters shared-shingle candidates
+    at --threshold with the --max-doc-freq hot-shingle cap; ``minhash``
+    blocks via banded LSH and pre-filters candidates with the
+    signature-only Jaccard estimate before clustering (the cheap path
+    at corpus scale — no exact shingle verify unless you follow with
+    the jaccard strategy on the survivors)."""
+    from pyspark.sql import functions as F
+
+    from dug_data_ingest_spark.ext.dedup import (
+        doc_shingles,
+        duplicate_clusters,
+        exact_dedup_groups,
+        minhash_band_keys,
+        minhash_candidate_pairs,
+        minhash_jaccard_estimates,
+        minhash_signatures_wide,
+        ngram_jaccard_pairs,
+    )
+    from dug_data_ingest_spark.sources.files import write_csv
+
+    docs = _read(spark, args.documents, args.csv)
+    if args.strategy == "exact":
+        groups = exact_dedup_groups(docs)
+        survivors = (
+            docs.withColumn("content_hash", F.md5(F.col("text")))
+            .join(groups.select("content_hash", "canonical_id"), "content_hash")
+            .filter(F.col("doc_id") == F.col("canonical_id"))
+            .drop("content_hash", "canonical_id")
+        )
+    else:
+        if args.strategy == "jaccard":
+            pairs = ngram_jaccard_pairs(
+                docs, threshold=args.threshold, max_doc_freq=args.max_doc_freq
+            )
+        else:  # minhash
+            sig = minhash_signatures_wide(doc_shingles(docs))
+            cand = minhash_candidate_pairs(minhash_band_keys(sig))
+            pairs = minhash_jaccard_estimates(sig, cand).filter(
+                F.col("est_jaccard") >= args.threshold
+            )
+        drop = (
+            duplicate_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("component"))
+            .select("doc_id")
+        )
+        survivors = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(f"{args.out}/survivors")
+    n_in, n_out = docs.count(), spark.read.parquet(f"{args.out}/survivors").count()
+    report = spark.createDataFrame(
+        [(args.strategy, n_in, n_out, n_in - n_out)],
+        ["strategy", "n_docs", "n_survivors", "n_dropped"],
+    )
+    write_csv(report, f"{args.out}/dedup_report", single_file=True)
+    report.show()
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dug_data_ingest_spark")
     p.add_argument("--csv", action="store_true", help="inputs are CSV, not parquet")
@@ -99,11 +159,22 @@ def main(argv: list[str] | None = None) -> None:
     index.add_argument("--repos", nargs="*")
     index.add_argument("--out", required=True)
 
+    dedup = sub.add_parser("dedup", help="corpus dedup: survivors + report")
+    dedup.add_argument("--documents", required=True)
+    dedup.add_argument(
+        "--strategy", choices=["exact", "jaccard", "minhash"], default="exact"
+    )
+    dedup.add_argument("--threshold", type=float, default=0.8)
+    dedup.add_argument("--max-doc-freq", type=int, default=1000, dest="max_doc_freq")
+    dedup.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     from dug_data_ingest_spark.session import get_spark
 
     spark = get_spark(f"dug-data-ingest-{args.cmd}")
-    {"bdc": run_bdc, "heal": run_heal, "index": run_index}[args.cmd](spark, args)
+    {"bdc": run_bdc, "heal": run_heal, "index": run_index, "dedup": run_dedup}[
+        args.cmd
+    ](spark, args)
 
 
 if __name__ == "__main__":

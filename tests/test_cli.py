@@ -47,3 +47,49 @@ def test_cli_heal_end_to_end(spark, tmp_path):
     assert vi.count() == FX.heal_fields(spark).count()
     nodes = spark.read.json(f"{A.out}/kgx/nodes")
     assert nodes.count() == FX.heal_studies(spark).count()
+
+
+def test_cli_dedup_exact_and_jaccard(spark, tmp_path):
+    from dug_data_ingest_spark.cli import run_dedup
+    from tests.conftest import TEST_SF_DIR
+
+    docs_p = f"{TEST_SF_DIR}/documents.parquet"
+    n_docs = spark.read.parquet(docs_p).count()
+
+    class A:
+        documents, csv = docs_p, False
+        strategy, threshold, max_doc_freq = "exact", 0.8, 1000
+        out = str(tmp_path / "exact")
+
+    run_dedup(spark, A)
+    surv = spark.read.parquet(f"{A.out}/survivors")
+    report = spark.read.option("header", True).csv(f"{A.out}/dedup_report")
+    r = report.first()
+    assert int(r.n_docs) == n_docs
+    assert surv.count() == int(r.n_survivors) <= n_docs
+    # exact survivors have unique texts
+    assert surv.select("text").distinct().count() == surv.count()
+
+    class B(A):
+        strategy = "jaccard"
+        out = str(tmp_path / "jac")
+
+    run_dedup(spark, B)
+    jac = spark.read.parquet(f"{B.out}/survivors")
+    # near-dedup drops at least the exact dups, usually more
+    assert jac.count() <= surv.count()
+
+
+def test_cli_dedup_minhash_estimate_path(spark, tmp_path):
+    from dug_data_ingest_spark.cli import run_dedup
+    from tests.conftest import TEST_SF_DIR
+
+    class A:
+        documents, csv = f"{TEST_SF_DIR}/documents.parquet", False
+        strategy, threshold, max_doc_freq = "minhash", 0.5, 1000
+        out = str(tmp_path / "mh")
+
+    run_dedup(spark, A)
+    surv = spark.read.parquet(f"{A.out}/survivors")
+    n_docs = spark.read.parquet(A.documents).count()
+    assert 0 < surv.count() < n_docs  # something dropped, corpus kept
