@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -107,33 +108,93 @@ class DbGapXmlReader(DataSourceReader):
 
     # -- execution --------------------------------------------------------
     def read(self, partition: XmlFilesPartition):
-        import xml.etree.ElementTree as ET
-
         for path in partition.paths:
-            with open(path, encoding="utf-8") as fh:
-                try:
-                    root = ET.fromstring(fh.read())
-                except ET.ParseError:
-                    continue  # quarantine-not-abort, as in xml_dbgap.parse
-            study_id = root.get("study_id")
-            dd_id = root.get("id")
-            for var in root.findall("variable"):
-                fields = {}
-                for tag in ("name", "description", "type"):
-                    el = var.find(tag)
-                    fields[tag] = el.text if el is not None else None
-                vals = [
-                    (v.get("code"), v.text) for v in var.findall("value")
-                ]
-                yield (
-                    study_id,
-                    dd_id,
-                    var.get("id"),
-                    fields["name"],
-                    fields["description"],
-                    fields["type"],
-                    vals or None,
-                )
+            yield from _parse_xml_file(path)
+
+
+def _parse_xml_file(path: str):
+    """Yield VARIABLE_SCHEMA tuples from one data_table XML file
+    (shared by the batch and streaming readers)."""
+    import xml.etree.ElementTree as ET
+
+    with open(path, encoding="utf-8") as fh:
+        try:
+            root = ET.fromstring(fh.read())
+        except ET.ParseError:
+            return  # quarantine-not-abort, as in xml_dbgap.parse
+    study_id = root.get("study_id")
+    dd_id = root.get("id")
+    for var in root.findall("variable"):
+        fields = {}
+        for tag in ("name", "description", "type"):
+            el = var.find(tag)
+            fields[tag] = el.text if el is not None else None
+        vals = [(v.get("code"), v.text) for v in var.findall("value")]
+        yield (
+            study_id,
+            dd_id,
+            var.get("id"),
+            fields["name"],
+            fields["description"],
+            fields["type"],
+            vals or None,
+        )
+
+
+class DbGapXmlStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tailing of a dbGaP XML landing directory:
+    ``spark.readStream.format("dbgap_xml").load(dir)`` emits each
+    file's variables exactly once as the file lands — the incremental
+    form of the reference's re-scan-everything walk
+    (generate_lakefs_dbgap_xml_index.py:183-213).
+
+    Offsets are the sorted set of already-seen file names (a dict so
+    the checkpoint log can JSON it). Listing-diff against the offset
+    makes replays exact: ``readBetweenOffsets`` re-parses precisely
+    end−start, so a recovered query neither drops nor duplicates a
+    file's rows. State grows with one string per file — bounded by
+    the landing-dir retention, not the stream's lifetime."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dbgap_xml: a directory path is required (.load(dir))")
+        self.glob = options.get("glob", "*.xml")
+
+    def _listing(self) -> list[str]:
+        return sorted(
+            os.path.relpath(p, self.path)
+            for p in _glob.glob(
+                os.path.join(self.path, "**", self.glob), recursive=True
+            )
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        fresh = [f for f in self._listing() if f not in seen]
+        # materialized, not a generator: Spark's prefetch cache copies
+        # the iterator between the planning and commit phases, and
+        # generators aren't copyable
+        rows = [
+            row
+            for f in fresh
+            for row in _parse_xml_file(os.path.join(self.path, f))
+        ]
+        end = {"seen": sorted(seen | set(fresh))}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        replay = set(end.get("seen", [])) - set(start.get("seen", []))
+        return iter(
+            [
+                row
+                for f in sorted(replay)
+                for row in _parse_xml_file(os.path.join(self.path, f))
+            ]
+        )
 
 
 class XmlCommit(WriterCommitMessage):
@@ -239,3 +300,6 @@ class DbGapXmlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return DbGapXmlWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):  # noqa: N802 (API name)
+        return DbGapXmlStreamReader(self.options)

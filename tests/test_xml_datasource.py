@@ -150,3 +150,38 @@ def test_overwrite_commit_is_staged(spark, tmp_path):
     assert not any(".tmp-" in n for n in names)  # all staged files promoted
     assert "stale__old.xml" not in names  # recursive stale cleanup
     assert _rows(spark.read.format("dbgap_xml").load(str(out))) == _rows(_variables(spark))
+
+
+def test_streaming_read_is_incremental_exactly_once(spark, tmp_path):
+    # land 2 files -> first availableNow run ingests them; land 1 more
+    # -> second run (same checkpoint) ingests ONLY the new file
+    xml_datasource.register(spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    docs = {d.dd_id: d for d in render_data_tables(_variables(spark)).collect()}
+    (land / "s1__dd1.xml").write_text(docs["dd1"].xml)
+    (land / "s1__dd2.xml").write_text(docs["dd2"].xml)
+
+    def run_once():
+        q = (
+            spark.readStream.format("dbgap_xml")
+            .load(str(land))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(sink)
+    assert sorted(r.var_id for r in first.collect()) == ["v1", "v2", "v3"]
+
+    (land / "s2__dd3.xml").write_text(docs["dd3"].xml)
+    run_once()
+    second = spark.read.parquet(sink)
+    # exactly-once: dd1/dd2 not re-ingested, dd3 appended
+    assert sorted(r.var_id for r in second.collect()) == ["v1", "v2", "v3", "v4"]
