@@ -82,35 +82,44 @@ def run_dedup(spark: SparkSession, args) -> None:
     """Training-data dedup: documents in, survivors + report out.
 
     Strategies compose the ext.dedup stages: ``exact`` keeps one doc
-    per content hash; ``jaccard`` clusters shared-shingle candidates
-    at --threshold with the --max-doc-freq hot-shingle cap; ``minhash``
-    blocks via banded LSH and pre-filters candidates with the
-    signature-only Jaccard estimate before clustering (the cheap path
-    at corpus scale — no exact shingle verify unless you follow with
-    the jaccard strategy on the survivors)."""
+    per content hash (null texts form one group, so exactly one
+    null-text doc survives); ``jaccard`` clusters shared-shingle
+    candidates at --threshold with the --max-doc-freq hot-shingle
+    cap; ``minhash`` blocks via banded LSH and thresholds the
+    signature-only Jaccard estimate — no shingle-level verify, so its
+    recall near the threshold is softer than jaccard's by the
+    estimate's ±1/sqrt(16) stderr (a pair at exactly J=threshold is
+    kept ~60% of the time); use jaccard when exact near-threshold
+    semantics matter. The drop-set anti-join is left unhinted here
+    (AQE broadcasts it when small): unlike the fixed-threshold
+    dedup-survivors query, a permissive --threshold can make the
+    drop set a large corpus fraction."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from dug_data_ingest_spark.ext.dedup import (
         doc_shingles,
-        duplicate_clusters,
-        exact_dedup_groups,
         minhash_band_keys,
         minhash_candidate_pairs,
         minhash_jaccard_estimates,
         minhash_signatures_wide,
         ngram_jaccard_pairs,
+        non_canonical_ids,
     )
     from dug_data_ingest_spark.sources.files import write_csv
 
     docs = _read(spark, args.documents, args.csv)
     if args.strategy == "exact":
-        groups = exact_dedup_groups(docs)
+        # window over the content hash, NOT a join on it: an equi-join
+        # drops NULL keys, silently deleting every null-text doc;
+        # window partitions group NULLs together so one survives
+        w = Window.partitionBy(F.md5(F.col("text")))
         survivors = (
-            docs.withColumn("content_hash", F.md5(F.col("text")))
-            .join(groups.select("content_hash", "canonical_id"), "content_hash")
-            .filter(F.col("doc_id") == F.col("canonical_id"))
-            .drop("content_hash", "canonical_id")
+            docs.withColumn("_canon", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("_canon"))
+            .drop("_canon")
         )
+        n_dropped = None  # derived from counts below
     else:
         if args.strategy == "jaccard":
             pairs = ngram_jaccard_pairs(
@@ -122,14 +131,14 @@ def run_dedup(spark: SparkSession, args) -> None:
             pairs = minhash_jaccard_estimates(sig, cand).filter(
                 F.col("est_jaccard") >= args.threshold
             )
-        drop = (
-            duplicate_clusters(pairs)
-            .filter(F.col("doc_id") != F.col("component"))
-            .select("doc_id")
-        )
-        survivors = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        drop = non_canonical_ids(pairs).localCheckpoint()
+        n_dropped = drop.count()
+        survivors = docs.join(drop, "doc_id", "left_anti")
     survivors.write.mode("overwrite").parquet(f"{args.out}/survivors")
-    n_in, n_out = docs.count(), spark.read.parquet(f"{args.out}/survivors").count()
+    n_out = spark.read.parquet(f"{args.out}/survivors").count()
+    # n_in without a second full pass over the corpus where possible:
+    # cluster strategies know the (small) drop count already
+    n_in = (n_out + n_dropped) if n_dropped is not None else docs.count()
     report = spark.createDataFrame(
         [(args.strategy, n_in, n_out, n_in - n_out)],
         ["strategy", "n_docs", "n_survivors", "n_dropped"],

@@ -321,6 +321,23 @@ def ngram_jaccard_pairs(
     )
 
 
+def non_canonical_ids(
+    pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+) -> DataFrame:
+    """The drop set of a near-dup pair graph: every doc that belongs
+    to a cluster but is not its canonical (min-id) member. Shared by
+    the dedup-survivors query and the CLI dedup command so survivor
+    selection can never drift between them. The result is usually a
+    tiny fraction of the corpus — broadcast it into the anti-join
+    when the duplicate rate is known to be low; at permissive
+    thresholds leave it unhinted and let AQE decide."""
+    return (
+        duplicate_clusters(pairs, id_col=id_col, max_iters=max_iters)
+        .filter(F.col(id_col) != F.col("component"))
+        .select(id_col)
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash as 4 × 16-bit lanes: per-word, four 16-bit
     hashes come from four hex slices of ONE md5 (hash once, slice

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from dug_data_ingest_spark.ext.dedup import (
     doc_shingles,
     duplicate_clusters,
+    non_canonical_ids,
     exact_dedup_groups,
     minhash_band_keys,
     minhash_candidate_pairs,
@@ -382,11 +383,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join: the 100 TB side is scanned once, never shuffled."""
     docs = load(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=_JACCARD_CAP)
-    drop = (
-        duplicate_clusters(pairs)
-        .filter(F.col("doc_id") != F.col("component"))
-        .select("doc_id")
-    )
+    drop = non_canonical_ids(pairs)
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
 
 

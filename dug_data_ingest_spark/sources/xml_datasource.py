@@ -112,15 +112,20 @@ class DbGapXmlReader(DataSourceReader):
             yield from _parse_xml_file(path)
 
 
-def _parse_xml_file(path: str):
+def _parse_xml_file(path: str, strict: bool = False):
     """Yield VARIABLE_SCHEMA tuples from one data_table XML file
-    (shared by the batch and streaming readers)."""
+    (shared by the batch and streaming readers). Non-strict mode
+    quarantines a malformed file by yielding nothing (the batch
+    re-scan semantics); strict mode raises so the stream can defer
+    the file to the next trigger instead of losing it."""
     import xml.etree.ElementTree as ET
 
     with open(path, encoding="utf-8") as fh:
         try:
             root = ET.fromstring(fh.read())
         except ET.ParseError:
+            if strict:
+                raise
             return  # quarantine-not-abort, as in xml_dbgap.parse
     study_id = root.get("study_id")
     dd_id = root.get("id")
@@ -148,12 +153,24 @@ class DbGapXmlStreamReader(SimpleDataSourceStreamReader):
     form of the reference's re-scan-everything walk
     (generate_lakefs_dbgap_xml_index.py:183-213).
 
-    Offsets are the sorted set of already-seen file names (a dict so
-    the checkpoint log can JSON it). Listing-diff against the offset
-    makes replays exact: ``readBetweenOffsets`` re-parses precisely
-    end−start, so a recovered query neither drops nor duplicates a
-    file's rows. State grows with one string per file — bounded by
-    the landing-dir retention, not the stream's lifetime."""
+    Offsets are the sorted set of already-ingested file names (a dict
+    so the checkpoint log can JSON it); each micro-batch ingests the
+    listing-diff, and ``readBetweenOffsets`` re-parses exactly
+    end−start so a recovered query neither drops nor duplicates a
+    file's rows.
+
+    Robustness contracts:
+    - a file that fails to parse is NOT committed as seen, so a
+      non-atomically landed file (globbed mid-write) is retried on
+      the next trigger instead of being silently lost forever —
+      writers should still land via tmp+rename (as DbGapXmlWriter
+      does) to avoid ingesting a half-written-but-well-formed prefix;
+    - the seen-set is intersected with the current listing every
+      batch, so offsets stay bounded by landing-dir retention (a
+      deleted name re-landing later is treated as a new file);
+    - a file deleted between offset-commit and replay is skipped with
+      a warning rather than crash-looping recovery on
+      FileNotFoundError (its rows are unrecoverable either way)."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -173,28 +190,41 @@ class DbGapXmlStreamReader(SimpleDataSourceStreamReader):
         return {"seen": []}
 
     def read(self, start: dict):
+        import xml.etree.ElementTree as ET
+
+        listing = self._listing()
         seen = set(start.get("seen", []))
-        fresh = [f for f in self._listing() if f not in seen]
         # materialized, not a generator: Spark's prefetch cache copies
         # the iterator between the planning and commit phases, and
         # generators aren't copyable
-        rows = [
-            row
-            for f in fresh
-            for row in _parse_xml_file(os.path.join(self.path, f))
-        ]
-        end = {"seen": sorted(seen | set(fresh))}
+        rows: list = []
+        ingested: set[str] = set()
+        for f in listing:
+            if f in seen:
+                continue
+            try:
+                rows.extend(_parse_xml_file(os.path.join(self.path, f), strict=True))
+            except (ET.ParseError, OSError):
+                continue  # not seen -> retried next trigger
+            ingested.add(f)
+        end = {"seen": sorted((seen | ingested) & set(listing))}
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        import warnings
+        import xml.etree.ElementTree as ET
+
         replay = set(end.get("seen", [])) - set(start.get("seen", []))
-        return iter(
-            [
-                row
-                for f in sorted(replay)
-                for row in _parse_xml_file(os.path.join(self.path, f))
-            ]
-        )
+        rows: list = []
+        for f in sorted(replay):
+            try:
+                rows.extend(_parse_xml_file(os.path.join(self.path, f), strict=True))
+            except (ET.ParseError, OSError) as exc:
+                warnings.warn(
+                    f"dbgap_xml replay: {f} unreadable ({exc}); its rows "
+                    "cannot be recovered", stacklevel=2,
+                )
+        return iter(rows)
 
 
 class XmlCommit(WriterCommitMessage):

@@ -93,3 +93,25 @@ def test_cli_dedup_minhash_estimate_path(spark, tmp_path):
     surv = spark.read.parquet(f"{A.out}/survivors")
     n_docs = spark.read.parquet(A.documents).count()
     assert 0 < surv.count() < n_docs  # something dropped, corpus kept
+
+
+def test_cli_dedup_exact_keeps_one_null_text_doc(spark, tmp_path):
+    # equi-join-on-hash semantics would delete ALL null-text docs;
+    # the window path must keep exactly one
+    from dug_data_ingest_spark.cli import run_dedup
+
+    docs_p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None), (5, "other")],
+        ["doc_id", "text"],
+    ).write.parquet(docs_p)
+
+    class A:
+        documents, csv = docs_p, False
+        strategy, threshold, max_doc_freq = "exact", 0.8, 1000
+        out = str(tmp_path / "out")
+
+    run_dedup(spark, A)
+    surv = spark.read.parquet(f"{A.out}/survivors")
+    ids = sorted(r.doc_id for r in surv.collect())
+    assert ids == [1, 3, 5]  # canonical of dup pair, ONE null-text, unique
