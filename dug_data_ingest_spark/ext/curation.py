@@ -1,0 +1,155 @@
+"""Training-data curation operators: benchmark decontamination,
+reproducible sampling, sequence packing, vocabulary building.
+
+These are the corpus-preparation steps a large-scale LLM training
+pipeline runs after dedup (ext/dedup.py) and quality scoring
+(functions/text.py): drop documents that overlap the eval set, draw
+a reproducible subsample, pack variable-length documents into
+fixed-token-budget training chunks, and build a frequency vocabulary.
+Everything is expressed over DataFrames so Catalyst keeps pushdown /
+partial aggregation; the one genuinely sequential step (greedy
+packing) is an ``applyInPandas`` whose parallelism unit is the
+packing group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dug_data_ingest_spark.ext.dedup import _md5_hash64, doc_shingles
+from dug_data_ingest_spark.functions.text import n_words, normalized_words
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every training document that shares at least one k-word
+    shingle with any eval-set document; returns the surviving train
+    rows (all columns).
+
+    Scale shape: the eval side is benchmarks — thousands of docs, not
+    billions — so its distinct shingle set broadcasts; the contaminated
+    id set is found with a broadcast LEFT SEMI over the exploded train
+    shingles (corpus scanned once, never shuffled on the shingle), and
+    the final LEFT ANTI on ``id_col`` removes them. k=5 by default:
+    3-gram overlap on natural text flags near-everything (stop-word
+    runs), 5-grams are the common contamination-screen width.
+    """
+    eval_sh = doc_shingles(eval_docs, text_col, id_col, k).select("shingle").distinct()
+    contaminated = (
+        doc_shingles(train, text_col, id_col, k)
+        .join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")
+
+
+def hash_sample(
+    docs: DataFrame,
+    pct: int,
+    key_col: str = "doc_id",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Reproducible ``pct``-out-of-``n_buckets`` sample: keep rows whose
+    md5-derived bucket of ``key_col`` falls below ``pct``.
+
+    Unlike ``df.sample()`` (seeded per-partition, so the kept set
+    changes whenever partitioning does), the bucket is a pure function
+    of the key — the same rows are kept across reruns, repartitions,
+    engines, and incremental loads, which is what makes held-out
+    splits and ablation subsamples reproducible at 100 TB. Row-local
+    (no shuffle); the bucket column rides along for audit.
+    """
+    if not 0 <= pct <= n_buckets:
+        raise ValueError(f"hash_sample: pct must be in [0, {n_buckets}]")
+    bucket = _md5_hash64(F.col(key_col).cast("string")) % n_buckets
+    return docs.withColumn("bucket", bucket).filter(F.col("bucket") < pct)
+
+
+def with_token_counts(
+    docs: DataFrame, text_col: str = "text", count_col: str = "n_tok"
+) -> DataFrame:
+    """Whitespace token count per row (null/empty text → 0), the size
+    measure the packer bins against."""
+    n = n_words(F.col(text_col))
+    return docs.withColumn(
+        count_col, F.coalesce(F.when(n >= 0, n), F.lit(0)).cast("int")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    cap: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Greedy first-fit sequence packing: within each ``group_col``
+    group, walk documents in ``id_col`` order accumulating token
+    counts; start a new chunk when the running total would exceed
+    ``cap``. Returns (group, id, n_tok, chunk), chunk numbered from 1
+    per group; a single document longer than ``cap`` still gets its
+    own chunk.
+
+    This is the training-batch construction step (pack documents into
+    fixed-context-window rows). Packing is inherently sequential in
+    the scan order, so the parallelism unit is the group: one
+    ``applyInPandas`` task per group, a plain O(n) pandas walk inside.
+    At 100 TB you pack per (source, shard) — any keying whose groups
+    fit a task works, and chunk ids stay local to their group so no
+    cross-group coordination exists. The token counting itself stays
+    JVM-side (computed before the groupBy, so the Python stage moves
+    only (group, id, n_tok) triples through Arrow, never the text).
+    """
+    sized = with_token_counts(docs, text_col).select(group_col, id_col, "n_tok")
+    schema = f"{group_col} string, {id_col} bigint, n_tok int, chunk int"
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        chunks = []
+        chunk, acc = 0, None
+        for t in pdf["n_tok"]:
+            if acc is None or acc + t > cap:
+                chunk, acc = chunk + 1, int(t)
+            else:
+                acc += int(t)
+            chunks.append(chunk)
+        pdf["chunk"] = chunks
+        return pdf
+
+    return sized.groupBy(group_col).applyInPandas(_pack, schema=schema)
+
+
+def vocab_topk(
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``n`` vocabulary by corpus frequency: (token, n_docs,
+    n_total) with a deterministic (count desc, token asc) tie-break.
+
+    One explode + one map-side-combined groupBy; top-n via
+    orderBy().limit() so the physical plan is TakeOrderedAndProject
+    (per-partition heaps + driver merge of n rows), never a global
+    sort. count(distinct) rewrites to a two-phase expand aggregate —
+    fine here because the token key space is vocabulary-sized.
+    """
+    tokens = docs.select(
+        F.col(id_col), F.explode_outer(normalized_words(F.col(text_col))).alias("token")
+    ).filter(F.col("token").isNotNull() & (F.col("token") != ""))
+    return (
+        tokens.groupBy("token")
+        .agg(
+            F.count_distinct(id_col).cast("int").alias("n_docs"),
+            F.count("*").cast("int").alias("n_total"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(n)
+    )

@@ -64,6 +64,7 @@ def _register_all() -> None:
         extensions,
         pipelines,
         streaming,
+        curation,
     )
 
 
@@ -126,6 +127,8 @@ _EST_COST = {
     "stream-marker-sessionize": 0.535,
     # new this round; sorted last so it can't displace older fresh slugs
     "dedup-minhash-estimate": 9.9,
+    "text-vocab-topk": 10.1, "pipeline-hash-sample": 10.2,
+    "text-decontaminate": 10.3, "pipeline-pack-sequences": 10.4,
 }
 
 

@@ -1,0 +1,106 @@
+"""Semantics tests for the curation operators (ext/curation.py):
+crafted corpora exercising the edges the sf-table parity check can't
+isolate — over-cap documents, null text, tie-breaks, partition
+invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dug_data_ingest_spark.ext.curation import (
+    decontaminate,
+    hash_sample,
+    pack_sequences,
+    vocab_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    # tokens: 100, 100, 100, 300 (over cap), 50 — cap 256
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(["w"] * 100), "s"),
+            (2, " ".join(["w"] * 100), "s"),
+            (3, " ".join(["w"] * 100), "s"),
+            (4, " ".join(["w"] * 300), "s"),
+            (5, " ".join(["w"] * 50), "s"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tok, r.chunk)
+        for r in pack_sequences(docs, cap=256).collect()
+    }
+    # 100+100 fit chunk 1; +100 would be 300 > 256 -> chunk 2;
+    # 300 alone overflows any chunk -> its own chunk 3; 50 -> chunk 4
+    assert got == {1: (100, 1), 2: (100, 1), 3: (100, 2), 4: (300, 3), 5: (50, 4)}
+
+
+def test_pack_sequences_null_and_empty_text(spark):
+    docs = _docs(spark, [(1, None, "s"), (2, "", "s"), (3, "a b", "s")])
+    got = {r.doc_id: r.n_tok for r in pack_sequences(docs, cap=10).collect()}
+    # null -> 0 tokens; "" -> [""] -> 1 token (whitespace-split semantics,
+    # matching the DuckDB oracle); all fit one chunk
+    assert got == {1: 0, 2: 1, 3: 2}
+    chunks = {r.chunk for r in pack_sequences(docs, cap=10).collect()}
+    assert chunks == {1}
+
+
+def test_pack_sequences_groups_are_independent(spark):
+    docs = _docs(
+        spark,
+        [(1, "w w w", "a"), (2, "w w w", "a"), (10, "w w w", "b")],
+    )
+    got = {r.doc_id: (r.source, r.chunk) for r in pack_sequences(docs, cap=4).collect()}
+    # each source restarts at chunk 1
+    assert got == {1: ("a", 1), 2: ("a", 2), 10: ("b", 1)}
+
+
+def test_decontaminate_drops_shingle_overlap_only(spark):
+    evaldf = _docs(spark, [(100, "one two three four five six", "eval")])
+    train = _docs(
+        spark,
+        [
+            # shares the 5-gram "two three four five six"
+            (1, "zzz two three four five six yyy", "t"),
+            # shares words but no 5-gram run
+            (2, "one two three nine four five", "t"),
+            (3, "completely different text here now ok", "t"),
+            (4, None, "t"),  # null text: no shingles, survives
+        ],
+    )
+    kept = sorted(r.doc_id for r in decontaminate(train, evaldf, k=5).collect())
+    assert kept == [2, 3, 4]
+
+
+def test_hash_sample_partition_invariant_and_bounded(spark):
+    docs = _docs(spark, [(i, "t", "s") for i in range(200)])
+    a = sorted(r.doc_id for r in hash_sample(docs, 10).collect())
+    b = sorted(r.doc_id for r in hash_sample(docs.repartition(13), 10).collect())
+    assert a == b and 0 < len(a) < 200
+    assert hash_sample(docs, 0).count() == 0
+    assert hash_sample(docs, 100).count() == 200
+    with pytest.raises(ValueError):
+        hash_sample(docs, 101)
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    docs = _docs(
+        spark,
+        [(1, "b b a", "s"), (2, "a c B!", "s"), (3, None, "s")],
+    )
+    rows = vocab_topk(docs, n=2).collect()
+    # b: 3 total ("B!" normalizes to b) / 2 docs; a: 2 total; c loses the
+    # tie with a? no — a has 2 total, c has 1; top-2 = [b, a]
+    assert [(r.token, r.n_docs, r.n_total) for r in rows] == [("b", 2, 3), ("a", 2, 2)]
+
+
+def test_vocab_topk_tie_broken_by_token(spark):
+    docs = _docs(spark, [(1, "z y", "s")])
+    rows = vocab_topk(docs, n=1).collect()
+    assert rows[0].token == "y"  # equal counts -> lexicographic wins
