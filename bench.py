@@ -58,6 +58,10 @@ HEADLINE = [
     "olap-rollup-summary",
     "join-range-events",
     "join-asof-events",
+    "text-decontaminate",
+    "pipeline-hash-sample",
+    "pipeline-pack-sequences",
+    "text-vocab-topk",
     "text-length-quantiles",
 ]
 

@@ -156,3 +156,47 @@ def test_survivors_anti_join_stays_broadcast(queries, spark):
     # never shuffled for the subtraction)
     plan = _plan(queries["dedup-survivors"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Curation plans (queries/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_joins_stay_broadcast(queries, spark):
+    # the eval shingle set and the contaminated-id set are both small
+    # relative to the corpus; both the semi and the anti join must be
+    # broadcast so the corpus never shuffles
+    plan = _plan(queries["text-decontaminate"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_hash_sample_is_shuffle_free_and_pruned(queries, spark):
+    df = queries["pipeline-hash-sample"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan  # row-local predicate
+    assert "BatchEvalPython" not in plan
+    # 3-column projection must not read the text column
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", _scan_info(df))
+    assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_pack_sequences_python_stage_sees_no_text(queries, spark):
+    # token counts are computed JVM-side; only (source, doc_id, n_tok)
+    # may cross into the Arrow/pandas stage
+    df = queries["pipeline-pack-sequences"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # the pandas function's argument list is `_pack(<cols>)` in toString
+    m = re.search(r"_pack\(([^)]*)\)", plan)
+    assert m, plan
+    assert "text" not in m.group(1), (
+        f"document text crossed the Arrow boundary: {m.group(1)}"
+    )
+
+
+def test_vocab_topk_is_heap_not_global_sort(queries, spark):
+    plan = _plan(queries["text-vocab-topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial" in plan, plan  # map-side combine before the shuffle
