@@ -129,6 +129,7 @@ _EST_COST = {
     "dedup-minhash-estimate": 9.9,
     "text-vocab-topk": 10.1, "pipeline-hash-sample": 10.2,
     "text-decontaminate": 10.3, "pipeline-pack-sequences": 10.4,
+    "pipeline-curate-corpus": 10.5,
 }
 
 

@@ -9,7 +9,7 @@ values, not just shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dug_data_ingest_spark.ext.curation import (
@@ -17,6 +17,7 @@ from dug_data_ingest_spark.ext.curation import (
     hash_sample,
     pack_sequences,
     vocab_topk,
+    with_token_counts,
 )
 from dug_data_ingest_spark.queries import load, query
 
@@ -120,6 +121,66 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics exactly, per group, at every row."""
     docs = load(spark, sf_dir, "documents")
     return pack_sequences(docs, cap=256)
+
+
+@query(
+    "pipeline-curate-corpus",
+    oracle=f"""
+    WITH {_SHINGLES5_CTE},
+    train AS (SELECT * FROM documents WHERE NOT ({_EVAL_PRED})),
+    dedup AS (
+      SELECT * FROM train
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+    ),
+    eval_sh AS (SELECT DISTINCT s FROM sh5 WHERE {_EVAL_PRED}),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM sh5
+      WHERE doc_id IN (SELECT doc_id FROM dedup)
+        AND s IN (SELECT s FROM eval_sh)
+    ),
+    good AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS INT)
+               AS n_tok
+      FROM dedup
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, source, n_tok, bucket FROM (
+      SELECT *,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS bucket
+      FROM good WHERE n_tok >= 20)
+    WHERE bucket < 50
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE declarative plan: exact
+    dedup (min-id per content hash; window not join, so null-text
+    groups keep a survivor) → benchmark decontamination (5-gram
+    overlap with the eval split) → quality gate (≥ 20 whitespace
+    tokens) → reproducible 50% md5-bucket sample.
+
+    Composition is where the Spark-first design pays: every stage is
+    Column expressions or a broadcast join, so Catalyst sees the
+    whole pipeline at once — the scan is shared, the quality gate and
+    the sample predicate are row-local, and the only corpus shuffles
+    are the two keyed ones the semantics force (content-hash window,
+    shingle explode for the contamination check). Stage order is
+    semantic, not accidental: dedup before decontaminate (cheaper
+    contamination check over survivors), sample last (sampling before
+    dedup would make 'duplicate' depend on the sample)."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 10 == 7
+    train, eval_docs = docs.filter(~is_eval), docs.filter(is_eval)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    deduped = (
+        train.withColumn("_canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    clean = decontaminate(deduped, eval_docs, k=5)
+    good = with_token_counts(clean).filter(F.col("n_tok") >= 20)
+    return hash_sample(good, pct=50).select("doc_id", "source", "n_tok", "bucket")
 
 
 @query(

@@ -200,3 +200,13 @@ def test_vocab_topk_is_heap_not_global_sort(queries, spark):
     plan = _plan(queries["text-vocab-topk"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert "partial" in plan, plan  # map-side combine before the shuffle
+
+
+def test_curate_corpus_pipeline_plan(queries, spark):
+    # composed pipeline: no sort-merge joins (decontamination sides
+    # broadcast), no Python anywhere, and the two corpus shuffles the
+    # semantics force (content-hash window + shingle-key aggregations)
+    # don't multiply when the stages compose
+    plan = _plan(queries["pipeline-curate-corpus"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
