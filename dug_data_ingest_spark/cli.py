@@ -147,6 +147,50 @@ def run_dedup(spark: SparkSession, args) -> None:
     report.show()
 
 
+def run_curate(spark: SparkSession, args) -> None:
+    """Training-corpus curation: documents in, curated sample (and
+    optionally packed training chunks) out. Composes the
+    ext.curation stages exactly like the pipeline-curate-corpus
+    query: exact dedup → decontamination against --eval-docs (skipped
+    when not given) → token-count quality gate → reproducible
+    md5-bucket sample; --pack additionally packs the curated docs
+    into --cap-token chunks per source."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dug_data_ingest_spark.ext.curation import (
+        decontaminate,
+        hash_sample,
+        pack_sequences,
+        with_token_counts,
+    )
+    from dug_data_ingest_spark.sources.files import write_csv
+
+    docs = _read(spark, args.documents, args.csv)
+    w = Window.partitionBy(F.md5(F.col("text")))
+    deduped = (
+        docs.withColumn("_canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .drop("_canon")
+    )
+    if args.eval_docs:
+        deduped = decontaminate(deduped, _read(spark, args.eval_docs, args.csv))
+    good = with_token_counts(deduped).filter(F.col("n_tok") >= args.min_tokens)
+    curated = hash_sample(good, pct=args.sample_pct)
+    curated.write.mode("overwrite").parquet(f"{args.out}/curated")
+    if args.pack:
+        pack_sequences(curated, cap=args.cap_tokens).write.mode("overwrite").parquet(
+            f"{args.out}/chunks"
+        )
+    n_in, n_out = docs.count(), spark.read.parquet(f"{args.out}/curated").count()
+    report = spark.createDataFrame(
+        [(n_in, n_out, args.sample_pct, args.min_tokens)],
+        ["n_docs", "n_curated", "sample_pct", "min_tokens"],
+    )
+    write_csv(report, f"{args.out}/curate_report", single_file=True)
+    report.show()
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="dug_data_ingest_spark")
     p.add_argument("--csv", action="store_true", help="inputs are CSV, not parquet")
@@ -177,13 +221,28 @@ def main(argv: list[str] | None = None) -> None:
     dedup.add_argument("--max-doc-freq", type=int, default=1000, dest="max_doc_freq")
     dedup.add_argument("--out", required=True)
 
+    curate = sub.add_parser(
+        "curate", help="corpus curation: dedup + decontaminate + gate + sample"
+    )
+    curate.add_argument("--documents", required=True)
+    curate.add_argument("--eval-docs", dest="eval_docs", default=None)
+    curate.add_argument("--min-tokens", type=int, default=20, dest="min_tokens")
+    curate.add_argument("--sample-pct", type=int, default=100, dest="sample_pct")
+    curate.add_argument("--pack", action="store_true")
+    curate.add_argument("--cap-tokens", type=int, default=256, dest="cap_tokens")
+    curate.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     from dug_data_ingest_spark.session import get_spark
 
     spark = get_spark(f"dug-data-ingest-{args.cmd}")
-    {"bdc": run_bdc, "heal": run_heal, "index": run_index, "dedup": run_dedup}[
-        args.cmd
-    ](spark, args)
+    {
+        "bdc": run_bdc,
+        "heal": run_heal,
+        "index": run_index,
+        "dedup": run_dedup,
+        "curate": run_curate,
+    }[args.cmd](spark, args)
 
 
 if __name__ == "__main__":

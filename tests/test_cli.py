@@ -115,3 +115,53 @@ def test_cli_dedup_exact_keeps_one_null_text_doc(spark, tmp_path):
     surv = spark.read.parquet(f"{A.out}/survivors")
     ids = sorted(r.doc_id for r in surv.collect())
     assert ids == [1, 3, 5]  # canonical of dup pair, ONE null-text, unique
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    from dug_data_ingest_spark.cli import main
+
+    docs_p = str(tmp_path / "docs")
+    long = " ".join(f"w{i}" for i in range(30))
+    spark.createDataFrame(
+        [
+            (1, long, "s"),
+            (2, long, "s"),          # exact dup of 1 -> dropped
+            (3, "short text", "s"),  # < 20 tokens -> gated out
+            (4, " ".join(f"v{i}" for i in range(40)), "s"),
+        ],
+        ["doc_id", "text", "source"],
+    ).write.parquet(docs_p)
+    out = str(tmp_path / "out")
+    main(
+        [
+            "curate",
+            "--documents", docs_p,
+            "--min-tokens", "20",
+            "--pack",
+            "--cap-tokens", "64",
+            "--out", out,
+        ]
+    )
+    curated = spark.read.parquet(f"{out}/curated")
+    assert sorted(r.doc_id for r in curated.collect()) == [1, 4]
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert chunks.count() == 2 and "chunk" in chunks.columns
+
+
+def test_cli_curate_decontaminates_against_eval(spark, tmp_path):
+    from dug_data_ingest_spark.cli import main
+
+    shared = " ".join(f"e{i}" for i in range(25))
+    docs_p, eval_p = str(tmp_path / "docs"), str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(1, shared + " tail tail tail", "s"),
+         (2, " ".join(f"u{i}" for i in range(25)), "s")],
+        ["doc_id", "text", "source"],
+    ).write.parquet(docs_p)
+    spark.createDataFrame(
+        [(100, shared, "eval")], ["doc_id", "text", "source"]
+    ).write.parquet(eval_p)
+    out = str(tmp_path / "out")
+    main(["curate", "--documents", docs_p, "--eval-docs", eval_p, "--out", out])
+    curated = spark.read.parquet(f"{out}/curated")
+    assert [r.doc_id for r in curated.collect()] == [2]
