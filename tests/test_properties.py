@@ -139,3 +139,65 @@ def test_duplicate_clusters_match_union_find(spark, edges):
         for r in duplicate_clusters(pairs).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Curation invariants (ext/curation.py)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=30),
+    cap=st.integers(min_value=1, max_value=300),
+)
+def test_pack_sequences_invariants(spark, sizes, cap):
+    """For any token-size sequence and cap: (a) every chunk's total is
+    <= cap unless it is a single over-cap document; (b) chunk ids are
+    contiguous from 1 and non-decreasing in scan order; (c) a doc
+    never waits for a later chunk while the current one still fits
+    (greedy = the reference walk)."""
+    from dug_data_ingest_spark.ext.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else None, "g") for i, n in enumerate(sizes)],
+        "doc_id long, text string, source string",
+    )
+    rows = sorted(
+        pack_sequences(docs, cap=cap).collect(), key=lambda r: r.doc_id
+    )
+    # reference sequential walk
+    chunk, acc = 0, None
+    for r, n in zip(rows, sizes):
+        if acc is None or acc + n > cap:
+            chunk, acc = chunk + 1, n
+        else:
+            acc += n
+        assert (r.n_tok, r.chunk) == (n, chunk), (sizes, cap, rows)
+    by_chunk: dict[int, list[int]] = {}
+    for r in rows:
+        by_chunk.setdefault(r.chunk, []).append(r.n_tok)
+    for toks in by_chunk.values():
+        assert sum(toks) <= cap or len(toks) == 1, (sizes, cap)
+    assert sorted(by_chunk) == list(range(1, len(by_chunk) + 1))
+
+
+def test_hash_sample_buckets_nest(spark):
+    """Bucket sampling's defining property: the pct-a sample is a
+    subset of the pct-b sample whenever a <= b, so held-out splits
+    stay stable as the sampling rate grows."""
+    from dug_data_ingest_spark.ext.curation import hash_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(300)], ["doc_id", "text", "source"]
+    )
+    kept = {
+        pct: {r.doc_id for r in hash_sample(docs, pct).collect()}
+        for pct in (5, 20, 60, 100)
+    }
+    assert kept[5] <= kept[20] <= kept[60] <= kept[100]
+    assert len(kept[100]) == 300
