@@ -206,6 +206,66 @@ def lsh_dup_pairs(
     )
 
 
+def lsh_banded_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    band_size: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via BANDED sign-LSH: the n_planes sign
+    bits split into bands of band_size; a pair is a candidate if it
+    collides in ANY band (OR across bands), then exact cosine
+    verifies. Same amplification move as the minhash bands and the
+    4×16-bit SimHash lanes: per-band collision probability for a
+    cosine-s pair is (1 - arccos(s)/pi)^band_size, and OR-ing b bands
+    lifts recall to 1-(1-p)^b — at s=0.3 with 4 bands of 2 that is
+    ~0.83 where the single 8-plane band manages ~0.017 (measured by
+    sim-lsh-recall / sim-lsh-recall-banded).
+
+    Plan shape: the band keys are row-local Column arithmetic over
+    the same plane literals (no shuffle to distribute them), the
+    bands stack via posexplode (rows ×b, still row-local), and the
+    candidate join is per-(band, key) equality — bucket-local at any
+    scale. A pair colliding in several bands is deduplicated by the
+    distinct on (a, b, cos_sim) after the verify, so the b-way
+    multiplicity never survives the stage."""
+    if n_planes % band_size:
+        raise ValueError("lsh_banded_pairs: band_size must divide n_planes")
+    planes = random_hyperplanes(n_planes, dim)
+    n_bands = n_planes // band_size
+    v = as_double(F.col(vec_col))
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for p in planes
+    ]
+    band_keys = [
+        sum(
+            (bits[b * band_size + j] * F.lit(2**j) for j in range(band_size)),
+            F.lit(0),
+        )
+        for b in range(n_bands)
+    ]
+    kv = embeddings.select(
+        F.col(id_col), v.alias("v"), F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    a = kv.select("band", "key", F.col(id_col).alias("a"), F.col("v").alias("va"))
+    b = kv.select("band", "key", F.col(id_col).alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 def _assign(embeddings: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Nearest-centroid assignment by squared L2 — one broadcast join
     (centroids are k rows) + a window-free argmin via groupBy-min
