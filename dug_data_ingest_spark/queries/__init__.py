@@ -130,7 +130,7 @@ _EST_COST = {
     "text-vocab-topk": 10.1, "pipeline-hash-sample": 10.2,
     "text-decontaminate": 10.3, "pipeline-pack-sequences": 10.4,
     "pipeline-curate-corpus": 10.5, "sim-lsh-recall": 10.6,
-    "sim-lsh-recall-banded": 10.7,
+    "sim-lsh-recall-banded": 10.7, "agg-approx-distinct": 10.8,
 }
 
 

@@ -382,3 +382,39 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.99)"), 2).alias("p99"),
         F.count("*").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch distinct counting: the 100 TB path for COUNT
+# DISTINCT. Exact count_distinct plans an Expand (row duplication per
+# distinct aggregate) + a shuffle keyed on the value; HLL++ partial-
+# aggregates map-side into a fixed-size sketch and merges — the only
+# viable shape when the value cardinality itself is huge. The oracle
+# verifies the exact column value-for-value and the sketch via a
+# deterministic tolerance flag: HLL++ is a pure function of the data
+# (no RNG), so "within 3×rsd of exact" is a stable, replayable bit —
+# an honest oracle for an approximate operator.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg-approx-distinct",
+    oracle="""
+    SELECT source,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_exact,
+           TRUE AS sketch_within_3rsd
+    FROM documents GROUP BY source
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rsd = 0.05
+    return docs.groupBy("source").agg(
+        F.count_distinct("text").alias("n_exact"),
+        (
+            F.abs(F.approx_count_distinct("text", rsd) - F.count_distinct("text"))
+            <= F.greatest(
+                F.round(F.count_distinct("text") * 3 * rsd), F.lit(1)
+            )
+        ).alias("sketch_within_3rsd"),
+    )
