@@ -72,6 +72,36 @@ def hash_sample(
     return docs.withColumn("bucket", bucket).filter(F.col("bucket") < pct)
 
 
+def mix_sample(
+    docs: DataFrame,
+    weights: DataFrame,
+    default_pct: int = 0,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Training-mix sampling: each stratum (language, source, domain)
+    is kept at its own rate from a small ``weights`` table
+    (strata_col, pct); strata absent from the table fall back to
+    ``default_pct``. The keep/drop decision reuses the hash_sample
+    bucket, so mixes are reproducible AND nested: raising one
+    stratum's pct only ever ADDS documents, and every mix is a
+    superset of any lower-rate mix — which is how you grow a data
+    recipe between training runs without churning what the model
+    already saw.
+
+    Scale shape: weights is recipe-sized (tens of rows) → broadcast
+    join; the bucket predicate is row-local; the corpus never
+    shuffles."""
+    bucket = _md5_hash64(F.col(key_col).cast("string")) % n_buckets
+    return (
+        docs.join(F.broadcast(weights), strata_col, "left")
+        .withColumn("pct", F.coalesce(F.col("pct"), F.lit(default_pct)))
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("pct"))
+    )
+
+
 def with_token_counts(
     docs: DataFrame, text_col: str = "text", count_col: str = "n_tok"
 ) -> DataFrame:

@@ -131,6 +131,7 @@ _EST_COST = {
     "text-decontaminate": 10.3, "pipeline-pack-sequences": 10.4,
     "pipeline-curate-corpus": 10.5, "sim-lsh-recall": 10.6,
     "sim-lsh-recall-banded": 10.7, "agg-approx-distinct": 10.8,
+    "pipeline-mix-sample": 10.9,
 }
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from dug_data_ingest_spark.ext.curation import (
     decontaminate,
     hash_sample,
+    mix_sample,
     pack_sequences,
     vocab_topk,
     with_token_counts,
@@ -121,6 +122,35 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics exactly, per group, at every row."""
     docs = load(spark, sf_dir, "documents")
     return pack_sequences(docs, cap=256)
+
+
+@query(
+    "pipeline-mix-sample",
+    oracle="""
+    SELECT doc_id, lang, source, bucket FROM (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS bucket,
+             CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 25 WHEN 'zh' THEN 25
+                  ELSE 5 END AS pct
+      FROM documents)
+    WHERE bucket < pct
+    """,
+)
+def pipeline_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix sampling: en at 50%, es/zh at 25%, everything else at
+    5% — the per-stratum rate table broadcast-joined, the keep
+    decision the same md5 bucket as pipeline-hash-sample (so mixes
+    nest across recipe revisions; ext/curation.py:mix_sample). The
+    oracle collapses the broadcast join to the equivalent CASE — the
+    values must agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("en", 50), ("es", 25), ("zh", 25)], ["lang", "pct"]
+    )
+    return mix_sample(docs, weights, default_pct=5).select(
+        "doc_id", "lang", "source", "bucket"
+    )
 
 
 @query(

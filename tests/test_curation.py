@@ -104,3 +104,24 @@ def test_vocab_topk_tie_broken_by_token(spark):
     docs = _docs(spark, [(1, "z y", "s")])
     rows = vocab_topk(docs, n=1).collect()
     assert rows[0].token == "y"  # equal counts -> lexicographic wins
+
+
+def test_mix_sample_rates_and_nesting(spark):
+    from dug_data_ingest_spark.ext.curation import mix_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s", "en" if i % 2 else "es") for i in range(400)],
+        ["doc_id", "text", "source", "lang"],
+    )
+    w_lo = spark.createDataFrame([("en", 10), ("es", 40)], ["lang", "pct"])
+    w_hi = spark.createDataFrame([("en", 30), ("es", 40)], ["lang", "pct"])
+    lo = {r.doc_id for r in mix_sample(docs, w_lo).collect()}
+    hi = {r.doc_id for r in mix_sample(docs, w_hi).collect()}
+    # raising one stratum's rate only adds docs (nesting), never churns
+    assert lo <= hi
+    # and only adds docs from that stratum
+    assert all(d % 2 for d in hi - lo)
+    # default_pct drops unknown strata entirely when 0
+    w_en_only = spark.createDataFrame([("en", 100)], ["lang", "pct"])
+    en_only = mix_sample(docs, w_en_only, default_pct=0)
+    assert {r.lang for r in en_only.collect()} == {"en"}
