@@ -116,3 +116,50 @@ def test_marker_sessionize_stream_matches_batch_closed_sessions(spark):
     missing = set(want) - set(got)
     users = {u for u, _ in missing}
     assert len(missing) == len(users), f"non-trailing sessions missing: {missing}"
+
+
+def test_curation_sampling_works_on_streams(spark):
+    """hash_sample / mix_sample are stateless row-local transforms, so
+    the same functions drop onto a readStream unchanged (the unified
+    API) — a streaming ingest can apply the training-mix recipe
+    file-by-file as data lands, keeping exactly the batch-selected
+    rows."""
+    from pyspark.sql import types as T
+
+    from dug_data_ingest_spark.ext.curation import hash_sample, mix_sample
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(TEST_SF_DIR)
+    )
+    weights = spark.createDataFrame([("en", 50), ("es", 25)], ["lang", "pct"])
+    q = (
+        mix_sample(hash_sample(stream, 60).drop("bucket"), weights)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mix_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM mix_out").collect()}
+    batch = load(spark, TEST_SF_DIR, "documents")
+    want = {
+        r.doc_id
+        for r in mix_sample(
+            hash_sample(batch, 60).drop("bucket"), weights
+        ).collect()
+    }
+    assert got == want and len(got) > 0
