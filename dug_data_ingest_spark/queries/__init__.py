@@ -132,6 +132,9 @@ _EST_COST = {
     "pipeline-curate-corpus": 10.5, "sim-lsh-recall": 10.6,
     "sim-lsh-recall-banded": 10.7, "agg-approx-distinct": 10.8,
     "pipeline-mix-sample": 10.9,
+    # round-2 second batch; sorted after the first batch
+    "olap-returned-items": 11.0, "olap-cust-order-dist": 11.1,
+    "olap-promo-share": 11.2, "olap-small-qty-revenue": 11.3,
 }
 
 

@@ -355,6 +355,196 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Returned-item revenue (TPC-H Q10 shape): which customers returned
+# the most revenue in a quarter. Fact ⋈ orders ⋈ customer ⋈ nation
+# with every dim broadcast; top-20 via TakeOrderedAndProject (no
+# global sort). Secondary sort key c_custkey makes the top-k SET
+# deterministic across engines even under revenue ties.
+# ---------------------------------------------------------------------------
+
+# Exact-revenue idiom (used by the round-2 money queries): the true
+# item revenue l_extendedprice·(1−l_discount) has ≤4 decimal digits
+# (2dp price × 2dp discount), so ROUND(·,4) recovers the exact value
+# from the double, and summing as DECIMAL is associative — the group
+# total is identical under ANY partitioning / summation order, in
+# both engines. Plain SUM(double) is order-dependent in the last
+# bits, which flips ROUND(·,2) when a group lands on a .xx5 boundary
+# (observed: 307843.595 at sf0.01).
+_DEC_REV_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"
+
+_RETURNED_ITEMS_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM({_DEC_REV_SQL}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _dec_rev() -> F.Column:
+    """Exact per-item revenue as DECIMAL(18,4) — see _DEC_REV_SQL."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return F.round(rev, 4).cast("decimal(18,4)")
+
+
+@query("olap-returned-items", oracle=_RETURNED_ITEMS_ORACLE)
+def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape). The naive plan
+# left-joins two big tables then double-aggregates; the scale-smart
+# formulation aggregates orders down to one row per customer FIRST
+# (map-side combine over the fact), then the ≤|customer| rollup joins
+# customer as the broadcast side — the fact table never shuffles for
+# the join at all. Zero-order customers come from the left join's
+# nulls, coalesced to 0. Integer-only output: hash-exact across
+# engines by construction.
+# ---------------------------------------------------------------------------
+
+_CUST_ORDER_DIST_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS INT) AS c_count, COUNT(*) AS n_custs
+FROM per_cust GROUP BY c_count
+"""
+
+
+@query("olap-cust-order-dist", oracle=_CUST_ORDER_DIST_ORACLE)
+def olap_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    customer = load(spark, sf_dir, "customer")
+    per_cust_orders = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders")
+    )
+    per_cust = (
+        customer.join(
+            F.broadcast(per_cust_orders),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("int").alias("c_count"),
+        )
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+# ---------------------------------------------------------------------------
+# Promo revenue share (TPC-H Q14 shape): conditional aggregation over
+# a one-month fact slice with the part dim broadcast. The CASE folds
+# into the single map-side partial aggregate — one shuffle of one
+# partial row per partition, one output row.
+# ---------------------------------------------------------------------------
+
+_PROMO_SHARE_ORACLE = f"""
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN {_DEC_REV_SQL}
+                          ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM({_DEC_REV_SQL}) AS DOUBLE), 4) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@query("olap-promo-share", oracle=_PROMO_SHARE_ORACLE)
+def olap_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    zero_dec = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", _dec_rev()).otherwise(zero_dec)
+                ).cast("double")
+                / F.sum(_dec_rev()).cast("double"),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-quantity revenue (TPC-H Q17 shape): lineitems ordering less
+# than 20% of their part's average quantity. The correlated subquery
+# becomes an aggregate-then-join: per-part averages are ≤|part| rows,
+# broadcast back onto the fact — the fact is scanned twice but never
+# shuffled. The threshold is rounded to 6dp IN BOTH ENGINES so the
+# float comparison can't flip on last-bit summation differences.
+# ---------------------------------------------------------------------------
+
+_SMALL_QTY_ORACLE = """
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         ROUND(0.2 * AVG(l_quantity), 6) AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN avg_qty ON l_partkey = ap_partkey
+WHERE l_quantity < qty_threshold
+"""
+
+
+@query("olap-small-qty-revenue", oracle=_SMALL_QTY_ORACLE)
+def olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distribution stats: per-source length quantiles over documents —
 # the profile every corpus-quality pass starts from. Registered with
 # EXACT percentile (Spark `percentile` == DuckDB `quantile_cont`,

@@ -121,7 +121,14 @@ def test_kmeans_broadcasts_centroids_every_iteration(queries, spark):
 
 
 @pytest.mark.parametrize(
-    "slug", ["olap-revenue-by-nation", "olap-top-orders", "olap-nation-rank-window"]
+    "slug",
+    [
+        "olap-revenue-by-nation",
+        "olap-top-orders",
+        "olap-nation-rank-window",
+        "olap-returned-items",
+        "olap-promo-share",
+    ],
 )
 def test_olap_dim_joins_stay_broadcast(queries, spark, slug):
     # dim sides (nation/region/customer/supplier/filtered orders) are
@@ -143,11 +150,33 @@ def test_olap_pricing_summary_pushdown_and_partial_agg(queries, spark):
     assert "partial_sum" in plan, plan
 
 
-def test_olap_topk_avoids_global_sort(queries, spark):
+@pytest.mark.parametrize("slug", ["olap-top-orders", "olap-returned-items"])
+def test_olap_topk_avoids_global_sort(queries, spark, slug):
     # orderBy + limit must plan as TakeOrderedAndProject (per-partition
     # heap), not a full Sort + Exchange of every group
-    plan = _plan(queries["olap-top-orders"](spark, SF_DIR))
+    plan = _plan(queries[slug](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cust_order_dist_aggregates_before_join(queries, spark):
+    # Q13 shape: orders must be aggregated down to one row per
+    # customer BEFORE the join — the join input is the rollup
+    # (broadcast), never the raw fact. A sort-merge join here means
+    # the formulation regressed to join-then-aggregate.
+    plan = _plan(queries["olap-cust-order-dist"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the rollup side partial-aggregates map-side
+    assert "partial_count" in plan, plan
+
+
+def test_small_qty_threshold_join_stays_broadcast(queries, spark):
+    # Q17 shape: the per-part average is <= |part| rows and must come
+    # back onto the fact as a broadcast — the fact is scanned twice
+    # but never shuffled.
+    plan = _plan(queries["olap-small-qty-revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_survivors_anti_join_stays_broadcast(queries, spark):
