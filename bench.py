@@ -78,9 +78,17 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
 
     # Warmup: run every headline query once untimed to absorb
-    # JVM/codegen/JIT startup (see module docstring).
+    # JVM/codegen/JIT startup (see module docstring). A query that
+    # breaks here is excluded from timing but recorded as an error —
+    # one broken query must never cost the round its bench signal.
+    errors: dict[str, str] = {}
     for name in names:
-        queries[name](spark, sf_dir).count()
+        try:
+            queries[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"WARNING: {name} failed warmup: {errors[name]}",
+                  file=sys.stderr)
 
     # Two timed runs per query, report the min: the first run pays
     # one-time whole-stage-codegen compilation (seconds for the wide
@@ -88,13 +96,22 @@ def main() -> None:
     # workload and would otherwise dominate sub-second queries.
     timings: dict[str, float] = {}
     for name in names:
+        if name in errors:
+            continue
         best = float("inf")
         for _ in range(2):
-            start = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            try:
+                start = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.count()
+                best = min(best, time.perf_counter() - start)
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"WARNING: {name} failed timed run: {errors[name]}",
+                      file=sys.stderr)
+                break
+        if name not in errors:
+            timings[name] = round(best, 3)
 
     result = {
         "metric": "headline_queries_total",
@@ -103,6 +120,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
     # Round-over-round stability: append every run to a history log

@@ -28,13 +28,36 @@ from dug_data_ingest_spark.functions.text import normalized_words, shingles_of
 
 def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow scan across every core before expensive per-row
-    derivations. Local test corpora arrive as 1-2 parquet partitions,
-    which would serialize the whole sketch pipeline onto one task; a
-    real-scale input already has partitions >> cores, so this is a
-    no-op there (the condition fails and no shuffle is added)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    derivations. Local test corpora arrive as one or two small parquet
+    files, which would serialize the whole sketch pipeline onto one or
+    two tasks; a real-scale input is already wide, so this is a no-op
+    there and no shuffle is added.
+
+    The probe stays off the RDD API (``df.rdd.getNumPartitions()``
+    forces a DataFrame→RDD conversion per call and doesn't exist under
+    Spark Connect): look at the scan's input files instead, and only
+    repartition when the input is demonstrably small — few LOCAL files
+    whose total size is under one default parquet split per core. Any
+    remote store, unknown size, or big file keeps the native scan
+    splitting, which already yields partitions >= cores at real scale.
+    """
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= target:
         return df
+    total = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return df  # remote object store: splittable scan handles it
+        try:
+            total += os.path.getsize(uri[len("file:"):])
+        except OSError:
+            return df
+    if total >= target * 128 * 1024 * 1024:
+        return df  # big file(s): parquet splits give the parallelism
     return df.repartition(target)
 
 

@@ -99,28 +99,44 @@ def streaming_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     )
 
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos, see queries.load()
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP whatever the
+    on-disk encoding was:
+
+    - TIMESTAMP(NANOS) parquet read with nanos-as-long → epoch-nanos
+      BIGINT: rebuild with ``timestamp_micros(ts div 1000)``. `div`,
+      not `/`: epoch-nanos (~1.7e18) exceed a double's 53-bit
+      mantissa, so float division rounds the microsecond off by ±1 vs
+      an exact ns→us truncation.
+    - timestamp[us] without timezone → TIMESTAMP_NTZ: cast to
+      TIMESTAMP. The session timezone is pinned to UTC (session.py),
+      so the cast is value-identical to the epoch arithmetic above.
+    - already TIMESTAMP: pass through.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the landing-zone
     pattern: new files appear, the query incrementally processes
-    them). Converts the nano-timestamp like queries.load()."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    them). A stream needs its schema up front, so probe the actual
+    on-disk schema with a driver-side batch footer read, then apply
+    the same ts normalization as the batch loader."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        disk_schema = spark.read.parquet(path).schema
+    except Exception:
+        # TIMESTAMP(NANOS) file: readable only with nanos-as-long.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        disk_schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(disk_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # `div`, not `/`: see queries.load() — float division of epoch-nanos
-    # rounds the microsecond off by ±1
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
