@@ -63,6 +63,12 @@ HEADLINE = [
     "pipeline-pack-sequences",
     "text-vocab-topk",
     "text-length-quantiles",
+    "olap-order-priority",
+    "olap-volume-shipping",
+    "olap-market-share",
+    "events-funnel",
+    "events-retention",
+    "text-word-repetition",
 ]
 
 

@@ -178,6 +178,14 @@ _EST_COST = {
     # round-2 second batch; sorted after the first batch
     "olap-returned-items": 11.0, "olap-cust-order-dist": 11.1,
     "olap-promo-share": 11.2, "olap-small-qty-revenue": 11.3,
+    # round-4 batch; sorted after everything older so the 40 carried
+    # fresh slugs keep the front of the 50-slot driver window and these
+    # 10 exactly fill the back of it
+    "olap-order-priority": 12.0, "olap-volume-shipping": 12.1,
+    "olap-market-share": 12.2, "events-funnel": 12.3,
+    "events-retention": 12.4, "events-heavy-hitters": 12.5,
+    "text-word-repetition": 12.6, "text-bigram-topk": 12.7,
+    "text-idf": 12.8, "text-pii-redact": 12.9,
 }
 
 

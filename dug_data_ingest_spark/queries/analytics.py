@@ -608,3 +608,281 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sketch_within_3rsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-priority check (TPC-H Q4 shape): orders with at least one
+# late-shipping lineitem, counted by priority. The EXISTS becomes a
+# LEFT SEMI join — at 100 TB both sides are huge, so this is a
+# legitimate shuffle-on-orderkey join (no broadcast possible); the
+# orderdate range prunes the probe side at the scan and the semi join
+# short-circuits per key instead of materializing matches.
+# ---------------------------------------------------------------------------
+
+_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("olap-order-priority", oracle=_ORDER_PRIORITY_ORACLE)
+def olap_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Bilateral shipping volume (TPC-H Q7 shape): revenue between two
+# nations by direction and ship year. Nation pre-joins fold into the
+# customer/supplier dims (both broadcast), which prunes orders and
+# lineitem down to the two nations BEFORE the one unavoidable
+# fact-fact shuffle join (lineitem ⋈ orders). The shipdate filter is
+# pushed to the parquet scan.
+# ---------------------------------------------------------------------------
+
+_VOLUME_SHIPPING_ORACLE = """
+SELECT cust_nation, supp_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY cust_nation, supp_nation, l_year
+"""
+
+
+@query("olap-volume-shipping", oracle=_VOLUME_SHIPPING_ORACLE)
+def olap_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_1", "NATION_2")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brand market share (TPC-H Q8 shape): one brand's fraction of ASIA
+# revenue per order year. Both aggregates ride the same shuffle
+# (conditional-sum / sum), so the share costs one pass; part joins on
+# l_partkey as broadcast, the region/nation prune folds into the
+# broadcast customer dim.
+# ---------------------------------------------------------------------------
+
+_MARKET_SHARE_ORACLE = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN p_brand = 'Brand#12' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS brand_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume, p_brand
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA'
+) t
+GROUP BY o_year
+"""
+
+
+@query("olap-market-share", oracle=_MARKET_SHARE_ORACLE)
+def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_brand") == "Brand#12", volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("brand_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (product-analytics shape): users reaching
+# view → click → purchase in strict timestamp order. One shuffle on
+# user_id builds all three stage timestamps as conditional mins in a
+# single partial-aggregated pass; the final single-row reduction
+# moves one row per partition.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(t_view) AS n_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+             THEN 1 END) AS n_view_click_purchase
+FROM stages
+"""
+
+
+@query("events-funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_view_click_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention: users bucketed by first-active week,
+# counted per (cohort week, active week). ONE shuffle on user_id: the
+# per-user week set builds with a map-side-combined collect_set
+# (bounded — it holds calendar weeks, not events), the cohort is the
+# set minimum, and the final (cohort, week) agg is group-count-sized.
+# Week keys rendered as dates so the matrix is engine-stable.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT cohort_week, week, COUNT(*) AS n_users
+FROM activity JOIN cohort USING (user_id)
+GROUP BY cohort_week, week
+"""
+
+
+@query("events-retention", oracle=_RETENTION_ORACLE)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+                "week"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+    )
+    return (
+        per_user.select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
+        .groupBy("cohort_week", "week")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: top-20 users by event count. Partial-aggregated
+# groupBy then TakeOrderedAndProject (per-partition heaps, driver
+# merges 20 rows) — never a global sort of the user dimension.
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 20
+"""
+
+
+@query("events-heavy-hitters", oracle=_HEAVY_HITTERS_ORACLE)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(20)
+    )

@@ -20,6 +20,7 @@ from dug_data_ingest_spark.ext.curation import (
     vocab_topk,
     with_token_counts,
 )
+from dug_data_ingest_spark.functions.text import normalized_words, shingles_of
 from dug_data_ingest_spark.queries import load, query
 
 # Same normalization as extensions._WORDS (functions/text.py::normalized_words).
@@ -233,3 +234,166 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ext/curation.py:vocab_topk)."""
     docs = load(spark, sf_dir, "documents")
     return vocab_topk(docs, n=50)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition gauge: each doc's top-word fraction. One
+# explode + two keyed aggs, both on doc_id (the second reuses the
+# first's partitioning under AQE); the ratio divides two exact longs
+# so the rounded double is engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text-word-repetition",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    counts AS (
+      SELECT doc_id, token, count(*) AS c FROM words
+      WHERE token IS NOT NULL AND token != '' GROUP BY doc_id, token
+    )
+    SELECT doc_id, CAST(max(c) AS INT) AS top_count,
+           CAST(sum(c) AS INT) AS n_words,
+           ROUND(max(c) / sum(c), 4) AS top_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicate-word pressure (Gopher repetition filters):
+    most-frequent-token count over total tokens. Docs with a high
+    top fraction are the boilerplate/spam the pre-training gates
+    drop."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.max("c").cast("int").alias("top_count"),
+        F.sum("c").cast("int").alias("n_words"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus top bigrams: the 2-gram frequency head (the thing n-gram LMs
+# and contamination heuristics both start from). Shingle explode +
+# partial-aggregated groupBy + TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text-bigram-topk",
+    oracle=f"""
+    WITH words AS (SELECT {_WORDS} AS w FROM documents),
+    bi AS (
+      SELECT unnest(CASE WHEN len(w) >= 2
+                    THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                    ELSE []::VARCHAR[] END) AS bigram
+      FROM words
+    )
+    SELECT bigram, COUNT(*) AS n FROM bi
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(normalized_words(F.col("text")).alias("w"))
+    bigrams = words.select(F.explode(shingles_of(F.col("w"), k=2)).alias("bigram"))
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-frequency / IDF head: the vocabulary weighting table a
+# TF-IDF featurizer or rare-word filter consumes. count(distinct
+# doc_id) rewrites to a two-phase expand aggregate (vocabulary-sized
+# key space); the corpus size joins in as a broadcast scalar, never a
+# driver-side collect.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text-idf",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS n_docs FROM words
+      WHERE token IS NOT NULL AND token != '' GROUP BY token
+    )
+    SELECT token, n_docs,
+           ROUND(ln((SELECT count(*) FROM documents) / n_docs), 4) AS idf
+    FROM df ORDER BY n_docs DESC, token LIMIT 40
+    """,
+)
+def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("n_total"))
+    tokens = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    df_counts = tokens.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    return (
+        df_counts.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n_docs",
+            F.round(F.log(F.col("n_total") / F.col("n_docs")), 4).alias("idf"),
+        )
+        .orderBy(F.col("n_docs").desc(), "token")
+        .limit(40)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: mask emails / SSN-shaped / phone-shaped spans before
+# a corpus leaves the pipeline. Pure regexp_replace projection —
+# fused into the scan by codegen, no shuffle at any scale. The regex
+# subset (classes, counted repeats; no backrefs or lookaround) means
+# Java (Spark) and RE2 (DuckDB) agree byte-for-byte. This synthetic
+# corpus contains no PII, so the oracle verifies the transform is a
+# faithful no-op here (hashes equal, zero counts) — the match
+# machinery itself is exercised by both engines on every row.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\d{3}-\d{2}-\d{4}"
+_PII_PHONE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+@query(
+    "text-pii-redact",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_SSN}', '[SSN]', 'g'),
+                 '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_hash,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS INT) AS n_ssns
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_SSN,
+            "[SSN]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_hash"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_SSN)).alias("n_ssns"),
+    )

@@ -150,12 +150,39 @@ def test_olap_pricing_summary_pushdown_and_partial_agg(queries, spark):
     assert "partial_sum" in plan, plan
 
 
-@pytest.mark.parametrize("slug", ["olap-top-orders", "olap-returned-items"])
+@pytest.mark.parametrize(
+    "slug",
+    [
+        "olap-top-orders",
+        "olap-returned-items",
+        "events-heavy-hitters",
+        "text-bigram-topk",
+        "text-idf",
+    ],
+)
 def test_olap_topk_avoids_global_sort(queries, spark, slug):
     # orderBy + limit must plan as TakeOrderedAndProject (per-partition
     # heap), not a full Sort + Exchange of every group
     plan = _plan(queries[slug](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize("slug", ["olap-volume-shipping", "olap-market-share"])
+def test_q7_q8_dims_stay_broadcast(queries, spark, slug):
+    # The nation-pruned customer/supplier/part dims must broadcast;
+    # the only permissible shuffle join is fact ⋈ orders (and at this
+    # sf even that collapses to broadcast under AQE).
+    plan = _plan(queries[slug](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_events_retention_single_user_shuffle(queries, spark):
+    # The per-user week set must build in ONE map-side-combined
+    # shuffle on user_id (collect_set), plus the group-count-sized
+    # final agg — not distinct + agg + join (3 shuffles).
+    plan = _plan(queries["events-retention"](spark, SF_DIR))
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles <= 2, plan
 
 
 def test_cust_order_dist_aggregates_before_join(queries, spark):
