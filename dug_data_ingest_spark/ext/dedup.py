@@ -388,18 +388,25 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             for l in range(4)
         ],
     )
+    # Branch-free votes: sum the raw bit instead of a ±1 conditional —
+    # the ±1 vote sum equals 2·bits − n_words, so "vote > 0" is exactly
+    # "2·bits > n" in integer arithmetic (ties → 0 → bit unset, same
+    # as before; band values and the DuckDB oracle are unchanged).
+    # Dropping the per-occurrence when/otherwise from all 64 aggregate
+    # expressions cuts the sketch's dominant CPU cost measurably.
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"h{j // 16}"), j % 16).bitwiseAND(1) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{j}")
+        F.sum(F.shiftright(F.col(f"h{j // 16}"), j % 16).bitwiseAND(1)).alias(
+            f"b{j}"
+        )
         for j in range(64)
     ]
-    agg = lanes.groupBy(id_col).agg(*votes)
+    agg = lanes.groupBy(id_col).agg(F.count("*").alias("n"), *votes)
     lane_cols = [
         sum(
-            (F.when(F.col(f"b{16 * l + j}") > 0, 2**j).otherwise(0) for j in range(16)),
+            (
+                F.when(2 * F.col(f"b{16 * l + j}") > F.col("n"), 2**j).otherwise(0)
+                for j in range(16)
+            ),
             F.lit(0),
         )
         .cast("int")
