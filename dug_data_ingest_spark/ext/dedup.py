@@ -45,8 +45,18 @@ def fan_out(df: DataFrame) -> DataFrame:
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if not files or len(files) >= target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df  # streaming / Connect edge: leave the plan alone
+    if not files:
+        # No backing files: an in-memory LocalRelation (createDataFrame
+        # in tests and library callers) or a non-file source (JDBC),
+        # both of which typically arrive in 1-2 partitions. One
+        # round-robin shuffle here is cheap next to the per-row sketch
+        # work it parallelizes.
+        return df.repartition(target)
+    if len(files) >= target:
         return df
     total = 0
     for uri in files:
@@ -278,7 +288,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs that share
     at least one shingle: (a, b, jaccard ≥ threshold).
@@ -286,8 +296,10 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` drops shingles appearing in more than that many
     documents BEFORE the self-join (Jaccard is then over the filtered
     sets on both sides, so values can differ from the uncapped exact
-    Jaccard — which is why the cap is opt-in rather than a default;
-    ALWAYS set it on corpora where any shingle may be ubiquitous). Without it, one ubiquitous shingle shared by
+    Jaccard). The cap defaults ON (1000) because the bare call must be
+    scale-safe; pass ``max_doc_freq=None`` to explicitly opt in to the
+    uncapped exact semantics on corpora known to have no ubiquitous
+    shingle. Without the cap, one ubiquitous shingle shared by
     m documents creates an m² join bucket — the classic shared-token
     blowup: at 100 TB a single stop-word shingle in 10⁶ docs is a
     10¹²-row bucket. A shingle in >cap docs carries no discriminating

@@ -2,14 +2,20 @@
 columns with typed metadata, processed by Arrow-batched mapInPandas
 stages.
 
-The decode step itself is STUBBED (this container has no image/audio
-libraries — see ``decode_image``): the Spark-side contract — schema,
-partitioning, UDF signature, batch shape — is real and tested, and a
-deterministic fake decoder exercises the full pipeline.
+The decoders are REAL pure-stdlib codecs (no PIL/opencv needed):
+binary PPM (P6) and 24-bit uncompressed BMP are both fully specified
+byte formats parseable with ``struct``/bytes. ``decode_image``
+dispatches on the magic bytes, so a media frame can mix formats
+row-by-row. Test payloads are synthesized deterministically from the
+row id (``synth_image_media``), which lets a SQL oracle replay the
+decoded statistics in closed form — if the encoder, parser, or
+resampler were wrong, the replay would not match.
 """
 
 from __future__ import annotations
 
+import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -37,29 +43,210 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decoder entry point — requires an image library that is
-    not available in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; use fake_decode for the "
-        "deterministic test path"
+# ---------------------------------------------------------------------------
+# Pure-stdlib image codecs. Pixel buffers are RGB, row-major, top-down,
+# 3 bytes per pixel (the PPM wire order) regardless of container.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255): ASCII header + raw RGB rows."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"pixel buffer is {len(pixels)} bytes, "
+                         f"need {width * height * 3}")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PPM: returns (width, height, RGB pixel bytes).
+    Handles arbitrary whitespace and ``#`` comments between header
+    tokens, per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace / comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # single whitespace byte after maxval, then raster
+    pixels = payload[pos : pos + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return width, height, pixels
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER): BGR, bottom-up rows
+    padded to 4-byte boundaries — the classic Windows DIB layout."""
+    if len(pixels) != width * height * 3:
+        raise ValueError(f"pixel buffer is {len(pixels)} bytes, "
+                         f"need {width * height * 3}")
+    row_size = (3 * width + 3) // 4 * 4
+    image_size = row_size * height
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            off = (y * width + x) * 3
+            r, g, b = pixels[off], pixels[off + 1], pixels[off + 2]
+            row += bytes((b, g, r))  # BGR on the wire
+        row += b"\x00" * (row_size - 3 * width)
+        rows.append(bytes(row))
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 0, 0, 0, 0
+    )
+    return file_header + info_header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a 24-bit uncompressed BMP: returns (width, height, RGB
+    pixel bytes in top-down row-major order)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise ValueError(f"unsupported DIB header size {header_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp uncompressed supported "
+                         f"(got bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (3 * width + 3) // 4 * 4
+    out = bytearray(width * height * 3)
+    for row_idx in range(height):
+        y = height - 1 - row_idx if bottom_up else row_idx
+        base = pixel_offset + row_idx * row_size
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            off = (y * width + x) * 3
+            out[off : off + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode any supported image payload, dispatching on the magic
+    bytes: P6 PPM or 24-bit BMP → (width, height, RGB top-down)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+
+def reencode_image(payload_magic: bytes, width: int, height: int,
+                   pixels: bytes) -> bytes:
+    """Re-encode pixels in the same container the source used."""
+    if payload_magic == b"P6":
+        return encode_ppm(width, height, pixels)
+    if payload_magic == b"BM":
+        return encode_bmp(width, height, pixels)
+    raise ValueError(f"unrecognized image magic {payload_magic!r}")
+
+
+def nn_resize(pixels: bytes, width: int, height: int,
+              new_width: int, new_height: int) -> bytes:
+    """Nearest-neighbor resample of an RGB buffer: output pixel (x, y)
+    reads source pixel ((x*width)//new_width, (y*height)//new_height) —
+    the floor-index mapping, deterministic and SQL-replayable."""
+    out = bytearray(new_width * new_height * 3)
+    for y in range(new_height):
+        sy = (y * height) // new_height
+        for x in range(new_width):
+            sx = (x * width) // new_width
+            src = (sy * width + sx) * 3
+            dst = (y * new_width + x) * 3
+            out[dst : dst + 3] = pixels[src : src + 3]
+    return bytes(out)
+
+
+def image_stats(payload: bytes) -> tuple[int, int, list[float]]:
+    """Default feature extractor: REAL decode, then exact integer
+    statistics over the pixel values — [sum, min, max, n_values] as
+    doubles (all exact: sums stay far under 2^53). Integer stats keep
+    the cross-engine hash comparison exact where a float mean could
+    differ in the last ulp."""
+    width, height, pixels = decode_image(payload)
+    return width, height, [
+        float(sum(pixels)),
+        float(min(pixels)),
+        float(max(pixels)),
+        float(len(pixels)),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic payload synthesis: real images whose pixels follow a
+# closed-form formula of the id, so SQL oracles can replay the decoded
+# stats without a binary parser.
+# ---------------------------------------------------------------------------
+
+
+def synth_dims(media_id: int) -> tuple[int, int]:
+    return 4 + media_id % 5, 3 + media_id % 4
+
+
+def synth_pixels(media_id: int, width: int, height: int) -> bytes:
+    """Pixel (x, y) channel c = (7*id + 13x + 31y + 97c) mod 256."""
+    return bytes(
+        (7 * media_id + 13 * x + 31 * y + 97 * c) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
     )
 
 
-def fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic stand-in decoder: derives a fake (width, height)
-    and an 4-dim feature from the bytes themselves, so the pipeline is
-    fully testable without media libraries."""
-    n = len(payload)
-    width = (payload[0] if n else 0) + 1
-    height = (payload[-1] if n else 0) + 1
-    feature = [
-        float(n),
-        float(sum(payload[:16]) % 997),
-        float(width * height % 101),
-        float(payload[n // 2] if n else 0),
-    ]
-    return width, height, feature
+def synth_image_payload(media_id: int) -> tuple[bytes, str]:
+    """A real image for ``media_id``: even ids encode as PPM, odd as
+    BMP, so downstream decode paths must dispatch on format."""
+    width, height = synth_dims(media_id)
+    pixels = synth_pixels(media_id, width, height)
+    if media_id % 2 == 0:
+        return encode_ppm(width, height, pixels), "image/x-portable-pixmap"
+    return encode_bmp(width, height, pixels), "image/bmp"
+
+
+def synth_image_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched fixture stage: id column → MEDIA_SCHEMA frame of
+    real PPM/BMP payloads. Python is fine here — this is test-fixture
+    generation; production media arrives as binary columns and goes
+    straight into the decode stages below."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            for mid in batch[id_col]:
+                mid = int(mid)
+                payload, mtype = synth_image_payload(mid)
+                out["media_id"].append(mid)
+                out["payload"].append(payload)
+                out["media_type"].append(mtype)
+                out["n_bytes"].append(len(payload))
+                out["checksum"].append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return ids.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame stages.
+# ---------------------------------------------------------------------------
 
 
 def as_media(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:
@@ -75,43 +262,56 @@ def as_media(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> D
     )
 
 
-def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
+def extract_features(media: DataFrame, decoder=image_stats,
+                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Arrow-batched decode/feature-extract stage. Batch shape: each
     pandas batch holds whole payloads (bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch); partitioning is
     whatever upstream chose — repartition by size class first when
-    payloads are skewed (a few 4K videos among thumbnails)."""
+    payloads are skewed (a few 4K videos among thumbnails).
+
+    ``keep_cols`` carries metadata columns through the stage so a
+    consumer needing payload stats + envelope fields gets them in ONE
+    decode pass instead of a self-join of two decode branches."""
+    out_schema = T.StructType(
+        list(FEATURE_SCHEMA.fields)
+        + [media.schema[c] for c in keep_cols]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = {"media_id": [], "width": [], "height": [], "feature": []}
+            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for row in batch.itertuples(index=False):
                 w, h, feat = decoder(bytes(row.payload))
                 out["media_id"].append(row.media_id)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["feature"].append(feat)
+                for c in keep_cols:
+                    out[c].append(getattr(row, c))
             yield pd.DataFrame(
                 {k: pd.Series(v, dtype="object") for k, v in out.items()}
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    cols = ["media_id", "payload", *keep_cols]
+    return media.select(*cols).mapInPandas(run, out_schema)
 
 
-def fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in for an image resize: truncate the opaque
-    payload to the target pixel budget. A real implementation decodes,
-    resamples, re-encodes (PIL/opencv — not in this container)."""
-    return payload[: width * height]
+def resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize: decode, nearest-neighbor resample, re-encode
+    in the source container format."""
+    src_w, src_h, pixels = decode_image(payload)
+    resized = nn_resize(pixels, src_w, src_h, width, height)
+    return reencode_image(payload[:2], width, height, resized)
 
 
-def resize(media: DataFrame, width: int, height: int, resizer=fake_resize) -> DataFrame:
+def resize(media: DataFrame, width: int, height: int,
+           resizer=resize_payload) -> DataFrame:
     """Arrow-batched resize stage: payload → payload, metadata
     recomputed. Same MEDIA_SCHEMA out as in, so resize stages compose
     with extract_features/frame_sample; at scale this is the classic
     map-heavy stage you'd run after a size-class repartition so one
     4K video doesn't straggle a partition of thumbnails."""
-    import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

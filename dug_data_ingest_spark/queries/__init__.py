@@ -42,22 +42,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     or plain timestamp[us]. Branch on the dtype that actually comes back
     from the scan (see ``streaming.events.normalize_events_ts``) so both
     encodings yield the same TIMESTAMP column. The legacy conf is only
-    set when the default read rejects the file, so sessions over micros
-    data never see it.
+    set when the default read fails with the specific nanos
+    schema-conversion error (and rolled back if the retry fails), so
+    sessions over micros data — or hitting unrelated read errors —
+    never see it.
     """
     path = f"{sf_dir}/{table}.parquet"
     if table != "events":
         return spark.read.parquet(path)
 
-    from dug_data_ingest_spark.streaming.events import normalize_events_ts
+    from dug_data_ingest_spark.streaming.events import (
+        normalize_events_ts,
+        read_events_parquet,
+    )
 
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        # TIMESTAMP(NANOS) file: readable only with nanos-as-long.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    return normalize_events_ts(df)
+    return normalize_events_ts(read_events_parquet(spark, path))
 
 
 def _register_all() -> None:
@@ -85,26 +84,38 @@ def _register_all() -> None:
 # them back into the graded window automatically instead of rotting in
 # a hardcoded list.
 
-# Slugs whose green rows predate the 2026-08-13 testdata regeneration
-# that changed events.ts from TIMESTAMP(NANOS) to timestamp[us]: their
-# round-1 greens were graded against data that no longer exists, so
-# treat them as fresh until a round >= the cutoff re-grades them.
+# Slugs whose green rows predate a semantic change to the query or its
+# oracle: the old green was graded against behavior that no longer
+# exists, so treat them as fresh until a round >= the cutoff re-grades
+# them. (r4 cutoffs: the 2026-08-13 testdata regeneration changed
+# events.ts encoding; r5 cutoffs: pii-redact gained positive-injection
+# verification, the multimodal decoders became real.)
 _REGRADE_BEFORE_ROUND = {
     "filter-grep": 4,
     "proj-safe-text": 4,
     "proj-nested-get": 4,
     "join-range-events": 4,
     "join-asof-events": 4,
+    "text-pii-redact": 5,
+    "mm-decode-features": 5,
+    "mm-resize": 5,
 }
 
 
-def _driver_green() -> set[str]:
-    """Slugs whose most recent driver correctness row passed.
+# A green row older than this many rounds is treated as stale: the slug
+# rotates back into the graded window (oldest vintage first) so no
+# slug's latest driver row ever rots more than ~2 rounds behind HEAD.
+_STALE_AFTER_ROUNDS = 2
 
-    A row passes when it ran without error and the row counts matched
-    (hash/schema matches additionally hold for every oracle-backed row
-    the driver has ever recorded; rows-only is the weaker gate the
-    driver applies to non-SQL-expressible slugs).
+
+def _driver_rows() -> tuple[dict[str, tuple[int, bool]], int]:
+    """Latest driver correctness row per slug: ``{slug: (round, ok)}``
+    plus the newest round number seen on disk.
+
+    A row is ``ok`` when it ran without error, the row counts matched,
+    and the driver did not record an explicit hash mismatch
+    (``hash_match is not False`` — rows-only slugs, where the driver
+    omits the hash, still qualify, but a recorded mismatch never does).
     """
     import glob
     import json
@@ -115,9 +126,11 @@ def _driver_green() -> set[str]:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     latest: dict[str, tuple[int, bool]] = {}
+    max_round = 0
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
+        max_round = max(max_round, rnd)
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -126,13 +139,26 @@ def _driver_green() -> set[str]:
         for slug, r in rows.items():
             if not isinstance(r, dict):
                 continue
-            ok = r.get("err") is None and r.get("rows_match") is True
+            ok = (
+                r.get("err") is None
+                and r.get("rows_match") is True
+                and r.get("hash_match") is not False
+            )
             if slug not in latest or rnd >= latest[slug][0]:
                 latest[slug] = (rnd, ok)
+    return latest, max_round
+
+
+def _driver_green() -> set[str]:
+    """Slugs with a CURRENT green driver row (fails, never-graded and
+    stale-vintage greens are all excluded so they rotate forward)."""
+    latest, max_round = _driver_rows()
     return {
         slug
         for slug, (rnd, ok) in latest.items()
-        if ok and rnd >= _REGRADE_BEFORE_ROUND.get(slug, 0)
+        if ok
+        and rnd >= _REGRADE_BEFORE_ROUND.get(slug, 0)
+        and max_round - rnd < _STALE_AFTER_ROUNDS
     }
 
 
@@ -190,14 +216,29 @@ _EST_COST = {
 
 
 def _prioritized(keys):
+    """Order the registry so the driver's ~50-slot graded prefix does
+    the most useful work each round: failed / never-graded slugs first,
+    then stale greens oldest-vintage-first (so every slug's green row is
+    refreshed within ~2 rounds), then current greens — themselves
+    vintage-ordered so any leftover window slots re-grade the oldest."""
     keys = list(keys)
+    latest, _ = _driver_rows()
     green = _driver_green()
     order = {k: i for i, k in enumerate(keys)}
+
+    def vintage(k):
+        rnd, ok = latest.get(k, (0, False))
+        return rnd if ok else -1  # failed/never-graded outrank stale
+
     fresh = sorted(
         (k for k in keys if k not in green),
-        key=lambda k: (_EST_COST.get(k, 0.5), order[k]),
+        key=lambda k: (vintage(k), _EST_COST.get(k, 0.5), order[k]),
     )
-    return fresh + [k for k in keys if k in green]
+    tail = sorted(
+        (k for k in keys if k in green),
+        key=lambda k: (vintage(k), order[k]),
+    )
+    return fresh + tail
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

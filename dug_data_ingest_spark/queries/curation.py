@@ -356,35 +356,56 @@ def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a corpus leaves the pipeline. Pure regexp_replace projection —
 # fused into the scan by codegen, no shuffle at any scale. The regex
 # subset (classes, counted repeats; no backrefs or lookaround) means
-# Java (Spark) and RE2 (DuckDB) agree byte-for-byte. This synthetic
-# corpus contains no PII, so the oracle verifies the transform is a
-# faithful no-op here (hashes equal, zero counts) — the match
-# machinery itself is exercised by both engines on every row.
+# Java (Spark) and RE2 (DuckDB) agree byte-for-byte. The synthetic
+# corpus contains no PII, so BOTH engines first inject deterministic
+# spans (a doc_id-derived email + fixed SSN/phone on every 7th doc);
+# the oracle then verifies a POSITIVE redaction — changed hashes and
+# nonzero match counts — not merely a faithful no-op.
 # ---------------------------------------------------------------------------
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_SSN = r"\d{3}-\d{2}-\d{4}"
 _PII_PHONE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
+# Appended to every (doc_id % 7 == 0) doc, after a doc_id-derived email.
+_PII_TAIL = " ssn 123-45-6789 tel 555.123.4567 end"
 
 
 @query(
     "text-pii-redact",
     oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com{_PII_TAIL}'
+                  ELSE text END AS text
+      FROM documents
+    )
     SELECT doc_id,
            md5(regexp_replace(regexp_replace(regexp_replace(text,
                  '{_PII_EMAIL}', '[EMAIL]', 'g'),
                  '{_PII_SSN}', '[SSN]', 'g'),
                  '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_hash,
            CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS INT) AS n_ssns
-    FROM documents
+           CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS INT) AS n_ssns,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones
+    FROM injected
     """,
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com" + _PII_TAIL),
+        ),
+    ).otherwise(F.col("text"))
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            F.regexp_replace(injected, _PII_EMAIL, "[EMAIL]"),
             _PII_SSN,
             "[SSN]",
         ),
@@ -394,6 +415,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(redacted).alias("redacted_hash"),
-        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
-        F.regexp_count(F.col("text"), F.lit(_PII_SSN)).alias("n_ssns"),
+        F.regexp_count(injected, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(injected, F.lit(_PII_SSN)).alias("n_ssns"),
+        F.regexp_count(injected, F.lit(_PII_PHONE)).alias("n_phones"),
     )

@@ -29,6 +29,7 @@ from dug_data_ingest_spark.ext.multimodal import (
     extract_features,
     frame_sample,
     resize,
+    synth_image_media,
 )
 from dug_data_ingest_spark.ext.similarity import (
     cosine_dup_pairs,
@@ -654,8 +655,10 @@ def sim_topk_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal plumbing (payload = utf-8 bytes of documents.text — the
-# real decode is stubbed; see ext/multimodal.py)
+# Multimodal: mm-binary-meta / mm-frame-sample treat documents.text
+# bytes as an opaque payload (envelope + offset plumbing, format-
+# agnostic); mm-decode-features / mm-resize run REAL stdlib PPM/BMP
+# codecs over synthesized images (see ext/multimodal.py).
 # ---------------------------------------------------------------------------
 
 
@@ -681,35 +684,48 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The decode oracle replays, in closed form, what Spark computes by
+# actually ENCODING real PPM/BMP bytes and PARSING them back
+# (ext/multimodal.py): synth pixel (x, y, c) of doc d is
+# (7d + 13x + 31y + 97c) mod 256 at width 4 + d%5, height 3 + d%4.
+# If the encoder, the struct-level parser, or the stats pass were
+# wrong, the integer sums/extrema would not match.
 _DECODE_ORACLE = """
-WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-s AS (
-  SELECT doc_id, sum(ascii(substr(text, CAST(i AS INT), 1))) % 997 AS f1
-  FROM (SELECT doc_id, text, unnest(generate_series(1, least(16, n))) AS i FROM m)
-  GROUP BY doc_id
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+px AS (
+  SELECT doc_id, w, h, (7 * doc_id + 13 * x + 31 * y + 97 * c) % 256 AS v
+  FROM (SELECT doc_id, w, h, x, y, unnest([0, 1, 2]) AS c FROM ys)
 )
-SELECT m.doc_id AS media_id,
-       ascii(substr(text, 1, 1)) + 1 AS width,
-       ascii(substr(text, CAST(n AS INT), 1)) + 1 AS height,
-       CAST(n AS DOUBLE) AS f0,
-       CAST(s.f1 AS DOUBLE) AS f1,
-       CAST(((ascii(substr(text, 1, 1)) + 1) * (ascii(substr(text, CAST(n AS INT), 1)) + 1)) % 101 AS DOUBLE) AS f2,
-       CAST(ascii(substr(text, CAST(n // 2 AS INT) + 1, 1)) AS DOUBLE) AS f3
-FROM m JOIN s USING (doc_id)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MIN(v) AS INT) AS px_min,
+       CAST(MAX(v) AS INT) AS px_max,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px GROUP BY doc_id, w, h
 """
 
 
 @query("mm-decode-features", oracle=_DECODE_ORACLE)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(_media(spark, sf_dir))
+    """Real image decode over a mixed-format media column: synthesize
+    deterministic PPM (even ids) / BMP (odd ids) payloads, then
+    struct-parse them back and emit exact pixel statistics."""
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_features(synth_image_media(docs))
     return feats.select(
         "media_id",
         "width",
         "height",
-        F.col("feature").getItem(0).alias("f0"),
-        F.col("feature").getItem(1).alias("f1"),
-        F.col("feature").getItem(2).alias("f2"),
-        F.col("feature").getItem(3).alias("f3"),
+        F.col("feature").getItem(0).cast("bigint").alias("px_sum"),
+        F.col("feature").getItem(1).cast("int").alias("px_min"),
+        F.col("feature").getItem(2).cast("int").alias("px_max"),
+        F.col("feature").getItem(3).cast("bigint").alias("n_px"),
     )
 
 
@@ -889,18 +905,41 @@ def sim_lsh_recall_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm-resize",
+    # Replays the full chain encode → decode → nearest-neighbor
+    # resample to 4x3 → re-encode → decode → stats: resized pixel
+    # (i, j, c) reads source ((i*w)//4, (j*h)//3); n_bytes pins the
+    # re-encoded container (PPM 11-byte header + 36 raster bytes = 47,
+    # BMP 54-byte headers + unpadded 12-byte rows * 3 = 90).
     oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS i FROM dims),
+    ys AS (SELECT doc_id, w, h, i, unnest(generate_series(0, 2)) AS j FROM xs),
+    px AS (
+      SELECT doc_id,
+             (7 * doc_id + 13 * ((i * w) // 4) + 31 * ((j * h) // 3)
+              + 97 * c) % 256 AS v
+      FROM (SELECT doc_id, w, h, i, j, unnest([0, 1, 2]) AS c FROM ys)
+    )
     SELECT doc_id AS media_id,
-           CAST(least(octet_length(encode(text)), 96) AS BIGINT) AS n_bytes,
-           md5(substr(text, 1, 96)) AS checksum
-    FROM documents
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 47 ELSE 90 END AS BIGINT)
+             AS n_bytes,
+           CAST(SUM(v) AS BIGINT) AS px_sum
+    FROM px GROUP BY doc_id
     """,
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize to a 12x8 'pixel' budget (96 bytes of the fake payload);
-    the oracle replays the truncation + md5 on the text source."""
-    return resize(_media(spark, sf_dir), width=12, height=8).select(
-        "media_id", "n_bytes", "checksum"
+    """Real nearest-neighbor resize to 4x3 over mixed PPM/BMP payloads,
+    verified by re-decoding the re-encoded output: one decode pass
+    (keep_cols) yields both the container size and the pixel sum."""
+    docs = load(spark, sf_dir, "documents")
+    resized = resize(synth_image_media(docs), width=4, height=3)
+    feats = extract_features(resized, keep_cols=("n_bytes",))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("feature").getItem(0).cast("bigint").alias("px_sum"),
     )
 
 

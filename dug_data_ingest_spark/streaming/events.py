@@ -121,6 +121,42 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Substrings identifying the one failure the nanos-as-long retry can
+# fix: Spark's parquet schema converter rejecting TIMESTAMP(NANOS).
+# Any other read failure (missing path, corrupt footer, permissions)
+# must propagate untouched — blanket-retrying would leak a session-wide
+# legacy conf that silently changes how every later nanos-typed parquet
+# column is read.
+_NANOS_ERR_MARKERS = ("TIMESTAMP(NANOS", "Illegal Parquet type")
+
+
+def read_events_parquet(spark, path: str) -> DataFrame:
+    """Batch-read an events parquet file under either historical ``ts``
+    encoding (plain timestamp[us], or TIMESTAMP(NANOS) which Spark only
+    reads with ``spark.sql.legacy.parquet.nanosAsLong``). The legacy
+    conf is set only when the default read fails with the specific
+    nanos schema-conversion error, and is rolled back if the retry
+    fails too, so unrelated failures never leave it behind."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:
+        if not any(m in str(e) for m in _NANOS_ERR_MARKERS):
+            raise
+        try:
+            prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prev = None
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+            raise
+
+
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the landing-zone
     pattern: new files appear, the query incrementally processes
@@ -128,12 +164,7 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     on-disk schema with a driver-side batch footer read, then apply
     the same ts normalization as the batch loader."""
     path = f"{sf_dir}/events.parquet"
-    try:
-        disk_schema = spark.read.parquet(path).schema
-    except Exception:
-        # TIMESTAMP(NANOS) file: readable only with nanos-as-long.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        disk_schema = spark.read.parquet(path).schema
+    disk_schema = read_events_parquet(spark, path).schema
     raw = (
         spark.readStream.schema(disk_schema)
         .option("pathGlobFilter", "events.parquet")

@@ -1,0 +1,112 @@
+"""Pure-stdlib image codec tests: the PPM/BMP parsers, the
+nearest-neighbor resampler, and the synth fixtures that make the
+decoded statistics SQL-replayable."""
+
+from __future__ import annotations
+
+import pytest
+
+from dug_data_ingest_spark.ext.multimodal import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    image_stats,
+    nn_resize,
+    resize_payload,
+    synth_dims,
+    synth_image_payload,
+    synth_pixels,
+)
+
+
+def _checker(width: int, height: int) -> bytes:
+    return bytes(
+        255 * ((x + y) % 2) for y in range(height) for x in range(width)
+        for _ in range(3)
+    )
+
+
+def test_ppm_round_trip():
+    px = synth_pixels(7, 5, 4)
+    assert decode_ppm(encode_ppm(5, 4, px)) == (5, 4, px)
+
+
+def test_ppm_handles_comments_and_whitespace():
+    px = _checker(2, 2)
+    payload = b"P6\n# a comment\n 2\t2 # trailing\n255\n" + px
+    assert decode_ppm(payload) == (2, 2, px)
+
+
+def test_bmp_round_trip_unpadded_and_padded_rows():
+    # width 4 -> 12-byte rows (no padding); width 5 -> 15 -> padded 16.
+    for w, h in [(4, 3), (5, 3), (7, 2)]:
+        px = synth_pixels(3, w, h)
+        assert decode_bmp(encode_bmp(w, h, px)) == (w, h, px)
+
+
+def test_bmp_layout_is_bottom_up_bgr():
+    # One red pixel top-left of a 2x2: in the file it must appear in
+    # the LAST row (bottom-up) as BGR (0, 0, 255).
+    px = bytes([255, 0, 0] + [0] * 9)
+    payload = encode_bmp(2, 2, px)
+    row_size = 8  # 2 px * 3 B = 6, padded to 8
+    first_file_row = payload[54 : 54 + row_size]
+    second_file_row = payload[54 + row_size : 54 + 2 * row_size]
+    assert first_file_row[:6] == bytes(6)  # bottom image row: all black
+    assert second_file_row[:3] == bytes([0, 0, 255])  # top-left, BGR
+
+
+def test_decode_image_dispatches_on_magic():
+    px = synth_pixels(1, 4, 3)
+    assert decode_image(encode_ppm(4, 3, px)) == (4, 3, px)
+    assert decode_image(encode_bmp(4, 3, px)) == (4, 3, px)
+    with pytest.raises(ValueError, match="magic"):
+        decode_image(b"GIF89a...")
+
+
+def test_nn_resize_matches_index_formula():
+    w, h, tw, th = 6, 5, 4, 3
+    px = synth_pixels(11, w, h)
+    out = nn_resize(px, w, h, tw, th)
+    for j in range(th):
+        for i in range(tw):
+            sx, sy = (i * w) // tw, (j * h) // th
+            src = (sy * w + sx) * 3
+            dst = (j * tw + i) * 3
+            assert out[dst : dst + 3] == px[src : src + 3]
+
+
+def test_nn_resize_identity():
+    px = synth_pixels(2, 5, 4)
+    assert nn_resize(px, 5, 4, 5, 4) == px
+
+
+def test_resize_payload_keeps_container_format():
+    ppm, _ = synth_image_payload(2)  # even -> PPM
+    bmp, _ = synth_image_payload(3)  # odd -> BMP
+    assert resize_payload(ppm, 4, 3)[:2] == b"P6"
+    assert resize_payload(bmp, 4, 3)[:2] == b"BM"
+    assert len(resize_payload(ppm, 4, 3)) == 11 + 36
+    assert len(resize_payload(bmp, 4, 3)) == 54 + 36
+
+
+def test_image_stats_replays_synth_formula():
+    for mid in [0, 1, 6, 13]:
+        payload, _ = synth_image_payload(mid)
+        w0, h0 = synth_dims(mid)
+        vals = [
+            (7 * mid + 13 * x + 31 * y + 97 * c) % 256
+            for y in range(h0)
+            for x in range(w0)
+            for c in range(3)
+        ]
+        w, h, feat = image_stats(payload)
+        assert (w, h) == (w0, h0)
+        assert feat == [
+            float(sum(vals)),
+            float(min(vals)),
+            float(max(vals)),
+            float(len(vals)),
+        ]

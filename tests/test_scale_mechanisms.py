@@ -159,6 +159,37 @@ def test_jaccard_df_cap_kills_hot_shingle_blowup(spark):
     assert capped == 0  # hot shingle dropped -> no candidates
 
 
+def test_jaccard_df_cap_defaults_on(spark):
+    # The bare call must be scale-safe: the cap defaults to a finite
+    # value (uncapped is an explicit max_doc_freq=None opt-out), and a
+    # default-args call over a hot-shingle corpus behaves as capped —
+    # the ubiquitous shingle is dropped, not joined m².
+    import inspect
+
+    from dug_data_ingest_spark.ext.dedup import ngram_jaccard_pairs
+
+    default = inspect.signature(ngram_jaccard_pairs).parameters[
+        "max_doc_freq"
+    ].default
+    assert isinstance(default, int) and default > 0
+
+    n = 30
+    docs = spark.createDataFrame(
+        [(i, f"the quick fox w{i}a w{i}b w{i}c") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    # A bare call takes the capped plan (equal to the explicit-cap
+    # call), not the uncapped quadratic one.
+    bare = sorted(map(tuple, ngram_jaccard_pairs(docs, 0.0).collect()))
+    explicit = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(docs, 0.0, max_doc_freq=default).collect(),
+        )
+    )
+    assert bare == explicit
+
+
 def test_jaccard_df_cap_is_noop_below_cap(spark):
     # When no shingle exceeds the cap the capped and uncapped paths
     # must produce identical pairs AND identical jaccard values (the
