@@ -68,6 +68,10 @@ def run_index(spark: SparkSession, args) -> None:
     from dug_data_ingest_spark.sources.files import write_csv
 
     variables = _read(spark, args.variables, args.csv)
+    # Driver-side collect is bounded by the number of DISTINCT
+    # repositories (tens, not rows — SURVEY §7 hard-part 7 requires
+    # explicit pivot values). If a dataset ever had unbounded
+    # repository cardinality, pass --repos explicitly instead.
     repos = args.repos or [
         r[0] for r in variables.select("repository").distinct().orderBy("repository").collect()
     ]

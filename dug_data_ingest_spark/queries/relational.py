@@ -457,6 +457,40 @@ def join_edge_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jn.edge_gen(orders, "subj", "obj")
 
 
+@query(
+    "join-skew-salted",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew escape hatch as a registered, oracle-checked query:
+    lineitem ⋈ part through salted_join (operators/joins.py), revenue
+    per brand. Semantically identical to the plain equi-join — the
+    oracle proves it — while the physical plan spreads every part key
+    over 8 salt buckets, the shape that keeps one hot key (a single
+    study id carrying 10^8 variable rows, a viral document) from
+    pinning a 100 TB join onto one reducer. Plan pinned by
+    tests/test_plan_shapes.py::test_salted_join_salts_the_plan."""
+    items = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice", "l_discount"
+    )
+    parts = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    joined = jn.salted_join(items, parts, on="partkey", salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------

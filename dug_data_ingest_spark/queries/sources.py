@@ -349,11 +349,53 @@ def snk_xml_gapexchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         render_gap_exchange,
     )
 
-    studies = load(spark, sf_dir, "customer").select(
+    studies = _customer_as_studies(spark, sf_dir)
+    return parse_gap_exchange(render_gap_exchange(studies))
+
+
+def _customer_as_studies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
         F.concat(F.lit("phs"), F.lpad(F.col("c_custkey").cast("string"), 6, "0")).alias("study_id"),
         F.concat(F.lit("phs"), F.lpad(F.col("c_custkey").cast("string"), 6, "0"), F.lit(".v1.p1")).alias("accession"),
         F.col("c_name").alias("study_name"),
         F.col("c_mktsegment").alias("description"),
         F.col("c_mktsegment").alias("program"),
     )
-    return parse_gap_exchange(render_gap_exchange(studies))
+
+
+@query(
+    "xml-modify-study-name",
+    oracle="""
+    SELECT 'phs' || lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS study_id,
+           CASE WHEN c_custkey % 3 = 0 THEN 'Gen3 ' || c_name
+                ELSE c_name END AS study_name,
+           c_custkey % 3 = 0 AS modified
+    FROM customer
+    """,
+)
+def xml_modify_study_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GapExchange in-place study rename, reference parity for
+    modify_gapexchange_study_name (scripts/bdc/get_dbgap_data_dicts.py:24-42):
+    render real GaPExchange docs, rewrite StudyNameEntrez for the
+    studies Gen3 renames (every 3rd customer here), then RE-PARSE the
+    re-serialized XML — the oracle-checked study_name proves the edit
+    survived a full serialize/parse cycle, and ``modified`` pins the
+    reference's True/False contract."""
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        modify_gap_exchange_study_name,
+        parse_gap_exchange,
+        render_gap_exchange,
+    )
+
+    studies = _customer_as_studies(spark, sf_dir)
+    docs = render_gap_exchange(studies.drop("custkey"))
+    renames = studies.filter(F.col("custkey") % 3 == 0).select(
+        "study_id",
+        F.concat(F.lit("Gen3 "), F.col("study_name")).alias("new_study_name"),
+    )
+    out = modify_gap_exchange_study_name(docs, renames)
+    parsed = parse_gap_exchange(out.select("study_id", "xml"))
+    return parsed.select("study_id", "study_name").join(
+        out.select("study_id", "modified"), "study_id"
+    )

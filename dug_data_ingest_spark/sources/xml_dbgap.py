@@ -186,6 +186,77 @@ def render_gap_exchange(studies: DataFrame, add_stylesheet: bool = False) -> Dat
     return studies.mapInPandas(render, GAP_EXCHANGE_SCHEMA)
 
 
+MODIFIED_GAP_EXCHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("study_id", T.StringType()),
+        T.StructField("xml", T.StringType()),
+        T.StructField("modified", T.BooleanType()),
+    ]
+)
+
+
+def modify_gap_exchange_study_name(
+    docs: DataFrame, renames: DataFrame, name_col: str = "new_study_name"
+) -> DataFrame:
+    """Rewrite ``StudyNameEntrez`` inside GaPExchange documents.
+
+    Reference parity: modify_gapexchange_study_name
+    (scripts/bdc/get_dbgap_data_dicts.py:24-42) edits one downloaded
+    file in place with the new name Gen3 supplies, returning True only
+    when a ``Study/Configuration/StudyNameEntrez`` element existed.
+    The Spark-first shape: ``renames`` is a small (study_id,
+    new_study_name) dim — broadcast-joined onto the (study_id, xml)
+    corpus so the rewrite never shuffles the documents — and the edit
+    is parse → set text → re-serialize per row. Rows with no rename,
+    or docs missing the element, pass through unchanged with
+    ``modified = false`` (the reference's False path).
+    """
+    from pyspark.sql import functions as F
+
+    # No underscore prefix on the temp column: pandas itertuples
+    # renames private-looking fields positionally.
+    joined = docs.join(
+        F.broadcast(
+            renames.select("study_id", F.col(name_col).alias("renamed_to"))
+        ),
+        "study_id",
+        "left",
+    ).select("study_id", "xml", "renamed_to")
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in MODIFIED_GAP_EXCHANGE_SCHEMA.fields}
+            for row in batch.itertuples(index=False):
+                xml, modified = row.xml, False
+                new_name = row.renamed_to
+                if new_name is not None and not (
+                    isinstance(new_name, float) and pd.isna(new_name)
+                ):
+                    try:
+                        root = ET.fromstring(xml.split("?>\n")[-1])
+                    except ET.ParseError:
+                        root = None
+                    if root is not None:
+                        for study in root.findall(".//Study"):
+                            config = study.find("Configuration")
+                            if config is None:
+                                continue
+                            el = config.find("StudyNameEntrez")
+                            if el is not None:
+                                el.text = str(new_name)
+                                xml = ET.tostring(root, encoding="unicode")
+                                modified = True
+                                break
+                out["study_id"].append(row.study_id)
+                out["xml"].append(xml)
+                out["modified"].append(modified)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return joined.mapInPandas(rewrite, MODIFIED_GAP_EXCHANGE_SCHEMA)
+
+
 def parse_gap_exchange(docs: DataFrame) -> DataFrame:
     """(study_id, xml) → STUDY_SCHEMA rows (round-trip read side)."""
 

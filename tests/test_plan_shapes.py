@@ -266,3 +266,15 @@ def test_curate_corpus_pipeline_plan(queries, spark):
     plan = _plan(queries["pipeline-curate-corpus"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_salted_join_salts_the_plan(queries, spark):
+    # The skew escape hatch must actually be in the executed plan of
+    # its registered query: the salt column on both join sides, and
+    # the replication of the right side (8-row range crossJoin).
+    df = queries["join-skew-salted"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "__salt" in plan, plan
+    assert "Range (0, 8" in plan, plan
+    # the final agg keys on p_brand only — the salt never leaks out
+    assert "__salt" not in str(df.columns)

@@ -69,3 +69,46 @@ def test_gap_exchange_stylesheet_pi(spark):
     row = parse_gap_exchange(with_pi).first()
     assert row.study_name == "S & T <study>"
     assert row.description == 'desc "quoted"'
+
+
+def test_modify_gap_exchange_study_name(spark):
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        modify_gap_exchange_study_name,
+        parse_gap_exchange,
+        render_gap_exchange,
+    )
+
+    studies = spark.createDataFrame(
+        [
+            ("phs1", "phs1.v1.p1", "Old One", "d1", "p1"),
+            ("phs2", "phs2.v1.p1", "Old Two", "d2", "p2"),
+        ],
+        ["study_id", "accession", "study_name", "description", "program"],
+    )
+    docs = render_gap_exchange(studies)
+    renames = spark.createDataFrame(
+        [("phs1", "New & <Name>")], ["study_id", "new_study_name"]
+    )
+    out = modify_gap_exchange_study_name(docs, renames)
+    flags = {r.study_id: r.modified for r in out.collect()}
+    assert flags == {"phs1": True, "phs2": False}
+    # The edit must survive re-serialization + re-parse, escaping intact.
+    parsed = {
+        r.study_id: r.study_name
+        for r in parse_gap_exchange(out.select("study_id", "xml")).collect()
+    }
+    assert parsed == {"phs1": "New & <Name>", "phs2": "Old Two"}
+
+
+def test_modify_gap_exchange_missing_element_is_false(spark):
+    # The reference returns False when no Study/Configuration/
+    # StudyNameEntrez exists; the doc must pass through unchanged.
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        modify_gap_exchange_study_name,
+    )
+
+    bare = "<GaPExchange><Studies><Study accession='a'/></Studies></GaPExchange>"
+    docs = spark.createDataFrame([("phs9", bare)], ["study_id", "xml"])
+    renames = spark.createDataFrame([("phs9", "X")], ["study_id", "new_study_name"])
+    row = modify_gap_exchange_study_name(docs, renames).first()
+    assert row.modified is False and row.xml == bare
