@@ -58,3 +58,57 @@ def test_stream_source_matches_batch_loader(spark, tmp_path):
     stream = read_events_stream(spark, str(tmp_path))
     assert stream.isStreaming
     assert stream.schema == load(spark, str(tmp_path), "events").schema
+
+
+def test_unrelated_read_error_does_not_leak_legacy_conf(spark, tmp_path):
+    # A missing path (or any non-nanos failure) must propagate without
+    # setting spark.sql.legacy.parquet.nanosAsLong session-wide — the
+    # blanket retry used to leave it behind, silently changing how
+    # every later nanos-typed parquet column was read.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        spark.conf.unset(conf_key)
+    except Exception:
+        pass
+    with pytest.raises(Exception):
+        load(spark, str(tmp_path / "nope"), "events")
+    # registered SQL confs report their default when unset — the leak
+    # would read back "true"
+    assert spark.conf.get(conf_key, "false") != "true"
+
+
+def test_nanos_retry_rolls_back_conf_on_second_failure(spark, tmp_path):
+    # A file that fails with the nanos marker but then fails again on
+    # retry must restore the previous conf value.
+    from dug_data_ingest_spark.streaming import events as ev
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        spark.conf.unset(conf_key)
+    except Exception:
+        pass
+
+    calls = {"n": 0}
+    real_reader = spark.read.parquet
+
+    class FakeErr(Exception):
+        pass
+
+    def fake_read(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FakeErr("Illegal Parquet type: INT64 (TIMESTAMP(NANOS,true))")
+        raise FakeErr("second failure")
+
+    class FakeReadAttr:
+        parquet = staticmethod(fake_read)
+
+    class FakeSpark:
+        read = FakeReadAttr()
+        conf = spark.conf
+
+    with pytest.raises(FakeErr, match="second failure"):
+        ev.read_events_parquet(FakeSpark(), "whatever")
+    assert calls["n"] == 2
+    # rolled back: must not still read "true" after the failed retry
+    assert spark.conf.get(conf_key, "false") != "true"
