@@ -69,6 +69,8 @@ HEADLINE = [
     "events-funnel",
     "events-retention",
     "text-word-repetition",
+    "join-skew-salted",
+    "xml-modify-study-name",
 ]
 
 

@@ -110,3 +110,48 @@ def test_image_stats_replays_synth_formula():
             float(max(vals)),
             float(len(vals)),
         ]
+
+
+# ---------------------------------------------------------------------------
+# Property-based round-trips (SURVEY §5: the reference's test model is
+# round-trip equality; hypothesis widens it over the input space).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    w = draw(st.integers(min_value=1, max_value=16))
+    h = draw(st.integers(min_value=1, max_value=16))
+    px = draw(
+        st.binary(min_size=w * h * 3, max_size=w * h * 3)
+    )
+    return w, h, px
+
+
+@given(_images())
+@settings(max_examples=50, deadline=None)
+def test_ppm_round_trip_property(img):
+    w, h, px = img
+    assert decode_ppm(encode_ppm(w, h, px)) == (w, h, px)
+
+
+@given(_images())
+@settings(max_examples=50, deadline=None)
+def test_bmp_round_trip_property(img):
+    w, h, px = img
+    assert decode_bmp(encode_bmp(w, h, px)) == (w, h, px)
+
+
+@given(_images(), st.integers(min_value=1, max_value=16),
+       st.integers(min_value=1, max_value=16))
+@settings(max_examples=50, deadline=None)
+def test_nn_resize_property(img, tw, th):
+    # output size is exact and every output pixel exists in the source
+    w, h, px = img
+    out = nn_resize(px, w, h, tw, th)
+    assert len(out) == tw * th * 3
+    src_px = {px[i : i + 3] for i in range(0, len(px), 3)}
+    assert all(out[i : i + 3] in src_px for i in range(0, len(out), 3))
