@@ -52,10 +52,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     if not files:
         # No backing files: an in-memory LocalRelation (createDataFrame
         # in tests and library callers) or a non-file source (JDBC),
-        # both of which typically arrive in 1-2 partitions. One
-        # round-robin shuffle here is cheap next to the per-row sketch
-        # work it parallelizes.
-        return df.repartition(target)
+        # which typically arrive in 1-2 partitions. Probe the actual
+        # width first — a JDBC read with numPartitions=64 or a derived
+        # shuffled frame is already wide and a repartition here would
+        # REDUCE its parallelism. The RDD conversion is acceptable in
+        # this branch only (absent under Spark Connect, hence the
+        # guard); when the probe is unavailable, leave the plan alone.
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        return df.repartition(target) if n < target else df
     if len(files) >= target:
         return df
     total = 0

@@ -49,8 +49,14 @@ FEATURE_SCHEMA = T.StructType(
 # ---------------------------------------------------------------------------
 
 
+def _check_dims(width: int, height: int) -> None:
+    if width < 1 or height < 1:
+        raise ValueError(f"invalid image dimensions {width}x{height}")
+
+
 def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     """Binary PPM (P6, maxval 255): ASCII header + raw RGB rows."""
+    _check_dims(width, height)
     if len(pixels) != width * height * 3:
         raise ValueError(f"pixel buffer is {len(pixels)} bytes, "
                          f"need {width * height * 3}")
@@ -78,6 +84,7 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
             pos += 1
         tokens.append(int(payload[start:pos]))
     width, height, maxval = tokens
+    _check_dims(width, height)
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     pos += 1  # single whitespace byte after maxval, then raster
@@ -93,6 +100,7 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     if len(pixels) != width * height * 3:
         raise ValueError(f"pixel buffer is {len(pixels)} bytes, "
                          f"need {width * height * 3}")
+    _check_dims(width, height)
     row_size = (3 * width + 3) // 4 * 4
     image_size = row_size * height
     rows = []
@@ -126,6 +134,7 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
                          f"(got bpp={bpp}, compression={compression})")
     bottom_up = height > 0
     height = abs(height)
+    _check_dims(width, height)
     row_size = (3 * width + 3) // 4 * 4
     out = bytearray(width * height * 3)
     for row_idx in range(height):
@@ -272,7 +281,12 @@ def extract_features(media: DataFrame, decoder=image_stats,
 
     ``keep_cols`` carries metadata columns through the stage so a
     consumer needing payload stats + envelope fields gets them in ONE
-    decode pass instead of a self-join of two decode branches."""
+    decode pass instead of a self-join of two decode branches.
+
+    Quarantine-by-omission: a payload the decoder rejects (truncated
+    raster, unknown magic, zero dimensions) drops its row instead of
+    failing the task — one malformed blob must not abort a 100 TB job
+    (same posture as parse_data_tables, SURVEY §7 principles)."""
     out_schema = T.StructType(
         list(FEATURE_SCHEMA.fields)
         + [media.schema[c] for c in keep_cols]
@@ -282,7 +296,10 @@ def extract_features(media: DataFrame, decoder=image_stats,
         for batch in batches:
             out: dict[str, list] = {f.name: [] for f in out_schema.fields}
             for row in batch.itertuples(index=False):
-                w, h, feat = decoder(bytes(row.payload))
+                try:
+                    w, h, feat = decoder(bytes(row.payload))
+                except Exception:
+                    continue  # quarantine malformed payloads
                 out["media_id"].append(row.media_id)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -311,13 +328,17 @@ def resize(media: DataFrame, width: int, height: int,
     recomputed. Same MEDIA_SCHEMA out as in, so resize stages compose
     with extract_features/frame_sample; at scale this is the classic
     map-heavy stage you'd run after a size-class repartition so one
-    4K video doesn't straggle a partition of thumbnails."""
+    4K video doesn't straggle a partition of thumbnails. Malformed
+    payloads are quarantined by omission (see extract_features)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {k.name: [] for k in MEDIA_SCHEMA.fields}
             for row in batch.itertuples(index=False):
-                resized = resizer(bytes(row.payload), width, height)
+                try:
+                    resized = resizer(bytes(row.payload), width, height)
+                except Exception:
+                    continue  # quarantine malformed payloads
                 out["media_id"].append(row.media_id)
                 out["payload"].append(resized)
                 out["media_type"].append(row.media_type)

@@ -228,7 +228,12 @@ def _prioritized(keys):
 
     def vintage(k):
         rnd, ok = latest.get(k, (0, False))
-        return rnd if ok else -1  # failed/never-graded outrank stale
+        if not ok or rnd < _REGRADE_BEFORE_ROUND.get(k, 0):
+            # failed, never-graded, or semantically-changed: their old
+            # rows are meaningless, so they must lead the window, not
+            # trail the merely-old stale greens
+            return -1
+        return rnd
 
     fresh = sorted(
         (k for k in keys if k not in green),

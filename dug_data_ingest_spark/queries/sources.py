@@ -395,7 +395,8 @@ def xml_modify_study_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("Gen3 "), F.col("study_name")).alias("new_study_name"),
     )
     out = modify_gap_exchange_study_name(docs, renames)
-    parsed = parse_gap_exchange(out.select("study_id", "xml"))
-    return parsed.select("study_id", "study_name").join(
-        out.select("study_id", "modified"), "study_id"
-    )
+    # keep_cols threads the modified flag through the parse so the
+    # render + rewrite subtree executes ONCE (a parse ⋈ flags join
+    # would re-execute it per branch)
+    parsed = parse_gap_exchange(out, keep_cols=("modified",))
+    return parsed.select("study_id", "study_name", "modified")

@@ -257,12 +257,23 @@ def modify_gap_exchange_study_name(
     return joined.mapInPandas(rewrite, MODIFIED_GAP_EXCHANGE_SCHEMA)
 
 
-def parse_gap_exchange(docs: DataFrame) -> DataFrame:
-    """(study_id, xml) → STUDY_SCHEMA rows (round-trip read side)."""
+def parse_gap_exchange(
+    docs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(study_id, xml) → STUDY_SCHEMA rows (round-trip read side).
+
+    ``keep_cols`` carries extra input columns through the parse so a
+    consumer needing parsed fields + upstream metadata (e.g. the
+    ``modified`` flag from modify_gap_exchange_study_name) gets both
+    in ONE pass instead of re-executing the upstream subtree in a
+    second plan branch and joining."""
+    out_schema = T.StructType(
+        list(STUDY_SCHEMA.fields) + [docs.schema[c] for c in keep_cols]
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out = {k.name: [] for k in STUDY_SCHEMA.fields}
+            out = {k.name: [] for k in out_schema.fields}
             for row in batch.itertuples(index=False):
                 try:
                     root = ET.fromstring(row.xml.split("?>\n")[-1])
@@ -280,6 +291,8 @@ def parse_gap_exchange(docs: DataFrame) -> DataFrame:
                 out["study_name"].append(text("StudyNameEntrez"))
                 out["description"].append(text("Description"))
                 out["program"].append(text("StudyTypes"))
+                for c in keep_cols:
+                    out[c].append(getattr(row, c))
             yield pd.DataFrame({k: pd.Series(v, dtype="object") for k, v in out.items()})
 
-    return docs.mapInPandas(parse, STUDY_SCHEMA)
+    return docs.mapInPandas(parse, out_schema)

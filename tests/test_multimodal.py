@@ -155,3 +155,36 @@ def test_nn_resize_property(img, tw, th):
     assert len(out) == tw * th * 3
     src_px = {px[i : i + 3] for i in range(0, len(px), 3)}
     assert all(out[i : i + 3] in src_px for i in range(0, len(out), 3))
+
+
+def test_decode_stage_quarantines_malformed_payloads(spark):
+    # One junk / truncated payload in a media frame must drop its row,
+    # never fail the task (quarantine-by-omission, like the XML
+    # parser): a 100 TB decode job survives stray bad blobs.
+    from dug_data_ingest_spark.ext.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize,
+    )
+
+    good, _ = synth_image_payload(4)
+    truncated = good[: len(good) - 5]
+    rows = [
+        (1, bytearray(good), "image/x-portable-pixmap", len(good), "x"),
+        (2, bytearray(b"JUNKJUNK"), "application/octet-stream", 8, "y"),
+        (3, bytearray(truncated), "image/x-portable-pixmap", len(truncated), "z"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media).collect()
+    assert [r.media_id for r in feats] == [1]
+    resized = resize(media, 2, 2).collect()
+    assert [r.media_id for r in resized] == [1]
+
+
+def test_codecs_reject_zero_dimensions():
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_ppm(0, 3, b"")
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_bmp(4, 0, b"")
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P6\n0 3\n255\n")

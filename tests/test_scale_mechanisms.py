@@ -162,8 +162,11 @@ def test_jaccard_df_cap_kills_hot_shingle_blowup(spark):
 def test_jaccard_df_cap_defaults_on(spark):
     # The bare call must be scale-safe: the cap defaults to a finite
     # value (uncapped is an explicit max_doc_freq=None opt-out), and a
-    # default-args call over a hot-shingle corpus behaves as capped —
-    # the ubiquitous shingle is dropped, not joined m².
+    # default-args call over a corpus whose hot shingle exceeds that
+    # default behaves as capped — the ubiquitous shingle is dropped,
+    # not joined m². (Uncapped, this corpus would emit C(n,2) > 5*10^5
+    # pairs; capped it emits none, so the assertion distinguishes the
+    # paths decisively.)
     import inspect
 
     from dug_data_ingest_spark.ext.dedup import ngram_jaccard_pairs
@@ -173,21 +176,12 @@ def test_jaccard_df_cap_defaults_on(spark):
     ].default
     assert isinstance(default, int) and default > 0
 
-    n = 30
+    n = default + 50  # hot-shingle doc frequency exceeds the default cap
     docs = spark.createDataFrame(
         [(i, f"the quick fox w{i}a w{i}b w{i}c") for i in range(n)],
         ["doc_id", "text"],
     )
-    # A bare call takes the capped plan (equal to the explicit-cap
-    # call), not the uncapped quadratic one.
-    bare = sorted(map(tuple, ngram_jaccard_pairs(docs, 0.0).collect()))
-    explicit = sorted(
-        map(
-            tuple,
-            ngram_jaccard_pairs(docs, 0.0, max_doc_freq=default).collect(),
-        )
-    )
-    assert bare == explicit
+    assert ngram_jaccard_pairs(docs, threshold=0.0).count() == 0
 
 
 def test_jaccard_df_cap_is_noop_below_cap(spark):
