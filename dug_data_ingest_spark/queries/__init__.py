@@ -108,7 +108,7 @@ _REGRADE_BEFORE_ROUND = {
 _STALE_AFTER_ROUNDS = 2
 
 
-def _driver_rows() -> tuple[dict[str, tuple[int, bool]], int]:
+def _driver_rows(root: str | None = None) -> tuple[dict[str, tuple[int, bool]], int]:
     """Latest driver correctness row per slug: ``{slug: (round, ok)}``
     plus the newest round number seen on disk.
 
@@ -116,15 +116,19 @@ def _driver_rows() -> tuple[dict[str, tuple[int, bool]], int]:
     and the driver did not record an explicit hash mismatch
     (``hash_match is not False`` — rows-only slugs, where the driver
     omits the hash, still qualify, but a recorded mismatch never does).
+
+    ``root`` overrides the correctness-file directory (tests only;
+    defaults to the repo root the driver writes to).
     """
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
     latest: dict[str, tuple[int, bool]] = {}
     max_round = 0
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):

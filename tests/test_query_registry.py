@@ -1,0 +1,71 @@
+"""The correctness-window steering logic (queries/__init__.py): the
+whole regrade strategy rides on _driver_rows/_prioritized, so their
+rules are pinned here against synthetic CORRECTNESS files.
+
+Rules under test:
+- latest round wins per slug; err/rows/hash gates decide green
+- greens older than _STALE_AFTER_ROUNDS rotate back in, oldest first
+- failed / never-graded / _REGRADE_BEFORE_ROUND slugs lead the window
+- current greens trail, vintage-ordered so spare slots hit the oldest
+"""
+
+from __future__ import annotations
+
+import json
+
+from dug_data_ingest_spark import queries as Q
+
+
+def _write(tmp_path, rnd, rows):
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(rows))
+
+
+GOOD = {"err": None, "rows_match": True, "schema_match": True, "hash_match": True}
+
+
+def test_latest_round_wins_and_gates(tmp_path):
+    _write(tmp_path, 1, {"a": GOOD, "b": GOOD, "c": GOOD, "d": GOOD})
+    _write(
+        tmp_path,
+        2,
+        {
+            "b": {**GOOD, "err": "boom"},           # errored -> not ok
+            "c": {**GOOD, "rows_match": False},      # rows mismatch -> not ok
+            "d": {**GOOD, "hash_match": False},      # explicit hash mismatch -> not ok
+        },
+    )
+    latest, mx = Q._driver_rows(root=str(tmp_path))
+    assert mx == 2
+    assert latest["a"] == (1, True)
+    assert latest["b"] == (2, False)
+    assert latest["c"] == (2, False)
+    assert latest["d"] == (2, False)
+
+
+def test_rows_only_row_still_counts_green(tmp_path):
+    # non-SQL-expressible slugs get rows-only grading: no hash key
+    _write(tmp_path, 3, {"s": {"err": None, "rows_match": True}})
+    latest, _ = Q._driver_rows(root=str(tmp_path))
+    assert latest["s"] == (3, True)
+
+
+def test_window_ordering_rules(tmp_path, monkeypatch):
+    # 6 slugs: never-graded n, failed f, stale s (r1 green), changed g
+    # (green but regrade-forced), recent r4 green a, recent r3 green b.
+    _write(tmp_path, 1, {"s": GOOD})
+    _write(tmp_path, 3, {"b": GOOD, "f": {**GOOD, "err": "x"}})
+    _write(tmp_path, 4, {"a": GOOD, "g": GOOD})
+    monkeypatch.setattr(Q, "_REGRADE_BEFORE_ROUND", {"g": 5})
+
+    real = Q._driver_rows
+
+    def rows_from_tmp(root=None):
+        return real(root=str(tmp_path))
+
+    monkeypatch.setattr(Q, "_driver_rows", rows_from_tmp)
+    order = Q._prioritized(["a", "b", "f", "g", "n", "s"])
+    # front: vintage -1 (f, g, n in cost/original order), then stale s;
+    # tail: current greens oldest-vintage-first (b r3 before a r4)
+    assert set(order[:3]) == {"f", "g", "n"}
+    assert order[3] == "s"
+    assert order[4:] == ["b", "a"]
