@@ -216,6 +216,11 @@ _EST_COST = {
     "events-retention": 12.4, "events-heavy-hitters": 12.5,
     "text-word-repetition": 12.6, "text-bigram-topk": 12.7,
     "text-idf": 12.8, "text-pii-redact": 12.9,
+    # round-5 batch (ordering among the never-graded front is cosmetic
+    # — vintage drives the window; costs measured at sf0.01 warmed)
+    "xml-modify-study-name": 13.0, "join-skew-salted": 13.1,
+    "olap-cheapest-supplier": 13.2, "olap-important-stock": 13.3,
+    "events-stickiness": 13.4, "text-zipf-slope": 13.5, "snk-orc": 13.6,
 }
 
 

@@ -886,3 +886,138 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cheapest-supplier-per-part (TPC-H Q2 shape without partsupp: the
+# arg-min join-back family). One groupBy computes min price AND the
+# arg-min supplier via min_by over a (price, suppkey) struct — the
+# deterministic-tiebreak argmin in a single partial-aggregated pass,
+# no join-back of the fact table; part + supplier dims broadcast.
+# Float caveat: MIN over stored doubles and equality on them are
+# exact (no accumulation), so cross-engine agreement is guaranteed.
+# ---------------------------------------------------------------------------
+
+_CHEAPEST_SUPPLIER_ORACLE = """
+WITH m AS (
+  SELECT l_partkey, MIN(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_partkey
+),
+s AS (
+  SELECT l.l_partkey, MIN(l.l_suppkey) AS suppkey, MIN(m.min_price) AS min_price
+  FROM lineitem l
+  JOIN m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+  GROUP BY l.l_partkey
+)
+SELECT p.p_partkey, p.p_brand, su.s_name AS supplier,
+       ROUND(s.min_price, 2) AS min_price
+FROM s
+JOIN part p ON s.l_partkey = p.p_partkey
+JOIN supplier su ON s.suppkey = su.s_suppkey
+WHERE p.p_size = 15
+"""
+
+
+@query("olap-cheapest-supplier", oracle=_CHEAPEST_SUPPLIER_ORACLE)
+def olap_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_brand")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    best = li.groupBy("l_partkey").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.min_by(
+            "l_suppkey", F.struct("l_extendedprice", "l_suppkey")
+        ).alias("suppkey"),
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", F.col("s_name").alias("supplier"), "min_price"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Important-stock parts (TPC-H Q11 shape: groups whose value exceeds a
+# GLOBAL aggregate-derived threshold). The global scalar is a 1-row
+# broadcast crossJoin onto the per-part aggregate — never a driver
+# collect. The threshold is a multiple of the AVERAGE part value
+# (scale-free: Q11's fraction-of-total shrinks as 1/n_parts and
+# selects nothing at larger SFs on uniformish data); both sides are
+# cent-rounded so the float boundary is engine-identical.
+# ---------------------------------------------------------------------------
+
+_IMPORTANT_STOCK_ORACLE = """
+WITH v AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT ROUND(AVG(part_value) * 1.25, 2) AS threshold FROM v)
+SELECT l_partkey, part_value FROM v, t WHERE part_value > threshold
+"""
+
+
+@query("olap-important-stock", oracle=_IMPORTANT_STOCK_ORACLE)
+def olap_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+            "part_value"
+        )
+    )
+    t = v.agg(F.round(F.avg("part_value") * 1.25, 2).alias("threshold"))
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness: the multi-granularity distinct-count rollup of
+# product analytics. Two exact count-distinct shuffles (day grain,
+# week grain) + a join on the tiny week dimension. At 100 TB you swap
+# the exact count_distinct for approx_count_distinct (HLL++, see
+# agg-approx-distinct) — the plan shape is identical.
+# ---------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH d AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         user_id
+  FROM events
+),
+dau AS (SELECT week, day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY week, day),
+wau AS (SELECT week, COUNT(DISTINCT user_id) AS wau FROM d GROUP BY week)
+SELECT w.week, CAST(w.wau AS BIGINT) AS wau,
+       ROUND(AVG(a.dau) / w.wau, 4) AS stickiness
+FROM wau w JOIN dau a USING (week)
+GROUP BY w.week, w.wau
+"""
+
+
+@query("events-stickiness", oracle=_STICKINESS_ORACLE)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    dau = ev.groupBy("week", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    wau = ev.groupBy("week").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        wau.join(dau, "week")
+        .groupBy("week", "wau")
+        .agg(F.round(F.avg("dau") / F.first("wau"), 4).alias("stickiness"))
+        .select("week", F.col("wau").cast("bigint").alias("wau"), "stickiness")
+    )

@@ -419,3 +419,51 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(injected, F.lit(_PII_SSN)).alias("n_ssns"),
         F.regexp_count(injected, F.lit(_PII_PHONE)).alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope: the log-log OLS slope over the top-100 token
+# frequencies — the classic corpus-health gauge (natural text reads
+# ≈ -1; template/boilerplate corpora flatten, spam steepens). The
+# head is a TakeOrderedAndProject (never a global sort); the 100-row
+# regression runs in one tiny agg. regr_slope is exact OLS in both
+# engines and the inputs (ln of exact longs) match bit-for-bit, so
+# the 3-decimal round is engine-stable.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text-zipf-slope",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    counts AS (
+      SELECT token, count(*) AS n FROM words
+      WHERE token IS NOT NULL AND token != '' GROUP BY token
+    ),
+    top AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM counts ORDER BY n DESC, token LIMIT 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(ln(n), ln(rank)), 3) AS zipf_slope
+    FROM top
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(normalized_words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(100)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("n").desc(), "token"))
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(F.expr("regr_slope(ln(n), ln(rank))"), 3).alias("zipf_slope"),
+    )

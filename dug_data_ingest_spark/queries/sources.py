@@ -400,3 +400,24 @@ def xml_modify_study_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-execute it per branch)
     parsed = parse_gap_exchange(out, keep_cols=("modified",))
     return parsed.select("study_id", "study_name", "modified")
+
+
+@query(
+    "snk-orc",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def snk_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + read-back round trip — the second columnar container
+    Spark ships natively (predicate pushdown and column pruning work
+    the same as parquet). The oracle sees the ORIGINAL table, so the
+    write→read cycle is value-verified end to end."""
+    path = scratch_dir("snk-orc")
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+    supp.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

@@ -278,3 +278,22 @@ def test_salted_join_salts_the_plan(queries, spark):
     assert "Range (0, 8" in plan, plan
     # the final agg keys on p_brand only — the salt never leaks out
     assert "__salt" not in str(df.columns)
+
+
+def test_cheapest_supplier_is_single_pass_broadcast(queries, spark):
+    # Q2-shape argmin: ONE aggregation over the fact (min_by, no
+    # join-back of lineitem) and broadcast dims — at 100 TB the fact
+    # is touched once and never shuffled into a sort-merge join.
+    plan = _plan(queries["olap-cheapest-supplier"](spark, SF_DIR))
+    assert "min_by" in plan or "minby" in plan.lower(), plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Scan parquet") <= 3  # lineitem + part + supplier
+
+
+def test_important_stock_threshold_is_broadcast_not_collect(queries, spark):
+    # The global threshold rides a 1-row broadcast nested-loop join;
+    # nothing is collected to the driver and the fact aggregates once.
+    df = queries["olap-important-stock"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
