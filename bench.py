@@ -71,6 +71,10 @@ HEADLINE = [
     "text-word-repetition",
     "join-skew-salted",
     "xml-modify-study-name",
+    "olap-cheapest-supplier",
+    "olap-important-stock",
+    "events-stickiness",
+    "text-zipf-slope",
 ]
 
 
