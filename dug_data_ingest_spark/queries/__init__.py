@@ -221,6 +221,7 @@ _EST_COST = {
     "xml-modify-study-name": 13.0, "join-skew-salted": 13.1,
     "olap-cheapest-supplier": 13.2, "olap-important-stock": 13.3,
     "events-stickiness": 13.4, "text-zipf-slope": 13.5, "snk-orc": 13.6,
+    "agg-approx-quantiles": 13.7, "join-fuzzy-name": 13.8,
 }
 
 

@@ -1021,3 +1021,39 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("dau") / F.first("wau"), 4).alias("stickiness"))
         .select("week", F.col("wau").cast("bigint").alias("wau"), "stickiness")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch quantiles: the 100 TB companion to
+# text-length-quantiles. Exact `percentile` sorts every group;
+# `approx_percentile` (Greenwald-Khanna) partial-aggregates into a
+# fixed-size mergeable sketch — the only viable shape on huge groups.
+# Oracle pattern follows agg-approx-distinct: the exact quantiles are
+# value-verified, the sketch via a deterministic bracket flag — GK at
+# accuracy 10000 has rank error 1e-4, so its p50 value MUST lie
+# between the exact p40 and p60 (a stable, replayable bit; no RNG in
+# the sketch).
+# ---------------------------------------------------------------------------
+
+_APPROX_QUANTILES_ORACLE = """
+SELECT source,
+       ROUND(quantile_cont(n_chars, 0.5), 2) AS p50_exact,
+       TRUE AS sketch_in_bracket,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+@query("agg-approx-quantiles", oracle=_APPROX_QUANTILES_ORACLE)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_exact"),
+        (
+            (F.expr("approx_percentile(n_chars, 0.5, 10000)")
+             >= F.expr("percentile(n_chars, 0.4)"))
+            & (F.expr("approx_percentile(n_chars, 0.5, 10000)")
+               <= F.expr("percentile(n_chars, 0.6)"))
+        ).alias("sketch_in_bracket"),
+        F.count("*").alias("n_docs"),
+    )

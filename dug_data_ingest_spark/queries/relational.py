@@ -828,3 +828,73 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("set-distinct", oracle="SELECT DISTINCT c_mktsegment FROM customer")
 def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.distinct_rows(load(spark, sf_dir, "customer").select("c_mktsegment"))
+
+
+@query(
+    "join-fuzzy-name",
+    oracle="""
+    WITH parts AS (SELECT p_partkey, p_name, length(p_name) AS len FROM part),
+    probes AS (
+      SELECT p_partkey AS probe_id,
+             substr(p_name, 1, length(p_name) - 2) AS probe_name
+      FROM part WHERE p_partkey % 191 = 0
+    ),
+    pb AS (
+      SELECT probe_id, probe_name,
+             CAST(length(probe_name) // 5 AS INT) + unnest([-1, 0, 1]) AS bucket
+      FROM probes
+    )
+    SELECT pb.probe_id, p.p_partkey AS match_id,
+           CAST(levenshtein(pb.probe_name, p.p_name) AS INT) AS lev
+    FROM pb JOIN parts p ON CAST(p.len // 5 AS INT) = pb.bucket
+    WHERE levenshtein(pb.probe_name, p.p_name) <= 2
+    """,
+)
+def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (edit distance ≤ 2) with length-band
+    blocking: every 191st part's name, truncated by two characters,
+    is matched back against the part table by levenshtein. The
+    blocking key floor(length/5) (probe side exploded ±1) is
+    COMPLETE for lev ≤ 2 — an edit changes length by at most 2, and
+    values 2 apart land in adjacent width-5 buckets — so candidate
+    generation is an equi-join, never the O(n·m) cross product that a
+    bare theta-join on levenshtein would plan at 100 TB. Probe side
+    broadcasts; levenshtein runs only inside matching buckets.
+
+    Caveat measured at sf0.1: when the corpus length distribution is
+    narrow (TPC-H part names), length buckets are hot and candidate
+    counts grow toward n/|buckets| per probe. For such corpora compose
+    this with a q-gram blocking key (any lev ≤ 2 pair of strings
+    longer than 8 shares a trigram — pigeonhole over the ≤ 6 trigrams
+    two edits can destroy), the same shared-shingle candidate pattern
+    as ngram_jaccard_pairs with its df cap."""
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.length("p_name").alias("len")
+    )
+    probes = (
+        parts.filter(F.col("p_partkey") % 191 == 0)
+        .select(
+            F.col("p_partkey").alias("probe_id"),
+            F.expr("substring(p_name, 1, length(p_name) - 2)").alias(
+                "probe_name"
+            ),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        (F.floor(F.length("probe_name") / 5) + d).cast("int")
+                        for d in (-1, 0, 1)
+                    ]
+                )
+            ),
+        )
+    )
+    cands = parts.withColumn("bucket", F.floor(F.col("len") / 5).cast("int"))
+    lev = F.levenshtein(F.col("probe_name"), F.col("p_name"))
+    return (
+        cands.join(F.broadcast(probes), "bucket")
+        .filter(lev <= 2)
+        .select("probe_id", F.col("p_partkey").alias("match_id"), lev.cast("int").alias("lev"))
+    )
