@@ -75,6 +75,8 @@ HEADLINE = [
     "olap-important-stock",
     "events-stickiness",
     "text-zipf-slope",
+    "agg-approx-quantiles",
+    "join-fuzzy-name",
 ]
 
 
