@@ -1046,14 +1046,25 @@ FROM documents GROUP BY source
 
 @query("agg-approx-quantiles", oracle=_APPROX_QUANTILES_ORACLE)
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE exact-percentile buffer yields all three bracket quantiles
+    # (separate percentile() calls would each buffer every group
+    # value — tripling the very cost this slug's sketch story is
+    # about). Tiny groups are exempted from the bracket: GK returns an
+    # actual element while exact percentile interpolates, so for
+    # n < 50 the element can legitimately sit outside [p40, p60]; the
+    # rank-error argument only binds at scale.
     docs = load(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("p50_exact"),
-        (
-            (F.expr("approx_percentile(n_chars, 0.5, 10000)")
-             >= F.expr("percentile(n_chars, 0.4)"))
-            & (F.expr("approx_percentile(n_chars, 0.5, 10000)")
-               <= F.expr("percentile(n_chars, 0.6)"))
-        ).alias("sketch_in_bracket"),
+    g = docs.groupBy("source").agg(
+        F.expr("percentile(n_chars, array(0.4, 0.5, 0.6))").alias("qs"),
+        F.expr("approx_percentile(n_chars, 0.5, 10000)").alias("ap"),
         F.count("*").alias("n_docs"),
+    )
+    in_bracket = (F.col("ap") >= F.col("qs")[0]) & (
+        F.col("ap") <= F.col("qs")[2]
+    )
+    return g.select(
+        "source",
+        F.round(F.col("qs")[1], 2).alias("p50_exact"),
+        (in_bracket | (F.col("n_docs") < 50)).alias("sketch_in_bracket"),
+        "n_docs",
     )

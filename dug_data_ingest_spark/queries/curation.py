@@ -450,8 +450,6 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(normalized_words(F.col("text"))).alias("token"))
@@ -461,7 +459,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = counts.orderBy(F.col("n").desc(), "token").limit(100)
     ranked = top.withColumn(
-        "rank", F.row_number().over(W.orderBy(F.col("n").desc(), "token"))
+        "rank", F.row_number().over(Window.orderBy(F.col("n").desc(), "token"))
     )
     return ranked.agg(
         F.count("*").cast("bigint").alias("n_points"),
