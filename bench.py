@@ -110,10 +110,15 @@ def main() -> None:
     # the first run additionally pays one-time whole-stage-codegen
     # compilation. Median-of-5 is robust to both the cold outlier and a
     # load spike. A query that fails a later rep keeps the median of its
-    # successful reps (plus the error note) — a flaky failure must not
-    # erase a valid measurement or shrink the comparable query set.
+    # successful reps ONLY if ≥3 reps completed (a 1-2 rep "median" is
+    # dominated by the cold run the warmup exists to exclude); shorter
+    # survivor sets are recorded under "partial" instead of entering
+    # timings, so round-over-round totals never mix cold-run medians
+    # with warm ones.
     REPS = 5
+    MIN_REPS = 3
     timings: dict[str, float] = {}
+    partial: dict[str, int] = {}
     for name in names:
         if name in errors:
             continue
@@ -129,9 +134,11 @@ def main() -> None:
                 print(f"WARNING: {name} failed timed run: {errors[name]}",
                       file=sys.stderr)
                 break
-        if times:
+        if len(times) >= MIN_REPS:
             times.sort()
             timings[name] = round(times[len(times) // 2], 3)
+        elif times:
+            partial[name] = len(times)
 
     result = {
         "metric": "headline_queries_total",
@@ -142,6 +149,8 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    if partial:
+        result["partial"] = partial
     if len(timings) < len(names):
         # Make a shrunken comparable set impossible to miss when
         # reading `value` round-over-round.

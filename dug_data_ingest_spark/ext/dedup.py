@@ -20,10 +20,15 @@ between engines), so the DuckDB oracles can replay them exactly.
 
 from __future__ import annotations
 
+import logging
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dug_data_ingest_spark.functions.text import normalized_words, shingles_of
+
+log = logging.getLogger(__name__)
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -289,6 +294,54 @@ def minhash_jaccard_estimates(
     )
 
 
+# One-time runtime signal that the default df-cap ACTUALLY dropped
+# shingles (capped Jaccard != exact Jaccard on this corpus). Armed once
+# per process so only a single CollectMetrics listener ever registers.
+_cap_signal_lock = threading.Lock()
+_cap_signal_armed = False
+_last_cap_observation = None  # exposed for deterministic tests
+
+
+def _arm_cap_signal(hot: DataFrame, cap: int) -> DataFrame:
+    """Attach an Observation to the hot-shingle frame so the FIRST
+    executed capped-Jaccard plan reports how many shingles the df-cap
+    removed — a zero-extra-job runtime signal (CollectMetrics rides the
+    existing plan) for callers relying on exact semantics. Best-effort:
+    if the plan is never executed, no warning fires; later plans in the
+    same process are left untouched."""
+    global _cap_signal_armed, _last_cap_observation
+    with _cap_signal_lock:
+        if _cap_signal_armed:
+            return hot
+        _cap_signal_armed = True
+    try:
+        from pyspark.sql import Observation
+
+        obs = Observation("ngram_df_cap")
+        hot = hot.observe(obs, F.count(F.lit(1)).alias("n_hot"))
+        _last_cap_observation = obs
+
+        def wait() -> None:
+            try:
+                n = obs.get.get("n_hot", 0)
+            except Exception:  # noqa: BLE001 — signal must never raise
+                return
+            if n:
+                log.warning(
+                    "ngram_jaccard_pairs df-cap (max_doc_freq=%d) dropped "
+                    "%d hot shingles: Jaccard is computed over the capped "
+                    "shingle sets; pass max_doc_freq=None to opt in to "
+                    "exact (unblocked) semantics.", cap, n,
+                )
+
+        threading.Thread(
+            target=wait, name="ngram-df-cap-signal", daemon=True
+        ).start()
+    except Exception:  # noqa: BLE001 — observability is best-effort
+        pass
+    return hot
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -341,6 +394,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("shingle")
         )
+        hot = _arm_cap_signal(hot, max_doc_freq)
         kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
         ex = kept.withColumn(
             "n", F.count("*").over(Window.partitionBy(id_col))

@@ -15,6 +15,7 @@ resampler were wrong, the replay would not match.
 from __future__ import annotations
 
 import hashlib
+import logging
 import struct
 from collections.abc import Iterator
 
@@ -22,6 +23,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
+
+#: The only exceptions the quarantine-by-omission stages swallow: what
+#: the stdlib codecs raise on malformed bytes. Programming bugs
+#: (AttributeError, TypeError, ...) still fail the task loudly.
+CODEC_ERRORS = (ValueError, struct.error, IndexError)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -87,9 +95,16 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     _check_dims(width, height)
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
-    pos += 1  # single whitespace byte after maxval, then raster
-    pixels = payload[pos : pos + width * height * 3]
-    if len(pixels) != width * height * 3:
+    pos += 1  # whitespace byte terminating the maxval token
+    need = width * height * 3
+    # External writers may separate maxval from the raster with CRLF or
+    # extra whitespace; consume it, but never eat into the raster itself
+    # (raster bytes can be whitespace-valued, so stop once exactly one
+    # raster's worth of bytes remains).
+    while len(payload) - pos > need and payload[pos : pos + 1].isspace():
+        pos += 1
+    pixels = payload[pos : pos + need]
+    if len(pixels) != need:
         raise ValueError("truncated PPM raster")
     return width, height, pixels
 
@@ -294,24 +309,38 @@ def extract_features(media: DataFrame, decoder=image_stats,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out: dict[str, list] = {f.name: [] for f in out_schema.fields}
-            for row in batch.itertuples(index=False):
-                try:
-                    w, h, feat = decoder(bytes(row.payload))
-                except Exception:
-                    continue  # quarantine malformed payloads
-                out["media_id"].append(row.media_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["feature"].append(feat)
-                for c in keep_cols:
-                    out[c].append(getattr(row, c))
-            yield pd.DataFrame(
-                {k: pd.Series(v, dtype="object") for k, v in out.items()}
-            )
+            yield _feature_batch(batch, decoder, keep_cols, out_schema)
 
     cols = ["media_id", "payload", *keep_cols]
     return media.select(*cols).mapInPandas(run, out_schema)
+
+
+def _feature_batch(batch: pd.DataFrame, decoder, keep_cols,
+                   out_schema: T.StructType) -> pd.DataFrame:
+    """One Arrow batch of the decode stage (module-level so the
+    quarantine accounting is directly unit-testable)."""
+    out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+    dropped = 0
+    for row in batch.itertuples(index=False):
+        try:
+            w, h, feat = decoder(bytes(row.payload))
+        except CODEC_ERRORS:
+            dropped += 1  # quarantine malformed payloads
+            continue
+        out["media_id"].append(row.media_id)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["feature"].append(feat)
+        for c in keep_cols:
+            out[c].append(getattr(row, c))
+    if dropped:
+        log.warning(
+            "extract_features quarantined %d/%d payloads in batch",
+            dropped, len(batch),
+        )
+    return pd.DataFrame(
+        {k: pd.Series(v, dtype="object") for k, v in out.items()}
+    )
 
 
 def resize_payload(payload: bytes, width: int, height: int) -> bytes:
@@ -334,16 +363,23 @@ def resize(media: DataFrame, width: int, height: int,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            dropped = 0
             for row in batch.itertuples(index=False):
                 try:
                     resized = resizer(bytes(row.payload), width, height)
-                except Exception:
-                    continue  # quarantine malformed payloads
+                except CODEC_ERRORS:
+                    dropped += 1  # quarantine malformed payloads
+                    continue
                 out["media_id"].append(row.media_id)
                 out["payload"].append(resized)
                 out["media_type"].append(row.media_type)
                 out["n_bytes"].append(len(resized))
                 out["checksum"].append(hashlib.md5(resized).hexdigest())
+            if dropped:
+                log.warning(
+                    "resize quarantined %d/%d payloads in batch",
+                    dropped, len(batch),
+                )
             yield pd.DataFrame(
                 {k: pd.Series(v, dtype="object") for k, v in out.items()}
             )

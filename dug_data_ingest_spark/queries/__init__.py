@@ -153,10 +153,12 @@ def _driver_rows(root: str | None = None) -> tuple[dict[str, tuple[int, bool]], 
     return latest, max_round
 
 
-def _driver_green() -> set[str]:
-    """Slugs with a CURRENT green driver row (fails, never-graded and
-    stale-vintage greens are all excluded so they rotate forward)."""
-    latest, max_round = _driver_rows()
+def _green_set(
+    latest: dict[str, tuple[int, bool]], max_round: int
+) -> set[str]:
+    """Slugs with a CURRENT green driver row given pre-fetched rows
+    (fails, never-graded and stale-vintage greens are all excluded so
+    they rotate forward)."""
     return {
         slug
         for slug, (rnd, ok) in latest.items()
@@ -164,6 +166,10 @@ def _driver_green() -> set[str]:
         and rnd >= _REGRADE_BEFORE_ROUND.get(slug, 0)
         and max_round - rnd < _STALE_AFTER_ROUNDS
     }
+
+
+def _driver_green() -> set[str]:
+    return _green_set(*_driver_rows())
 
 
 # Measured warmed per-query wall time at sf0.01 (seconds, local[8]) for
@@ -232,8 +238,8 @@ def _prioritized(keys):
     refreshed within ~2 rounds), then current greens — themselves
     vintage-ordered so any leftover window slots re-grade the oldest."""
     keys = list(keys)
-    latest, _ = _driver_rows()
-    green = _driver_green()
+    latest, max_round = _driver_rows()
+    green = _green_set(latest, max_round)
     order = {k: i for i, k in enumerate(keys)}
 
     def vintage(k):

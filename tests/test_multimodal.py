@@ -181,6 +181,59 @@ def test_decode_stage_quarantines_malformed_payloads(spark):
     assert [r.media_id for r in resized] == [1]
 
 
+def test_ppm_crlf_separated_header():
+    # External P6 writers may terminate header tokens with CRLF; the
+    # raster must still start at the right byte even when its first
+    # pixel byte is whitespace-valued (0x0A here).
+    px = bytes([0x0A, 0x20, 0x0D]) + _checker(2, 2)[3:]
+    payload = b"P6\r\n2 2\r\n255\r\n" + px
+    assert decode_ppm(payload) == (2, 2, px)
+
+
+def test_decode_stage_surfaces_programming_bugs(spark):
+    # Quarantine swallows ONLY codec errors (ValueError/struct.error/
+    # IndexError). A bug in a custom decoder — e.g. an AttributeError —
+    # must fail the task loudly, not silently shrink the output.
+    from dug_data_ingest_spark.ext.multimodal import extract_features, MEDIA_SCHEMA
+
+    good, _ = synth_image_payload(4)
+    media = spark.createDataFrame(
+        [(1, bytearray(good), "image/x-portable-pixmap", len(good), "x")],
+        MEDIA_SCHEMA,
+    )
+
+    def buggy_decoder(payload: bytes):
+        return payload.no_such_attribute  # AttributeError, not a codec error
+
+    with pytest.raises(Exception, match="no_such_attribute"):
+        extract_features(media, decoder=buggy_decoder).collect()
+
+
+def test_decode_stage_logs_quarantine_counts(caplog):
+    # Drive one Arrow batch in-process (the real batch function the
+    # mapInPandas stage runs) and assert the drop count is logged.
+    import logging
+
+    import pandas as pd
+
+    from dug_data_ingest_spark.ext.multimodal import (
+        FEATURE_SCHEMA,
+        _feature_batch,
+        image_stats,
+    )
+
+    good, _ = synth_image_payload(4)
+    batch = pd.DataFrame(
+        {"media_id": [1, 2], "payload": [good, b"JUNK"]}
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="dug_data_ingest_spark.ext.multimodal"
+    ):
+        out = _feature_batch(batch, image_stats, (), FEATURE_SCHEMA)
+    assert list(out["media_id"]) == [1]
+    assert any("quarantined 1/2" in r.getMessage() for r in caplog.records)
+
+
 def test_codecs_reject_zero_dimensions():
     with pytest.raises(ValueError, match="dimensions"):
         encode_ppm(0, 3, b"")

@@ -184,6 +184,43 @@ def test_jaccard_df_cap_defaults_on(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.0).count() == 0
 
 
+def test_jaccard_df_cap_emits_runtime_signal(spark, caplog):
+    # When the cap ACTUALLY drops shingles, the first executed capped
+    # plan must report it (Observation riding the existing plan — no
+    # extra job) so default-arg callers relying on exact semantics
+    # notice the semantic change.
+    import logging
+    import time
+
+    from dug_data_ingest_spark.ext import dedup as dd
+
+    # Re-arm: the one-shot signal may already have been consumed by an
+    # earlier capped call in this test session.
+    with dd._cap_signal_lock:
+        dd._cap_signal_armed = False
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"the quick fox w{i}a w{i}b w{i}c") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="dug_data_ingest_spark.ext.dedup"
+    ):
+        dd.ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=5).count()
+        obs = dd._last_cap_observation
+        assert obs is not None
+        assert obs.get["n_hot"] > 0  # blocks until metrics land
+        deadline = time.time() + 5
+        while time.time() < deadline and not any(
+            "dropped" in r.getMessage() for r in caplog.records
+        ):
+            time.sleep(0.05)
+    assert any(
+        "df-cap" in r.getMessage() and "dropped" in r.getMessage()
+        for r in caplog.records
+    ), [r.getMessage() for r in caplog.records]
+
+
 def test_jaccard_df_cap_is_noop_below_cap(spark):
     # When no shingle exceeds the cap the capped and uncapped paths
     # must produce identical pairs AND identical jaccard values (the
