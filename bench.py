@@ -77,6 +77,7 @@ HEADLINE = [
     "text-zipf-slope",
     "agg-approx-quantiles",
     "join-fuzzy-name",
+    "join-fuzzy-qgram",
 ]
 
 

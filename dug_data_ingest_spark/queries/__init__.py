@@ -228,6 +228,8 @@ _EST_COST = {
     "olap-cheapest-supplier": 13.2, "olap-important-stock": 13.3,
     "events-stickiness": 13.4, "text-zipf-slope": 13.5, "snk-orc": 13.6,
     "agg-approx-quantiles": 13.7, "join-fuzzy-name": 13.8,
+    # round-6 batch
+    "join-fuzzy-qgram": 14.0,
 }
 
 

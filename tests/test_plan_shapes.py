@@ -297,3 +297,18 @@ def test_important_stock_threshold_is_broadcast_not_collect(queries, spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fuzzy_qgram_candidates_ride_broadcast_equi_joins(queries, spark):
+    # The q-gram fuzzy join's candidate generation must be an equi-join
+    # on the gram key with the (small) probe side broadcast — never a
+    # cartesian/nested-loop over the corpus — and the only sort-merge
+    # the plan may contain is none: gram-frequency ranking joins the
+    # big df table, but the probe-types side broadcasts.
+    plan = _plan(queries["join-fuzzy-qgram"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "gram" in plan, plan
+    # exact levenshtein runs JVM-side inside codegen, not in Python
+    assert "BatchEvalPython" not in plan, plan
