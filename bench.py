@@ -78,6 +78,7 @@ HEADLINE = [
     "agg-approx-quantiles",
     "join-fuzzy-name",
     "join-fuzzy-qgram",
+    "olap-grouping-sets",
 ]
 
 

@@ -229,7 +229,7 @@ _EST_COST = {
     "events-stickiness": 13.4, "text-zipf-slope": 13.5, "snk-orc": 13.6,
     "agg-approx-quantiles": 13.7, "join-fuzzy-name": 13.8,
     # round-6 batch
-    "join-fuzzy-qgram": 14.0,
+    "join-fuzzy-qgram": 14.0, "olap-grouping-sets": 14.1,
 }
 
 

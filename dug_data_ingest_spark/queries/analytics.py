@@ -271,6 +271,54 @@ def olap_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CAST(GROUPING(CAST(year(l_shipdate) AS INT)) AS INT) AS g_year,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS (
+  (l_returnflag, l_linestatus), (CAST(year(l_shipdate) AS INT)), ()
+)
+"""
+
+
+@query("olap-grouping-sets", oracle=_GSETS_ORACLE)
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY grouping sets — (flag, status), (ship_year), () — with
+    GROUPING() null-vs-subtotal markers, beyond what rollup/cube can
+    express (the sets are not a prefix/power-set family). One pass:
+    Spark plans a single Expand (3 replicas of each input row, one per
+    set) feeding ONE partial+final aggregate — the same shuffle count
+    as a plain groupBy, where the naive alternative is 3 scans + union.
+    The GROUPING() markers disambiguate a genuine NULL dimension value
+    from a subtotal row, which is what makes the output safely
+    machine-consumable downstream.
+
+    At 100 TB the Expand multiplies the aggregate INPUT, not the
+    shuffle: partial aggregation collapses each replica to its set's
+    group cardinality map-side, so the exchange carries ~|groups|
+    rows. Extension surface: the reference has no grouping-set idiom
+    (SURVEY §2.4 notes the absence); rollup landed as
+    olap-rollup-summary, this adds the general form."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["ship_year"], []],
+        "l_returnflag", "l_linestatus", "ship_year",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.grouping("ship_year").cast("int").alias("g_year"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range join: events within a time window of each other, same user.
 # The reference has no range/theta joins (SURVEY §2.3); here the equi

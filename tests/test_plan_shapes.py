@@ -312,3 +312,13 @@ def test_fuzzy_qgram_candidates_ride_broadcast_equi_joins(queries, spark):
     assert "gram" in plan, plan
     # exact levenshtein runs JVM-side inside codegen, not in Python
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(queries, spark):
+    # Arbitrary grouping sets must compile to ONE Expand feeding a
+    # partial+final aggregate pair — a single shuffle computes every
+    # set, vs the naive N-scans + union.
+    plan = _plan(queries["olap-grouping-sets"](spark, SF_DIR))
+    assert plan.count("Expand [") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan, plan  # map-side combine before the shuffle
