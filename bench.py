@@ -79,6 +79,7 @@ HEADLINE = [
     "join-fuzzy-name",
     "join-fuzzy-qgram",
     "olap-grouping-sets",
+    "stream-stream-join",
 ]
 
 

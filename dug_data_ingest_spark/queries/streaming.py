@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dug_data_ingest_spark.queries import load, query
 from dug_data_ingest_spark.streaming.events import (
     first_event_dedup,
+    purchase_click_attribution,
     session_counts,
     sliding_counts,
     tumbling_counts,
@@ -91,6 +92,25 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_event_dedup(load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream-stream-join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_sec
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join, batch twin (the missing
+    streaming class per VERDICT r5): purchase×click attribution pairs
+    within a 30-minute lookback. The true-stream run and its
+    batch-equality assertion live in tests/test_streaming.py."""
+    return purchase_click_attribution(load(spark, sf_dir, "events"))
 
 
 @query(

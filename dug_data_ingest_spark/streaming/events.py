@@ -92,6 +92,56 @@ def first_event_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_attribution(
+    events: DataFrame, lookback: str = "30 minutes", delay: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream JOIN with watermarks: every (purchase, click) pair
+    for the same user where the click precedes the purchase by at most
+    ``lookback`` — last-touch attribution's candidate set.
+
+    Batch and streaming run the identical logical plan (unified API).
+    In streaming, both join inputs are branches of one watermarked
+    source, and the join condition time-bounds the click against the
+    purchase, which is exactly what lets Spark expire per-side join
+    state: a buffered click older than watermark − lookback can never
+    match a future purchase and is dropped, so state is O(rate ×
+    (delay + lookback)) instead of unbounded. Inner joins emit pairs
+    as soon as both sides arrive — nothing is withheld — so the
+    streaming result equals the batch twin on a replayed file
+    (asserted in tests/test_streaming.py).
+
+    At 100 TB/day the join shuffles both sides on user_id; the range
+    predicate evaluates inside each co-partitioned user group, never as
+    a cross product (same shape as join-range-events)."""
+    base = with_watermark_if_streaming(events, delay)
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    # microsecond-exact lag, floored to whole seconds with integer
+    # arithmetic (unix_timestamp would floor each operand separately —
+    # off by one whenever the click's sub-second part exceeds the
+    # purchase's)
+    return purchases.join(clicks, cond).select(
+        "purchase_id",
+        "click_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
+            "lag_sec"
+        ),
+    )
+
+
 def streaming_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     """True streaming dedup: watermark-bounded state."""
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(

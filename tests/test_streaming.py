@@ -118,6 +118,39 @@ def test_marker_sessionize_stream_matches_batch_closed_sessions(spark):
     assert len(missing) == len(users), f"non-trailing sessions missing: {missing}"
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream inner join: pairs are emitted as both
+    sides arrive (nothing withheld), so replaying the events file
+    through the stream must produce EXACTLY the batch twin's pairs."""
+    from dug_data_ingest_spark.streaming.events import (
+        purchase_click_attribution,
+    )
+
+    stream = read_events_stream(spark, TEST_SF_DIR)
+    q = (
+        purchase_click_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.purchase_id, r.click_id, r.lag_sec)
+        for r in spark.sql("SELECT * FROM attrib_out").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.lag_sec)
+        for r in purchase_click_attribution(
+            load(spark, TEST_SF_DIR, "events")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_curation_sampling_works_on_streams(spark):
     """hash_sample / mix_sample are stateless row-local transforms, so
     the same functions drop onto a readStream unchanged (the unified
