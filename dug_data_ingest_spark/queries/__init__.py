@@ -230,7 +230,7 @@ _EST_COST = {
     "agg-approx-quantiles": 13.7, "join-fuzzy-name": 13.8,
     # round-6 batch
     "join-fuzzy-qgram": 14.0, "olap-grouping-sets": 14.1,
-    "stream-stream-join": 14.2,
+    "stream-stream-join": 14.2, "events-props-flatten": 14.3,
 }
 
 

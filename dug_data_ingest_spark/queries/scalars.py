@@ -302,3 +302,68 @@ def json_shape_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_list, "list").otherwise("dict").alias("shape"),
         k.cast("bigint").alias("k"),
     )
+
+
+@query(
+    "events-props-flatten",
+    oracle="""
+    WITH mutated AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 13 = 0 THEN 'oops' || props
+                  WHEN event_id % 7 = 0 THEN replace(props, '"k"', '"key"')
+                  ELSE props END AS p2
+      FROM events
+    ),
+    flat AS (
+      SELECT event_id, event_type,
+             CASE WHEN json_valid(p2) THEN
+               COALESCE(TRY_CAST(json_extract_string(p2, '$.k') AS BIGINT),
+                        TRY_CAST(json_extract_string(p2, '$.key') AS BIGINT))
+             END AS k
+      FROM mutated
+    )
+    SELECT event_id, event_type, k,
+           CAST(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_valid
+    FROM flat
+    """,
+)
+def events_props_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read bronze ingest (SURVEY §7 hard-part 1): a JSON
+    STRING column is parsed ONCE into a typed struct with ``from_json``
+    and flattened to columns — the pattern for wide extraction, where
+    per-field ``get_json_object`` (json-access) re-parses the document
+    per field. Alias tolerance: producers disagree on field names
+    (``k`` vs ``key``), so the flatten coalesces over the candidate
+    paths; malformed documents parse to a null struct (PERMISSIVE) and
+    surface as ``is_valid = 0`` instead of failing the job.
+
+    The testdata's props are uniform, so both engines deterministically
+    REWRITE a slice in-query first — event_id % 7 renames the field
+    (exercises the coalesce), % 13 corrupts the document (exercises
+    null-on-corrupt) — turning a no-op corpus into a positive
+    verification of both behaviors (same pattern as text-pii-redact's
+    injected spans). At 100 TB this is a zero-shuffle projection that
+    stays in whole-stage codegen; from_json prunes to the requested
+    struct fields."""
+    df = load(spark, sf_dir, "events")
+    p2 = (
+        F.when(
+            F.col("event_id") % 13 == 0,
+            F.concat(F.lit("oops"), F.col("props")),
+        )
+        .when(
+            F.col("event_id") % 7 == 0,
+            F.replace(F.col("props"), F.lit('"k"'), F.lit('"key"')),
+        )
+        .otherwise(F.col("props"))
+    )
+    parsed = F.from_json(p2, "k BIGINT, key BIGINT")
+    flat = df.select(
+        "event_id",
+        "event_type",
+        F.coalesce(parsed["k"], parsed["key"]).alias("k"),
+    )
+    return flat.withColumn(
+        "is_valid",
+        F.when(F.col("k").isNotNull(), 1).otherwise(0).cast("int"),
+    )
