@@ -231,6 +231,7 @@ _EST_COST = {
     # round-6 batch
     "join-fuzzy-qgram": 14.0, "olap-grouping-sets": 14.1,
     "stream-stream-join": 14.2, "events-props-flatten": 14.3,
+    "events-retention-pivot": 14.4,
 }
 
 

@@ -912,6 +912,97 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETENTION_PIVOT_ORACLE = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id,
+         strftime(min(date_trunc('week', ts)), '%Y-%m-%d') AS cohort_week
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+tall AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE))
+              // 7 AS INT) AS week_no
+  FROM activity JOIN cohort USING (user_id)
+  WHERE week >= cohort_week
+)
+SELECT cohort_week,
+       CAST(SUM(CASE WHEN week_no = 0 THEN 1 ELSE 0 END) AS BIGINT) AS w0,
+       CAST(SUM(CASE WHEN week_no = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+       CAST(SUM(CASE WHEN week_no = 2 THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+       CAST(SUM(CASE WHEN week_no = 3 THEN 1 ELSE 0 END) AS BIGINT) AS w3,
+       CAST(SUM(CASE WHEN week_no = 4 THEN 1 ELSE 0 END) AS BIGINT) AS w4,
+       CAST(SUM(CASE WHEN week_no = 5 THEN 1 ELSE 0 END) AS BIGINT) AS w5,
+       CAST(SUM(CASE WHEN week_no = 6 THEN 1 ELSE 0 END) AS BIGINT) AS w6,
+       CAST(SUM(CASE WHEN week_no = 7 THEN 1 ELSE 0 END) AS BIGINT) AS w7
+FROM tall WHERE week_no <= 7
+GROUP BY cohort_week
+"""
+
+
+@query("events-retention-pivot", oracle=_RETENTION_PIVOT_ORACLE)
+def events_retention_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention as a WIDE matrix: users cohorted by their
+    FIRST-PURCHASE week, one row per cohort, one column per
+    weeks-since-cohort (w0..w7) counting weekly-active cohort members —
+    the report shape analysts consume, produced through the
+    EXPLICIT-VALUES pivot idiom of agg-pivot-report (relational.py):
+    enumerating pivot values keeps the schema static (no
+    value-discovery scan, no data-dependent columns). Missing cells
+    coalesce to 0.
+
+    Plan: ONE user_id shuffle computes per-user (weeks set, purchase
+    cohort) together in a single aggregate; the pivot then runs a
+    (cohort, week_no) cell-count pre-aggregate and a pivotfirst over
+    the ≤ |cohorts|×8 cells — both trivially small exchanges after the
+    first aggregate has collapsed the fact table."""
+    ev = load(spark, sf_dir, "events")
+    week_of_ts = F.date_format(
+        F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"
+    )
+    per_user = (
+        ev.select(
+            "user_id",
+            week_of_ts.alias("week"),
+            F.when(F.col("event_type") == "purchase", week_of_ts).alias(
+                "purchase_week"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.collect_set("week").alias("weeks"),
+            F.min("purchase_week").alias("cohort_week"),
+        )
+        .filter(F.col("cohort_week").isNotNull())
+    )
+    tall = (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("week")
+        )
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .withColumn(
+            "week_no", F.expr("datediff(week, cohort_week) div 7").cast("int")
+        )
+        .filter(F.col("week_no") <= 7)
+    )
+    wide = (
+        tall.groupBy("cohort_week")
+        .pivot("week_no", list(range(8)))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "cohort_week",
+        *[
+            F.coalesce(F.col(str(i)), F.lit(0)).cast("long").alias(f"w{i}")
+            for i in range(8)
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters: top-20 users by event count. Partial-aggregated
 # groupBy then TakeOrderedAndProject (per-partition heaps, driver
