@@ -80,6 +80,16 @@ HEADLINE = [
     "join-fuzzy-qgram",
     "olap-grouping-sets",
     "stream-stream-join",
+    "events-props-flatten",
+    "events-retention-pivot",
+    # §2.5/§2.6 window/sort/limit tail — cheap, but every SURVEY §2
+    # family keeps a bench presence so a regression anywhere is visible
+    "win-latest-file",
+    "sort-ids",
+    "sort-jq",
+    "sort-distinct-join",
+    "limit-top1",
+    "limit-page",
 ]
 
 

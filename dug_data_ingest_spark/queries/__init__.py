@@ -231,7 +231,9 @@ _EST_COST = {
     # round-6 batch
     "join-fuzzy-qgram": 14.0, "olap-grouping-sets": 14.1,
     "stream-stream-join": 14.2, "events-props-flatten": 14.3,
-    "events-retention-pivot": 14.4,
+    "events-retention-pivot": 14.4, "events-stickiness-approx": 14.5,
+    "olap-cube-summary": 14.6, "win-running-total": 14.7,
+    "sample-stratified-exact": 14.8,
 }
 
 

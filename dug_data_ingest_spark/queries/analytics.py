@@ -319,6 +319,81 @@ def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNNING_TOTAL_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             2) AS sum3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@query("win-running-total", oracle=_RUNNING_TOTAL_ORACLE)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running customer spend + 3-order moving sum — the
+    cumulative/moving window family (§2.5 depth beyond
+    first/latest/uniquify). ONE shuffle on o_custkey serves both frames
+    (same partition + order spec); ties are broken by o_orderkey so the
+    running sums are deterministic, and both engines accumulate the
+    same doubles in the same frame order, making the rounded values
+    bit-identical (a moving AVERAGE would divide first and round on a
+    half-cent tie, where the engines' binary .xx5 neighborhoods
+    disagree — measured 4/1500 rows off by one cent). At 100 TB the per-customer sequences are short, so
+    the sort inside each partition is cheap; a window over a MONSTER
+    partition key would instead want the two-pass prefix-sum
+    decomposition (per-bucket partials + carried offsets)."""
+    ev = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w3 = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return ev.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.sum("o_totalprice").over(w3), 2).alias("sum3"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) * 2
+         + CAST(GROUPING(l_linestatus) AS INT) AS gid,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("olap-cube-summary", oracle=_CUBE_ORACLE)
+def olap_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — every subset of the dims (4 grouping sets here) in one
+    pass, with a composed GROUPING_ID-style marker (Spark's
+    grouping_id() and DuckDB's GROUPING() bit-compose identically:
+    flag-bit·2 + status-bit). Same single Expand + one-shuffle
+    aggregate shape as olap-grouping-sets; the Expand factor is 2^dims,
+    which is why real pipelines cube only low-cardinality dims — noted
+    here because at 100 TB a 4-dim cube means 16× aggregate input
+    (still map-side-collapsed before the exchange)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Range join: events within a time window of each other, same user.
 # The reference has no range/theta joins (SURVEY §2.3); here the equi
@@ -1159,6 +1234,71 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("week", "wau")
         .agg(F.round(F.avg("dau") / F.first("wau"), 4).alias("stickiness"))
         .select("week", F.col("wau").cast("bigint").alias("wau"), "stickiness")
+    )
+
+
+_STICKINESS_APPROX_ORACLE = """
+WITH d AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         user_id
+  FROM events
+),
+dau AS (SELECT week, day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY week, day),
+wau AS (SELECT week, COUNT(DISTINCT user_id) AS wau FROM d GROUP BY week)
+SELECT w.week, CAST(w.wau AS BIGINT) AS wau,
+       ROUND(AVG(a.dau) / w.wau, 4) AS stickiness,
+       CAST(1 AS INT) AS approx_ok
+FROM wau w JOIN dau a USING (week)
+GROUP BY w.week, w.wau
+"""
+
+
+@query("events-stickiness-approx", oracle=_STICKINESS_APPROX_ORACLE)
+def events_stickiness_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events-stickiness at the 100-TB tier: DAU/WAU via HLL++
+    (``approx_count_distinct``) instead of exact COUNT DISTINCT. Exact
+    distinct plans an Expand + a shuffle keyed on (week, user_id);
+    HLL++ partial-aggregates into a fixed-size mergeable sketch
+    map-side — the only viable shape when the per-key cardinality is
+    itself huge. Oracle pattern per agg-approx-distinct: the exact wau
+    and stickiness are value-verified, the sketch through a
+    deterministic tolerance flag (HLL++ has no RNG, so "approx within
+    3×rsd of exact, ratio within 15%" is a stable, replayable bit —
+    an honest oracle for an approximate operator)."""
+    rsd = 0.02
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    dau = ev.groupBy("week", "day").agg(
+        F.count_distinct("user_id").alias("dau"),
+        F.approx_count_distinct("user_id", rsd).alias("dau_ap"),
+    )
+    wau = ev.groupBy("week").agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.approx_count_distinct("user_id", rsd).alias("wau_ap"),
+    )
+    per_week = (
+        wau.join(dau, "week")
+        .groupBy("week", "wau", "wau_ap")
+        .agg(
+            F.avg("dau").alias("avg_dau"),
+            F.avg("dau_ap").alias("avg_dau_ap"),
+        )
+    )
+    st = F.col("avg_dau") / F.col("wau")
+    st_ap = F.col("avg_dau_ap") / F.col("wau_ap")
+    ok = (
+        (F.abs(F.col("wau_ap") - F.col("wau")) <= 3 * rsd * F.col("wau"))
+        & (F.abs(st_ap - st) <= 0.15 * st)
+    )
+    return per_week.select(
+        "week",
+        F.col("wau").cast("bigint").alias("wau"),
+        F.round(st, 4).alias("stickiness"),
+        ok.cast("int").alias("approx_ok"),
     )
 
 

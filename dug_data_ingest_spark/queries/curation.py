@@ -465,3 +465,39 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_points"),
         F.round(F.expr("regr_slope(ln(n), ln(rank))"), 3).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k stratified sampling: EXACTLY k docs per stratum (lang),
+# selected by md5 order — the companion to pipeline-hash-sample's
+# percentage buckets when a training mix specifies absolute per-source
+# counts. md5-ordered row_number is reproducible across engines, runs,
+# and cluster sizes (no RNG, no partition-order dependence). One
+# shuffle on the stratum key; the per-group sort touches only each
+# stratum's rows. At 100 TB with monster strata, swap in a two-phase
+# rank-threshold refinement before the full window sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample-stratified-exact",
+    oracle="""
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )

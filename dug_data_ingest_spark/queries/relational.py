@@ -863,11 +863,12 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Caveat measured at sf0.1: when the corpus length distribution is
     narrow (TPC-H part names), length buckets are hot and candidate
-    counts grow toward n/|buckets| per probe. For such corpora compose
-    this with a q-gram blocking key (any lev ≤ 2 pair of strings
-    longer than 8 shares a trigram — pigeonhole over the ≤ 6 trigrams
-    two edits can destroy), the same shared-shingle candidate pattern
-    as ngram_jaccard_pairs with its df cap."""
+    counts grow toward n/|buckets| per probe. The production path for
+    such corpora is ``join-fuzzy-qgram`` (operators/joins.py:
+    fuzzy_join_qgram), which blocks on each probe's rarest trigrams —
+    complete for lev ≤ 2 by pigeonhole and measured 1.6× faster here;
+    this slug stays registered as the simpler blocking's reference
+    point."""
     parts = load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", F.length("p_name").alias("len")
     )

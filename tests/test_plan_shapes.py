@@ -322,3 +322,22 @@ def test_grouping_sets_single_expand_single_shuffle(queries, spark):
     assert plan.count("Expand [") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_sum" in plan, plan  # map-side combine before the shuffle
+
+
+def test_cube_single_expand_single_shuffle(queries, spark):
+    plan = _plan(queries["olap-cube-summary"](spark, SF_DIR))
+    assert plan.count("Expand [") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_running_total_single_window_shuffle(queries, spark):
+    # both frames (running + moving) share one partition/order spec →
+    # ONE exchange on o_custkey and ONE Window node
+    plan = _plan(queries["win-running-total"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_stratified_sample_single_stratum_shuffle(queries, spark):
+    plan = _plan(queries["sample-stratified-exact"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
