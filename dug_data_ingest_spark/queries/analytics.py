@@ -1347,3 +1347,371 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (in_bracket | (F.col("n_docs") < 50)).alias("sketch_in_bracket"),
         "n_docs",
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue forecast (TPC-H Q6 shape): the purest predicate-pushdown
+# query — three range filters and a two-column projection over the
+# fact, no join, one output row. All three predicates reach the
+# parquet scan (PushedFilters) and ReadSchema carries exactly
+# shipdate/discount/quantity/extendedprice; at 100 TB this plan's cost
+# is I/O on pruned row groups, nothing else. Per-item discount revenue
+# is DECIMAL(18,4) so both engines sum exactly.
+# ---------------------------------------------------------------------------
+
+_FORECAST_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount, 4)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("olap-revenue-forecast", oracle=_FORECAST_ORACLE)
+def olap_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount"), 4
+    ).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(disc_rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product profit by nation and year (TPC-H Q9 shape, adapted: the
+# testdata has no partsupp, so profit is discounted revenue rather
+# than revenue minus supplycost). Fact ⋈ orders is the only allowed
+# shuffle; the part slice (LIKE-filtered), supplier, and nation are
+# broadcast. YEAR() folds into the aggregate key — at 100 TB the
+# output is |nation| × |years| rows regardless of input size.
+# ---------------------------------------------------------------------------
+
+_PRODUCT_PROFIT_ORACLE = f"""
+SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(SUM({_DEC_REV_SQL}), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+"""
+
+
+@query("olap-product-profit", oracle=_PRODUCT_PROFIT_ORACLE)
+def olap_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-shipment priority mix (TPC-H Q12 shape, adapted: no l_shipmode
+# or commit/receipt dates in the testdata, so "late" is shipped more
+# than 90 days after the order date and the grouping column is
+# l_returnflag). The join predicate is the equi-key; the interval
+# comparison stays a post-join filter on two already-present
+# timestamp columns — no casts, no UDFs, codegen-fused.
+# ---------------------------------------------------------------------------
+
+_LATE_SHIPMENTS_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+"""
+
+
+@query("olap-late-shipments", oracle=_LATE_SHIPMENTS_ORACLE)
+def olap_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top supplier (TPC-H Q15 shape): quarterly revenue per supplier, then
+# the supplier(s) achieving the maximum. The revenue relation is
+# ≤|supplier| rows, so BOTH the 1-row max aggregate and the equality
+# join back onto it are broadcast — the fact is scanned once and
+# shuffles once (the groupBy). Revenue is compared as DECIMAL(18,2),
+# so "equals max" can't flip on double last-bits; tie semantics are
+# exact in both engines.
+# ---------------------------------------------------------------------------
+
+_TOP_SUPPLIER_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(ROUND(SUM({_DEC_REV_SQL}), 2) AS DECIMAL(18,2)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+@query("olap-top-supplier", oracle=_TOP_SUPPLIER_ORACLE)
+def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(_dec_rev()), 2).cast("decimal(18,2)").alias("total_rev")
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier diversity per part class (TPC-H Q16 shape, adapted: the
+# lineitem fact stands in for the missing partsupp as the
+# part↔supplier association, and the excluded-supplier subquery keys
+# on negative account balance instead of complaint comments). The
+# association is DISTINCT-ed BEFORE joining part (shrinks the shuffle
+# to unique pairs); the exclusion list is a broadcast anti-join, never
+# a NOT IN over a shuffle.
+# ---------------------------------------------------------------------------
+
+_PARTS_SUPPLIER_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) assoc
+JOIN part ON l_partkey = p_partkey
+WHERE NOT (p_brand = 'Brand#5' AND p_type = 'PROMO')
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("olap-parts-supplier", oracle=_PARTS_SUPPLIER_ORACLE)
+def olap_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        ~((F.col("p_brand") == "Brand#5") & (F.col("p_type") == "PROMO"))
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_suppliers = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    assoc = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        assoc.join(
+            F.broadcast(bad_suppliers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Large-volume orders (TPC-H Q18 shape): orders whose total quantity
+# exceeds 300. The HAVING becomes an aggregate-then-filter over the
+# fact (one shuffle, map-side combined); the ~dozens of surviving
+# orderkeys then BROADCAST back onto orders and customer — the
+# classic "tiny qualifying set drives the lookup" plan that at 100 TB
+# touches the dimension tables via broadcast hash joins only.
+# ---------------------------------------------------------------------------
+
+_LARGE_ORDERS_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(total_qty, 2) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@query("olap-large-orders", oracle=_LARGE_ORDERS_ORACLE)
+def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive-predicate revenue (TPC-H Q19 shape, adapted to the
+# columns the testdata has: brand × size-range × quantity-range
+# triples OR-ed together). The p-side conjuncts stay on the broadcast
+# dim; the OR of AND-groups is a single codegen-fused filter after
+# the join — no union-of-three-scans rewrite, the fact is read once.
+# ---------------------------------------------------------------------------
+
+_DISJUNCTIVE_REV_ORACLE = f"""
+SELECT CAST(ROUND(SUM({_DEC_REV_SQL}), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("olap-disjunctive-rev", oracle=_DISJUNCTIVE_REV_ORACLE)
+def olap_disjunctive_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & size.between(10, 30)
+            & qty.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & size.between(20, 50)
+            & qty.between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dormant high-balance customers (TPC-H Q22 shape, adapted: the
+# testdata has no c_phone, so the country-code grouping becomes
+# c_mktsegment and "no recent orders" replaces "never ordered" —
+# every synthetic customer has at least one order). Two scale
+# mechanisms on display: the scalar average is a 1-row broadcast
+# cross join (not a recomputed subquery), and NOT EXISTS is a
+# left_anti join against the date-pruned orders projection.
+# ---------------------------------------------------------------------------
+
+_DORMANT_CUSTOMERS_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@query("olap-dormant-customers", oracle=_DORMANT_CUSTOMERS_ORACLE)
+def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    recent_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent_orders,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
