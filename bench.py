@@ -82,6 +82,18 @@ HEADLINE = [
     "stream-stream-join",
     "events-props-flatten",
     "events-retention-pivot",
+    "events-stickiness-approx",
+    "olap-cube-summary",
+    "win-running-total",
+    "sample-stratified-exact",
+    "olap-revenue-forecast",
+    "olap-product-profit",
+    "olap-late-shipments",
+    "olap-top-supplier",
+    "olap-parts-supplier",
+    "olap-large-orders",
+    "olap-disjunctive-rev",
+    "olap-dormant-customers",
     # §2.5/§2.6 window/sort/limit tail — cheap, but every SURVEY §2
     # family keeps a bench presence so a regression anywhere is visible
     "win-latest-file",

@@ -629,3 +629,54 @@ def duplicate_clusters(
             f"component with diameter > {max_iters} — raise max_iters."
         )
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Directional containment C(a→b) = |Sa ∩ Sb| / |Sa| over shingle
+    sets, for ordered pairs sharing at least one shingle:
+    (a, b, containment ≥ threshold), a ≠ b.
+
+    Jaccard under-scores a short document embedded verbatim inside a
+    long one (the union is dominated by the long side); containment is
+    the asymmetric measure that catches quote-expansion and
+    boilerplate-wrapping near-dups — dedup policy typically drops the
+    CONTAINED side (a) and keeps the superset (b).
+
+    Candidate generation, the df cap, and the scale argument are
+    exactly ``ngram_jaccard_pairs``: one shared-shingle equi-join,
+    hot shingles (> max_doc_freq docs) broadcast-anti-joined away
+    first, set sizes riding the exploded rows. The only differences
+    are the a ≠ b filter (both directions are meaningful) and the
+    |Sa| denominator.
+    """
+    sh = doc_shingles(docs, text_col, id_col, k)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        hot = _arm_cap_signal(hot, max_doc_freq)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    ex = sh.withColumn("n", F.count("*").over(Window.partitionBy(id_col)))
+    a = ex.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
+    b = ex.select(F.col(id_col).alias("b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b", "na")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "containment", F.round(F.col("inter") / F.col("na"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )

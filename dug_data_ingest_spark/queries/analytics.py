@@ -1715,3 +1715,67 @@ def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch gap sessionization: the window-function formulation of the
+# session split (gap > 30 min starts a new session), complementing the
+# streaming stateful version (stream-marker-sessionize). Both the lag
+# marker and the running session ordinal ride ONE user-keyed
+# Window exchange (same partition/order spec → Spark reuses the sort);
+# the session rollup then re-aggregates on (user, seq) — at 100 TB
+# this is one fact shuffle plus a near-local second agg. Gap compare
+# is integer epoch-seconds; tie-break on event_id makes the order
+# total, so session boundaries are engine-exact.
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@query("events-sessionize", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        1,
+    ).otherwise(0)
+    marked = ev.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+    session_seq = (
+        F.sum("new_s")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int")
+    )
+    return (
+        marked.select("user_id", "ts", session_seq.alias("session_seq"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+                "duration_sec"
+            ),
+        )
+    )

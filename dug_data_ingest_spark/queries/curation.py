@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dug_data_ingest_spark.ext.dedup import _md5_hash64, doc_shingles
 from dug_data_ingest_spark.ext.curation import (
     decontaminate,
     hash_sample,
@@ -500,4 +501,120 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: the shape every continuously-fed corpus
+# runs — a new BATCH (20% of docs by the reproducible md5 bucket)
+# checked against the existing CORPUS (the other 80%), never corpus ×
+# corpus. Exact dups leave via a hash semi-join (shuffles only the
+# 16-byte text hashes, NEVER broadcast — the corpus side is the big
+# one at 100 TB); near-dups via the df-capped shared-shingle join
+# with the batch side as the probe. The bucket is a pure row-local
+# function of doc_id, so the batch/corpus split costs zero shuffles
+# and is engine-identical (same formula as pipeline-hash-sample).
+# ---------------------------------------------------------------------------
+
+_SHINGLES3_CTE = f"""
+words3 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+sh3 AS (
+  SELECT DISTINCT doc_id, s FROM words3,
+  unnest(CASE WHEN len(w) >= 3
+              THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+              ELSE []::VARCHAR[] END) t(s)
+),
+kept3 AS (
+  SELECT doc_id, s FROM sh3
+  QUALIFY count(*) OVER (PARTITION BY s) <= 100
+)
+"""
+
+_INCR_DEDUP_ORACLE = f"""
+WITH {_SHINGLES3_CTE},
+b AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+),
+batch AS (SELECT doc_id, md5(text) AS h FROM b WHERE bucket >= 80),
+corpus AS (SELECT doc_id, md5(text) AS h FROM b WHERE bucket < 80),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept3 GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS c, count(*) AS i
+  FROM kept3 x JOIN batch ON x.doc_id = batch.doc_id
+  JOIN kept3 y ON x.s = y.s
+  JOIN corpus ON y.doc_id = corpus.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+near AS (
+  SELECT DISTINCT inter.a AS doc_id FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a
+  JOIN sizes sc ON sc.doc_id = inter.c
+  WHERE ROUND(i * 1.0 / (sa.n + sc.n - i), 4) >= 0.8
+)
+SELECT batch.doc_id,
+       CASE WHEN batch.h IN (SELECT h FROM corpus) THEN 'exact_dup'
+            WHEN batch.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM batch
+"""
+
+
+@query("pipeline-incremental-dedup", oracle=_INCR_DEDUP_ORACLE)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = _md5_hash64(F.col("doc_id").cast("string")) % 100
+    is_batch = bucket >= 80
+
+    batch_h = docs.filter(is_batch).select("doc_id", F.md5("text").alias("h"))
+    corpus_h = docs.filter(~is_batch).select(F.md5("text").alias("h")).distinct()
+    exact = (
+        batch_h.join(corpus_h, "h", "semi")
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(True))
+    )
+
+    sh = doc_shingles(docs)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 100)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    kept_n = kept.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    ).withColumn("_b", _md5_hash64(F.col("doc_id").cast("string")) % 100)
+    a = kept_n.filter(F.col("_b") >= 80).select(
+        F.col("doc_id").alias("a"), F.col("n").alias("na"), "shingle"
+    )
+    c = kept_n.filter(F.col("_b") < 80).select(
+        F.col("doc_id").alias("c"), F.col("n").alias("nc"), "shingle"
+    )
+    near = (
+        a.join(c, "shingle")
+        .groupBy("a", "na", "c", "nc")
+        .agg(F.count("*").alias("i"))
+        .filter(
+            F.round(F.col("i") / (F.col("na") + F.col("nc") - F.col("i")), 4)
+            >= 0.8
+        )
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+
+    return (
+        batch_h.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
     )

@@ -19,6 +19,7 @@ from dug_data_ingest_spark.ext.dedup import (
     minhash_candidate_pairs,
     minhash_jaccard_estimates,
     minhash_signatures_wide,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash_near_pairs,
@@ -998,3 +999,33 @@ def sim_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations from a deterministic init — the learned
     coarse quantizer behind IVF; output is the cell population table."""
     return kmeans_centroids(load(spark, sf_dir, "embeddings"), k=8, n_iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Directional containment near-dup: |Sa ∩ Sb| / |Sa| — the asymmetric
+# measure Jaccard misses when a short doc is embedded in a long one
+# (union dominated by the long side). Same df-capped shared-shingle
+# candidate join as dedup-ngram-jaccard; see
+# ext/dedup.py::ngram_containment_pairs for the scale argument.
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_KEPT_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM kept x JOIN kept y USING (s) WHERE x.doc_id <> y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, ROUND(i * 1.0 / sa.n, 4) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = a
+WHERE ROUND(i * 1.0 / sa.n, 4) >= 0.9
+"""
+
+
+@query("dedup-containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.9, max_doc_freq=_JACCARD_CAP
+    )

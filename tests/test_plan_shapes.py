@@ -341,3 +341,51 @@ def test_running_total_single_window_shuffle(queries, spark):
 def test_stratified_sample_single_stratum_shuffle(queries, spark):
     plan = _plan(queries["sample-stratified-exact"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_revenue_forecast_pushes_all_predicates(queries, spark):
+    # Q6 shape: shipdate/discount/quantity ranges must ALL reach the
+    # parquet scan, and ReadSchema must not drag unused fact columns.
+    info = _scan_info(queries["olap-revenue-forecast"](spark, SF_DIR))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", info))
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    read = " ".join(re.findall(r"ReadSchema: [^\n]*", info))
+    assert "l_returnflag" not in read and "l_tax" not in read, read
+
+
+def test_product_profit_dims_broadcast_fact_shuffles_once(queries, spark):
+    # part/supplier/nation are broadcast; lineitem-orders is the only
+    # join allowed to shuffle (and AQE may still broadcast it at this sf).
+    plan = _plan(queries["olap-product-profit"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_top_supplier_max_join_is_broadcast(queries, spark):
+    # The 1-row max aggregate and the supplier dim must both be
+    # broadcast — the per-supplier revenue relation never re-shuffles.
+    plan = _plan(queries["olap-top-supplier"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_parts_supplier_exclusion_is_broadcast_anti(queries, spark):
+    plan = _plan(queries["olap-parts-supplier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_large_orders_qualifying_set_broadcasts(queries, spark):
+    # The HAVING-filtered orderkey set is tiny; both lookups ride
+    # broadcast joins — orders/customer never sort-merge.
+    plan = _plan(queries["olap-large-orders"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_dormant_customers_avg_is_broadcast_not_subquery_rescan(queries, spark):
+    # Scalar average: BroadcastNestedLoopJoin of a 1-row aggregate;
+    # recent-orders NOT EXISTS: anti join. Customer scans stay at 2
+    # (one for the avg, one for the probe) — never per-row.
+    plan = _plan(queries["olap-dormant-customers"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
