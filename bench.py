@@ -94,6 +94,12 @@ HEADLINE = [
     "olap-large-orders",
     "olap-disjunctive-rev",
     "olap-dormant-customers",
+    "events-sessionize",
+    "dedup-containment",
+    "pipeline-incremental-dedup",
+    "agg-sketch-rollup",
+    "events-audience-overlap",
+    "events-heavy-hitters-approx",
     # §2.5/§2.6 window/sort/limit tail — cheap, but every SURVEY §2
     # family keeps a bench presence so a regression anywhere is visible
     "win-latest-file",

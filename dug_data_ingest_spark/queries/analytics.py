@@ -1779,3 +1779,153 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollup (Datasketches HLL): per-(event_type, day)
+# user sketches built ONCE, then re-rolled to per-type totals with
+# hll_union_agg — the pre-aggregation pattern that makes 100-TB
+# distinct counting cheap: daily partials are tiny fixed-size blobs,
+# and any rollup (weekly, monthly, all-time, cross-type) is a union
+# over partials instead of a rescan of raw events. The oracle pins
+# the exact distinct counts; the sketch estimate must land within
+# 5% (lgK=12 → ~1.6% rsd, so the flag is deterministic in practice).
+# ---------------------------------------------------------------------------
+
+_SKETCH_ROLLUP_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+
+@query("agg-sketch-rollup", oracle=_SKETCH_ROLLUP_ORACLE)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("s"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(s, false))").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+            <= 0.05
+        ).alias("within_tol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap (Datasketches Theta): |viewers ∩ purchasers|
+# estimated from two per-segment sketches — the set-operation
+# capability HLL lacks. At 100 TB the two segment sketches are built
+# in one grouped pass and intersected as two fixed-size blobs; the
+# exact overlap (a distinct-distinct join) exists here only to gate
+# the estimate (5% tolerance; at lgK=12 the sketch is exact below
+# 4096 entries). All four outputs derive from 1-row broadcast
+# aggregates — no driver collect.
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_OVERLAP_ORACLE = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+b AS (SELECT COUNT(*) AS c FROM v JOIN p USING (user_id))
+SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+       (SELECT COUNT(*) FROM p) AS n_purchase_users,
+       b.c AS n_both_exact,
+       TRUE AS overlap_within_tol
+FROM b
+"""
+
+
+@query("events-audience-overlap", oracle=_AUDIENCE_OVERLAP_ORACLE)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sk = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("theta_sketch_agg(user_id, 12)").alias("s"),
+            F.count_distinct("user_id").alias("n"),
+        )
+    )
+    v = sk.filter(F.col("event_type") == "view").select(
+        F.col("s").alias("sv"), F.col("n").alias("n_view_users")
+    )
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("s").alias("sp"), F.col("n").alias("n_purchase_users")
+    )
+    both = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_both_exact"))
+    )
+    return (
+        v.crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(both))
+        .select(
+            "n_view_users",
+            "n_purchase_users",
+            "n_both_exact",
+            (
+                F.abs(
+                    F.expr("theta_sketch_estimate(theta_intersection(sv, sp))")
+                    - F.col("n_both_exact")
+                )
+                / F.col("n_both_exact")
+                <= 0.05
+            ).alias("overlap_within_tol"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters with a bounded-state sketch (approx_top_k): the
+# exact top-10 (deterministic tie-break) gated against the sketch's
+# estimates. maxItemsTracked bounds executor state regardless of key
+# cardinality — the property that matters when user_id has 10⁹
+# distinct values; the sketch list is asked for a deep superset
+# (k=1000) so tie-order at the exact cutoff can't drop a tracked
+# item. Estimates are exact whenever cardinality ≤ maxItemsTracked,
+# making the equality flag deterministic at test scales.
+# ---------------------------------------------------------------------------
+
+_HH_APPROX_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, TRUE AS sketch_exact
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
+@query("events-heavy-hitters-approx", oracle=_HH_APPROX_ORACLE)
+def events_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    exact_top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+    approx = (
+        ev.agg(F.expr("approx_top_k(user_id, 1000, 10000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("est"))
+    )
+    return exact_top.join(F.broadcast(approx), "user_id", "left").select(
+        "user_id",
+        "n_events",
+        (F.col("est") == F.col("n_events")).alias("sketch_exact"),
+    )
