@@ -100,6 +100,9 @@ HEADLINE = [
     "agg-sketch-rollup",
     "events-audience-overlap",
     "events-heavy-hitters-approx",
+    "win-ntile-quartiles",
+    "olap-topn-per-group",
+    "agg-histogram",
     # §2.5/§2.6 window/sort/limit tail — cheap, but every SURVEY §2
     # family keeps a bench presence so a regression anywhere is visible
     "win-latest-file",

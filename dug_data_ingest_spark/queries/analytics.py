@@ -1929,3 +1929,126 @@ def events_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("est") == F.col("n_events")).alias("sketch_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spend quartiles (ntile): customers bucketed into 4 equal-frequency
+# tiers by total spend — the segmentation primitive. One orders
+# shuffle for the per-customer rollup; the ntile window then runs
+# over the ≤|customer| aggregate, never the fact. Decimal-rounded
+# spend keeps tier boundaries engine-exact (ntile ties resolve by
+# the total order on (spend desc, custkey)).
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(q AS INT) AS quartile, COUNT(*) AS n_custs,
+       CAST(ROUND(SUM(CAST(total_spend AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS tier_spend
+FROM (
+  SELECT o_custkey, total_spend,
+         ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS q
+  FROM spend)
+GROUP BY q
+"""
+
+
+@query("win-ntile-quartiles", oracle=_NTILE_ORACLE)
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    w = W.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey", "total_spend", F.ntile(4).over(w).cast("int").alias("quartile")
+        )
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum(F.col("total_spend").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("tier_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group: the 3 highest-revenue parts per brand — the
+# generalized rank-filter (win-first-per-group is its N=1 special
+# case). Revenue aggregates FIRST (one fact shuffle, map-side
+# combined); the rank window then runs over the ≤|part| rollup.
+# Deterministic: decimal revenue, partkey tie-break, row_number not
+# rank (no tie inflation).
+# ---------------------------------------------------------------------------
+
+_TOPN_PER_GROUP_ORACLE = f"""
+WITH rev AS (
+  SELECT p_brand, l_partkey,
+         CAST(ROUND(SUM({_DEC_REV_SQL}), 2) AS DOUBLE) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, l_partkey
+)
+SELECT p_brand, l_partkey, revenue, CAST(rn AS INT) AS brand_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+                               ORDER BY revenue DESC, l_partkey) AS rn
+  FROM rev)
+WHERE rn <= 3
+"""
+
+
+@query("olap-topn-per-group", oracle=_TOPN_PER_GROUP_ORACLE)
+def olap_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue"))
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return (
+        rev.withColumn("brand_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("brand_rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: lineitem price distribution in 1000-unit
+# buckets. The bucket id is a row-local floor — the whole histogram
+# is ONE map-side-combined groupBy whose output is |buckets| rows,
+# the shape that profiles a 100-TB column for skew/outliers at scan
+# cost. Integer bucket + count: hash-exact by construction.
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(l_extendedprice / 1000) AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(ROUND(MIN(l_extendedprice), 2) AS DOUBLE) AS lo,
+       CAST(ROUND(MAX(l_extendedprice), 2) AS DOUBLE) AS hi
+FROM lineitem GROUP BY bucket
+"""
+
+
+@query("agg-histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 1000).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).cast("double").alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).cast("double").alias("hi"),
+        )
+    )

@@ -389,3 +389,81 @@ def test_dormant_customers_avg_is_broadcast_not_subquery_rescan(queries, spark):
     plan = _plan(queries["olap-dormant-customers"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_sessionize_single_window_exchange(queries, spark):
+    # lag marker and running session ordinal share one user_id
+    # partition/order spec — exactly ONE hashpartitioning exchange on
+    # user_id before the session rollup re-aggregates.
+    plan = _plan(queries["events-sessionize"](spark, SF_DIR))
+    assert plan.count("Window") >= 1, plan
+    ex = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(ex) == 1, f"expected 1 user_id exchange, got {len(ex)}:\n{plan}"
+
+
+def test_containment_candidates_are_df_capped(queries, spark):
+    # Hot-shingle exclusion rides a broadcast anti-join; the candidate
+    # join is an equi-join on shingle — no cross product anywhere.
+    plan = _plan(queries["dedup-containment"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_never_corpus_x_corpus(queries, spark):
+    # Exact stage: semi-join on the 16-byte hash (shuffled, NOT
+    # broadcast — the corpus side is the big one at scale). Near
+    # stage: shingle equi-join. No cross products.
+    plan = _plan(queries["pipeline-incremental-dedup"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_sketch_rollup_merges_partials(queries, spark):
+    # Two aggregation levels: daily hll_sketch_agg partials, then
+    # hll_union_agg over the blobs — the merge layer must see sketch
+    # bytes, not raw user_ids.
+    plan = _plan(queries["agg-sketch-rollup"](spark, SF_DIR))
+    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan, plan
+
+
+def test_audience_overlap_is_broadcast_singletons(queries, spark):
+    # All three 1-row sides combine via broadcast nested-loop joins of
+    # singletons; the only shuffles are the grouped sketch/distinct aggs.
+    plan = _plan(queries["events-audience-overlap"](spark, SF_DIR))
+    assert "theta_intersection" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_approx_sketch_is_broadcast(queries, spark):
+    # The exploded sketch list joins the exact top-10 as the broadcast
+    # side; the exact head itself is TakeOrdered, not a global sort.
+    plan = _plan(queries["events-heavy-hitters-approx"](spark, SF_DIR))
+    assert "approx_top_k" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ntile_windows_over_rollup_not_fact(queries, spark):
+    # The ntile window input is the per-customer aggregate: the plan
+    # has the orders groupBy exchange, then a single-partition window
+    # (global order) over at most |customer| rows.
+    plan = _plan(queries["win-ntile-quartiles"](spark, SF_DIR))
+    assert "ntile" in plan.lower(), plan
+    ex = re.findall(r"Exchange hashpartitioning\(o_custkey", plan)
+    assert len(ex) <= 1, plan
+
+
+def test_topn_per_group_aggregates_before_ranking(queries, spark):
+    # Rank window runs over the (brand, part) rollup — the fact join
+    # is broadcast and the window exchange moves aggregate rows only.
+    plan = _plan(queries["olap-topn-per-group"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "row_number" in plan, plan
+
+
+def test_histogram_is_single_groupby(queries, spark):
+    # One map-side-combined aggregation: exactly one exchange in the
+    # whole plan, keyed on the bucket.
+    plan = _plan(queries["agg-histogram"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg exchange (+AQE read)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
