@@ -2008,13 +2008,17 @@ WHERE rn <= 3
 
 @query("olap-topn-per-group", oracle=_TOPN_PER_GROUP_ORACLE)
 def olap_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate the fact by l_partkey FIRST, join part onto the
+    # ≤|part| rollup after: the brand column never rides the fact
+    # shuffle and the broadcast probe side is 20k rows, not 600k.
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    rev = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "l_partkey")
-        .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue")
     )
+    rev = per_part.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("p_brand", "l_partkey", "revenue")
     w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("l_partkey"))
     return (
         rev.withColumn("brand_rank", F.row_number().over(w).cast("int"))

@@ -421,3 +421,63 @@ def snk_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "join-bucketed-colocated",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides written
+    ``bucketBy(16, orderkey)`` into external tables, then sort-merge
+    joined WITHOUT a shuffle — the storage-layout mechanism that
+    turns the recurring fact ⋈ fact join at 100 TB from an
+    every-query exchange of both tables into a one-time layout cost
+    amortized across every downstream join on the same key.
+
+    The write repartitions by the bucket key first (repartition and
+    bucket spec share Murmur3, so each task holds exactly its
+    bucket's rows → one file per bucket, preserving the sortBy
+    order for a Sort-free read). The ``merge`` hint pins SMJ so the
+    plan demonstrates the Exchange-free join even where AQE would
+    broadcast the small side; the oracle checks values against the
+    plain join. Plan shape pinned in
+    tests/test_plan_shapes.py::test_bucketed_join_has_no_exchange.
+    """
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
+    base = scratch_dir(f"bucketed-{tag}", fresh=False)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    specs = [
+        (f"sg_li_{tag}", li, "l_orderkey"),
+        (f"sg_ord_{tag}", orders, "o_orderkey"),
+    ]
+    for name, df, key in specs:
+        (
+            df.repartition(16, F.col(key))
+            .write.bucketBy(16, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    bli = spark.table(specs[0][0])
+    bord = spark.table(specs[1][0])
+    return (
+        bli.join(bord.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

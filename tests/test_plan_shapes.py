@@ -467,3 +467,14 @@ def test_histogram_is_single_groupby(queries, spark):
     plan = _plan(queries["agg-histogram"](spark, SF_DIR))
     assert plan.count("Exchange") <= 2, plan  # partial->final agg exchange (+AQE read)
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_join_has_no_exchange(queries, spark):
+    # Both sides are bucketed(16) on the join key: the sort-merge join
+    # reads bucket files directly — NO hashpartitioning exchange on
+    # either join input (the only exchange left is the tiny
+    # o_orderpriority rollup).
+    plan = _plan(queries["join-bucketed-colocated"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
