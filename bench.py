@@ -103,6 +103,9 @@ HEADLINE = [
     "win-ntile-quartiles",
     "olap-topn-per-group",
     "agg-histogram",
+    "stream-stream-left-outer",
+    "olap-excess-suppliers",
+    "events-anomaly-zscore",
     # §2.5/§2.6 window/sort/limit tail — cheap, but every SURVEY §2
     # family keeps a bench presence so a regression anywhere is visible
     "win-latest-file",

@@ -2056,3 +2056,111 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("l_extendedprice"), 2).cast("double").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Excess-share suppliers (TPC-H Q20 shape, adapted: lineitem stands in
+# for the missing partsupp, so "excess availability" becomes shipping
+# more than 1.5× the part's average per-supplier volume). The nested
+# subquery chain flattens to aggregate → broadcast threshold join →
+# semi join: the fact shuffles once for the (supp, part) rollup;
+# everything after runs on ≤|part×supp-pairs| rows with part,
+# threshold, supplier, and nation all broadcast.
+# ---------------------------------------------------------------------------
+
+_EXCESS_SUPPLIERS_ORACLE = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%gear%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+thr AS (
+  SELECT l_partkey AS t_part, ROUND(1.5 * AVG(qty), 6) AS cut
+  FROM shipped GROUP BY l_partkey
+),
+excess AS (
+  SELECT DISTINCT l_suppkey FROM shipped
+  JOIN thr ON l_partkey = t_part WHERE qty > cut
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+"""
+
+
+@query("olap-excess-suppliers", oracle=_EXCESS_SUPPLIERS_ORACLE)
+def olap_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    gear = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = shipped.groupBy(F.col("l_partkey").alias("t_part")).agg(
+        F.round(1.5 * F.avg("qty"), 6).alias("cut")
+    )
+    excess = (
+        shipped.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_part"))
+        .filter(F.col("qty") > F.col("cut"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user activity anomalies: days where a user's event count sits
+# ≥2 standard deviations above their own mean — the self-baselined
+# outlier detector (abuse spikes, runaway clients). Two aggregations
+# on the SAME user_id key: the day rollup shuffles the fact once, the
+# per-user stats reduce the ≤|user×days| rollup, and the stats join
+# back broadcast. Boundary safety: the nearest z to the 2.0 cut is
+# 3e-4 away at gate scale (ulps are 1e-15), so the flag can't flip
+# between engines.
+# ---------------------------------------------------------------------------
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT user_id, AVG(n) AS mu, stddev_samp(n) AS sd
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, day, n, ROUND((n - mu) / sd, 2) AS z
+FROM daily JOIN stats USING (user_id)
+WHERE sd > 0 AND (n - mu) / sd >= 2
+"""
+
+
+@query("events-anomaly-zscore", oracle=_ANOMALY_ORACLE)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy(F.col("user_id").alias("s_uid")).agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        daily.join(F.broadcast(stats), F.col("user_id") == F.col("s_uid"))
+        .filter((F.col("sd") > 0) & (z >= 2))
+        .select("user_id", "day", "n", F.round(z, 2).alias("z"))
+    )

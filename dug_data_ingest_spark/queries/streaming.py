@@ -13,6 +13,7 @@ from dug_data_ingest_spark.queries import load, query
 from dug_data_ingest_spark.streaming.events import (
     first_event_dedup,
     purchase_click_attribution,
+    unattributed_purchases,
     session_counts,
     sliding_counts,
     tumbling_counts,
@@ -150,3 +151,25 @@ def stream_marker_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dug_data_ingest_spark.streaming.sessionize import marker_sessions
 
     return marker_sessions(load(spark, sf_dir, "events"))
+
+
+@query(
+    "stream-stream-left-outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer watermarked stream-stream join, batch twin: the
+    attribution GAP (purchases with no preceding click in 30 min).
+    Streaming emission semantics — null rows withheld until the
+    watermark closes the match window — are asserted against this
+    batch twin in tests/test_streaming.py."""
+    return unattributed_purchases(load(spark, sf_dir, "events"))

@@ -221,3 +221,47 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     return normalize_events_ts(raw)
+
+
+def unattributed_purchases(
+    events: DataFrame, lookback: str = "30 minutes", delay: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks: purchases with NO
+    click from the same user in the preceding ``lookback`` — the
+    attribution gap report (paid-traffic purchases, broken tracking).
+
+    Same join graph as purchase_click_attribution but left_outer, and
+    that changes the streaming emission contract: a purchase's null row
+    can only be emitted once the watermark passes the end of its match
+    window (before that, a matching click could still arrive). So the
+    stream result lags the batch twin by the watermark horizon — on a
+    replayed finite file the purchases in the final delay+lookback
+    stripe stay withheld. tests/test_streaming.py asserts exactly
+    that: stream ⊆ batch, equality on the watermark-closed prefix.
+    State stays O(rate × (delay + lookback)) per side, as for the
+    inner join."""
+    base = with_watermark_if_streaming(events, delay)
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return (
+        purchases.join(clicks, cond, "left_outer")
+        .filter(F.col("click_id").isNull())
+        .select(
+            "purchase_id",
+            F.col("p_uid").alias("user_id"),
+            F.col("p_ts").alias("ts"),
+        )
+    )

@@ -196,3 +196,38 @@ def test_curation_sampling_works_on_streams(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_withholds_open_windows(spark):
+    """Left-outer stream-stream join: null rows (unattributed
+    purchases) are emitted only once the watermark closes their match
+    window. On a replayed finite file the stream result must be a
+    SUBSET of the batch twin, and EQUAL on the watermark-closed prefix
+    (purchases older than max_ts - delay - lookback)."""
+    from dug_data_ingest_spark.streaming.events import unattributed_purchases
+
+    stream = read_events_stream(spark, TEST_SF_DIR)
+    q = (
+        unattributed_purchases(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("unattrib_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.purchase_id, r.user_id, r.ts)
+        for r in spark.sql("SELECT * FROM unattrib_out").collect()
+    }
+    batch = unattributed_purchases(load(spark, TEST_SF_DIR, "events")).collect()
+    want = {(r.purchase_id, r.user_id, r.ts) for r in batch}
+    assert got <= want
+    import datetime
+
+    max_ts = max(r.ts for r in batch)
+    cutoff = max_ts - datetime.timedelta(hours=1, minutes=30)
+    closed = {t for t in want if t[2] <= cutoff}
+    assert closed <= got and len(closed) > 0
