@@ -302,7 +302,9 @@ _cap_signal_armed = False
 _last_cap_observation = None  # exposed for deterministic tests
 
 
-def _arm_cap_signal(hot: DataFrame, cap: int) -> DataFrame:
+def _arm_cap_signal(
+    hot: DataFrame, cap: int, caller: str = "ngram_jaccard_pairs"
+) -> DataFrame:
     """Attach an Observation to the hot-shingle frame so the FIRST
     executed capped-Jaccard plan reports how many shingles the df-cap
     removed — a zero-extra-job runtime signal (CollectMetrics rides the
@@ -328,10 +330,10 @@ def _arm_cap_signal(hot: DataFrame, cap: int) -> DataFrame:
                 return
             if n:
                 log.warning(
-                    "ngram_jaccard_pairs df-cap (max_doc_freq=%d) dropped "
-                    "%d hot shingles: Jaccard is computed over the capped "
-                    "shingle sets; pass max_doc_freq=None to opt in to "
-                    "exact (unblocked) semantics.", cap, n,
+                    "%s df-cap (max_doc_freq=%d) dropped "
+                    "%d hot shingles: similarity is computed over the "
+                    "capped shingle sets; pass max_doc_freq=None to opt "
+                    "in to exact (unblocked) semantics.", caller, cap, n,
                 )
 
         threading.Thread(
@@ -340,6 +342,36 @@ def _arm_cap_signal(hot: DataFrame, cap: int) -> DataFrame:
     except Exception:  # noqa: BLE001 — observability is best-effort
         pass
     return hot
+
+
+def capped_shingles_with_sizes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_doc_freq: int | None = 1000,
+    caller: str = "ngram_jaccard_pairs",
+) -> DataFrame:
+    """(id, shingle, n): each document's distinct shingles with
+    shingles in more than ``max_doc_freq`` documents removed first and
+    ``n`` = the post-cap set size riding every row.
+
+    The single candidate-generation block behind ngram_jaccard_pairs,
+    ngram_containment_pairs, and the incremental-ingest dedup — the
+    df cap's scale argument lives on ngram_jaccard_pairs. The hot list
+    is tiny, so it broadcasts and the corpus-side filter is
+    shuffle-free; ``caller`` labels the one-time cap warning."""
+    sh = doc_shingles(docs, text_col, id_col, k)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        hot = _arm_cap_signal(hot, max_doc_freq, caller=caller)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh.withColumn("n", F.count("*").over(Window.partitionBy(id_col)))
 
 
 def ngram_jaccard_pairs(
@@ -387,17 +419,8 @@ def ngram_jaccard_pairs(
             F.explode_outer("sh").alias("shingle"),
         ).filter(F.col("shingle").isNotNull())
     else:
-        sh = doc_shingles(docs, text_col, id_col, k)
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        hot = _arm_cap_signal(hot, max_doc_freq)
-        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        ex = kept.withColumn(
-            "n", F.count("*").over(Window.partitionBy(id_col))
+        ex = capped_shingles_with_sizes(
+            docs, text_col, id_col, k, max_doc_freq
         )
     a = ex.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
     b = ex.select(F.col(id_col).alias("b"), F.col("n").alias("nb"), "shingle")
@@ -656,17 +679,10 @@ def ngram_containment_pairs(
     are the a ≠ b filter (both directions are meaningful) and the
     |Sa| denominator.
     """
-    sh = doc_shingles(docs, text_col, id_col, k)
-    if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        hot = _arm_cap_signal(hot, max_doc_freq)
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    ex = sh.withColumn("n", F.count("*").over(Window.partitionBy(id_col)))
+    ex = capped_shingles_with_sizes(
+        docs, text_col, id_col, k, max_doc_freq,
+        caller="ngram_containment_pairs",
+    )
     a = ex.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
     b = ex.select(F.col(id_col).alias("b"), "shingle")
     return (

@@ -1676,7 +1676,8 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
        CAST(ROUND(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))), 2)
             AS DOUBLE) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (
     SELECT 1 FROM orders
     WHERE o_custkey = c_custkey
@@ -1694,8 +1695,11 @@ def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
         .select("o_custkey")
     )
+    # ROUND(.., 6) pins the threshold: both engines sum doubles in
+    # different orders, and a balance exactly at the unrounded mean
+    # (cent-sum divisible by N) could flip the > between them.
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
     )
     return (
         customer.join(F.broadcast(avg_bal))
@@ -1846,49 +1850,47 @@ FROM b
 
 @query("events-audience-overlap", oracle=_AUDIENCE_OVERLAP_ORACLE)
 def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both segment sketches build in ONE conditional global aggregate
+    # (a global agg always yields exactly one row, so a regenerated
+    # dataset with an empty segment still matches the oracle's
+    # unconditional 1-row output — a per-segment filter+groupBy would
+    # return 0 rows there). Tolerance is absolute-or-relative
+    # (max(5%, 1)) so a zero exact overlap can't divide by zero; the
+    # sketch is exact below 2^12 entries, so est = 0 exactly there.
     ev = load(spark, sf_dir, "events")
-    sk = (
-        ev.filter(F.col("event_type").isin("view", "purchase"))
-        .groupBy("event_type")
-        .agg(
-            F.expr("theta_sketch_agg(user_id, 12)").alias("s"),
-            F.count_distinct("user_id").alias("n"),
-        )
-    )
-    v = sk.filter(F.col("event_type") == "view").select(
-        F.col("s").alias("sv"), F.col("n").alias("n_view_users")
-    )
-    p = sk.filter(F.col("event_type") == "purchase").select(
-        F.col("s").alias("sp"), F.col("n").alias("n_purchase_users")
+    is_v = F.col("event_type") == "view"
+    is_p = F.col("event_type") == "purchase"
+    one = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END, 12)"
+        ).alias("sv"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END, 12)"
+        ).alias("sp"),
+        F.count_distinct(F.when(is_v, F.col("user_id"))).alias("n_view_users"),
+        F.count_distinct(F.when(is_p, F.col("user_id"))).alias(
+            "n_purchase_users"
+        ),
     )
     both = (
-        ev.filter(F.col("event_type") == "view")
+        ev.filter(is_v)
         .select("user_id")
         .distinct()
-        .join(
-            ev.filter(F.col("event_type") == "purchase")
-            .select("user_id")
-            .distinct(),
-            "user_id",
-        )
+        .join(ev.filter(is_p).select("user_id").distinct(), "user_id")
         .agg(F.count("*").alias("n_both_exact"))
     )
-    return (
-        v.crossJoin(F.broadcast(p))
-        .crossJoin(F.broadcast(both))
-        .select(
-            "n_view_users",
-            "n_purchase_users",
-            "n_both_exact",
-            (
-                F.abs(
-                    F.expr("theta_sketch_estimate(theta_intersection(sv, sp))")
-                    - F.col("n_both_exact")
-                )
-                / F.col("n_both_exact")
-                <= 0.05
-            ).alias("overlap_within_tol"),
-        )
+    est = F.coalesce(
+        F.expr("theta_sketch_estimate(theta_intersection(sv, sp))").cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    tol = F.greatest(0.05 * F.col("n_both_exact"), F.lit(1.0))
+    return one.crossJoin(F.broadcast(both)).select(
+        "n_view_users",
+        "n_purchase_users",
+        "n_both_exact",
+        (F.abs(est - F.col("n_both_exact")) <= tol).alias("overlap_within_tol"),
     )
 
 
@@ -2143,7 +2145,8 @@ stats AS (
   SELECT user_id, AVG(n) AS mu, stddev_samp(n) AS sd
   FROM daily GROUP BY user_id
 )
-SELECT user_id, day, n, ROUND((n - mu) / sd, 2) AS z
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+       ROUND((n - mu) / sd, 2) AS z
 FROM daily JOIN stats USING (user_id)
 WHERE sd > 0 AND (n - mu) / sd >= 2
 """
@@ -2162,5 +2165,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.join(F.broadcast(stats), F.col("user_id") == F.col("s_uid"))
         .filter((F.col("sd") > 0) & (z >= 2))
-        .select("user_id", "day", "n", F.round(z, 2).alias("z"))
+        # day rendered as a string key: DuckDB's date_trunc over a
+        # TIMESTAMP is DATE at the SQL-type level (the pandas bridge
+        # hides it), Spark's is TIMESTAMP — the repo-wide convention
+        # for calendar keys is an explicit string render on both sides
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(z, 2).alias("z"),
+        )
     )

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dug_data_ingest_spark.ext.dedup import _md5_hash64, doc_shingles
+from dug_data_ingest_spark.ext.dedup import (
+    _md5_hash64,
+    capped_shingles_with_sizes,
+)
 from dug_data_ingest_spark.ext.curation import (
     decontaminate,
     hash_sample,
@@ -516,18 +519,17 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and is engine-identical (same formula as pipeline-hash-sample).
 # ---------------------------------------------------------------------------
 
-_SHINGLES3_CTE = f"""
-words3 AS (SELECT doc_id, {_WORDS} AS w FROM documents),
-sh3 AS (
-  SELECT DISTINCT doc_id, s FROM words3,
-  unnest(CASE WHEN len(w) >= 3
-              THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
-              ELSE []::VARCHAR[] END) t(s)
-),
-kept3 AS (
-  SELECT doc_id, s FROM sh3
-  QUALIFY count(*) OVER (PARTITION BY s) <= 100
+# Reuse the k=3 shingle + df-cap CTEs (and the cap constant) from
+# extensions so dedup-ngram-jaccard / dedup-containment / this slug
+# can never silently diverge in shingle construction or cap value.
+from dug_data_ingest_spark.queries.extensions import (  # noqa: E402
+    _JACCARD_CAP,
+    _KEPT_CTE,
+    _SHINGLES_CTE,
 )
+
+_SHINGLES3_CTE = f"""{_SHINGLES_CTE},
+{_KEPT_CTE.strip().replace("kept AS", "kept3 AS").replace("FROM sh", "FROM sh")}
 """
 
 _INCR_DEDUP_ORACLE = f"""
@@ -576,16 +578,8 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_exact", F.lit(True))
     )
 
-    sh = doc_shingles(docs)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > 100)
-        .select("shingle")
-    )
-    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    kept_n = kept.withColumn(
-        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    kept_n = capped_shingles_with_sizes(
+        docs, max_doc_freq=_JACCARD_CAP, caller="pipeline_incremental_dedup"
     ).withColumn("_b", _md5_hash64(F.col("doc_id").cast("string")) % 100)
     a = kept_n.filter(F.col("_b") >= 80).select(
         F.col("doc_id").alias("a"), F.col("n").alias("na"), "shingle"
