@@ -106,6 +106,9 @@ HEADLINE = [
     "stream-stream-left-outer",
     "olap-excess-suppliers",
     "events-anomaly-zscore",
+    "snk-partitioned-pruned",
+    "join-dpp-events",
+    "olap-yoy-growth",
     # §2.5/§2.6 window/sort/limit tail — cheap, but every SURVEY §2
     # family keeps a bench presence so a regression anywhere is visible
     "win-latest-file",

@@ -2176,3 +2176,49 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 2).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth per supplier nation: the lag-ratio time
+# series. Year comes from l_shipdate, so the whole series needs only
+# lineitem ⋈ broadcast(supplier) ⋈ broadcast(nation) — no orders
+# join at all; the lag window runs over the |nation|×|years| rollup.
+# Revenue is decimal-rounded IDENTICALLY in both engines before the
+# ratio, so the 4dp growth figures are bit-equal.
+# ---------------------------------------------------------------------------
+
+_YOY_ORACLE = f"""
+WITH rev AS (
+  SELECT n_name, CAST(YEAR(l_shipdate) AS INT) AS yr,
+         CAST(ROUND(SUM({_DEC_REV_SQL}), 2) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, yr
+)
+SELECT n_name, yr, revenue,
+       ROUND(revenue / LAG(revenue) OVER (PARTITION BY n_name ORDER BY yr)
+             - 1, 4) AS yoy_growth
+FROM rev QUALIFY yoy_growth IS NOT NULL
+"""
+
+
+@query("olap-yoy-growth", oracle=_YOY_ORACLE)
+def olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy("yr")
+    return (
+        rev.withColumn(
+            "yoy_growth",
+            F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 4),
+        )
+        .filter(F.col("yoy_growth").isNotNull())
+    )

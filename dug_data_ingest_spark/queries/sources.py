@@ -481,3 +481,83 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@query(
+    "snk-partitioned-pruned",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events WHERE event_type IN ('purchase', 'click')
+    GROUP BY event_type
+    """,
+)
+def snk_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink + pruned read-back as a registered query: the
+    events stream written ``partitionBy(event_type)`` (the reference's
+    per-program fan-out idiom), then read back with a partition-column
+    filter that must prune at the DIRECTORY level — the scan opens
+    zero files of the other partitions (PartitionFilters, pinned in
+    tests/test_plan_shapes.py). At 100 TB this is the difference
+    between scanning two event types and scanning the firehose. The
+    oracle reads the ORIGINAL table, so the write→prune→read cycle is
+    value-verified end to end."""
+    from dug_data_ingest_spark.queries import load as _load
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
+    path = scratch_dir(f"events-by-type-{tag}", fresh=False)
+    ev = _load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "join-dpp-events",
+    oracle="""
+    WITH dim(event_type, label) AS (
+      VALUES ('purchase', 'conversion'), ('click', 'traffic'),
+             ('view', 'traffic'), ('signup', 'conversion'),
+             ('error', 'ops')
+    )
+    SELECT e.event_type, COUNT(*) AS n_events
+    FROM events e JOIN dim USING (event_type)
+    WHERE label = 'conversion'
+    GROUP BY e.event_type
+    """,
+)
+def join_dpp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning as a registered query: the fact is
+    partitioned on event_type, the selective predicate lives on the
+    DIM side (label = 'conversion'), and the optimizer must inject a
+    runtime ``dynamicpruning`` subquery into the fact scan's partition
+    filters — the fact never learns the surviving keys until the dim
+    filter runs, yet still skips the other partitions' directories
+    entirely. Plan pinned in tests/test_plan_shapes.py."""
+    from dug_data_ingest_spark.queries import load as _load
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
+    path = scratch_dir(f"events-by-type-{tag}", fresh=False)
+    ev = _load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("click", "traffic"),
+            ("view", "traffic"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        ["d_type", "label"],
+    ).filter(F.col("label") == "conversion")
+    return (
+        fact.join(dim, fact.event_type == dim.d_type)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )

@@ -478,3 +478,26 @@ def test_bucketed_join_has_no_exchange(queries, spark):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
     assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_partitioned_sink_readback_prunes_directories(queries, spark):
+    # The partition-column filter must appear under PartitionFilters
+    # (directory pruning), not as a post-scan data filter.
+    info = _scan_info(queries["snk-partitioned-pruned"](spark, SF_DIR))
+    part = info.split("PartitionFilters", 1)
+    assert len(part) == 2 and "event_type" in part[1].split("]", 1)[0], info
+
+
+def test_dpp_injects_runtime_partition_filter(queries, spark):
+    # The selective predicate is on the dim side; the fact scan must
+    # carry a dynamicpruning subquery in its partition filters.
+    info = _scan_info(queries["join-dpp-events"](spark, SF_DIR))
+    assert "dynamicpruning" in info, info
+
+
+def test_yoy_growth_windows_over_rollup(queries, spark):
+    # Supplier/nation broadcast; the lag window input is the
+    # |nation|x|years| rollup, not the fact.
+    plan = _plan(queries["olap-yoy-growth"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    assert "lag(" in plan, plan
