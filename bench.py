@@ -109,6 +109,9 @@ HEADLINE = [
     "snk-partitioned-pruned",
     "join-dpp-events",
     "olap-yoy-growth",
+    "sim-range-search",
+    "agg-mode-per-group",
+    "win-percent-rank",
     # §2.5/§2.6 window/sort/limit tail — cheap, but every SURVEY §2
     # family keeps a bench presence so a regression anywhere is visible
     "win-latest-file",

@@ -39,6 +39,29 @@ def topk_bruteforce(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def range_search(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vectors with cosine ≥ threshold against a literal query —
+    the range-query sibling of topk_bruteforce (radius instead of k:
+    the caller bounds QUALITY, not count). Same scale shape: the
+    query folds into the plan as a literal array, the corpus is
+    scanned once with zero shuffles, and the filter is codegen-fused;
+    at 100 TB compose with the IVF probe exactly like topk."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -2222,3 +2222,75 @@ def olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("yoy_growth").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user modal event type via max_by — the argmax AGGREGATE (one
+# struct-max per group, no rank window): two keyed aggregations, the
+# second reducing the |user×type| rollup. Tie-break is inside the
+# comparison key itself (count, then event_type descending
+# lexicographically via the struct order), so the argmax is total.
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+SELECT user_id, event_type AS mode_type, n AS mode_n
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type DESC) = 1
+"""
+
+
+@query("agg-mode-per-group", oracle=_MODE_ORACLE)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    best = counts.groupBy("user_id").agg(
+        F.max(F.struct(F.col("n"), F.col("event_type"))).alias("best")
+    )
+    return best.select(
+        "user_id",
+        F.col("best.event_type").alias("mode_type"),
+        F.col("best.n").alias("mode_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relative standing (percent_rank / cume_dist): the top-5% customers
+# by account balance with their exact percentile position. Both
+# functions are exact rationals of ranks ((rank-1)/(n-1), rank/n), so
+# the 6dp values and the 0.95 cut are engine-identical by
+# construction — no float-boundary hazard. The window is global but
+# runs over the ≤|customer| dim, never a fact table.
+# ---------------------------------------------------------------------------
+
+_PERCENT_RANK_ORACLE = """
+SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+       ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume
+FROM (
+  SELECT c_custkey, c_acctbal,
+         percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+  FROM customer
+  WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+)
+WHERE pr >= 0.95
+"""
+
+
+@query("win-percent-rank", oracle=_PERCENT_RANK_ORACLE)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    ranked = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).filter(F.col("pr") >= 0.95)
+    return ranked.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round("pr", 6).alias("pct_rank"),
+        F.round("cd", 6).alias("cume"),
+    )

@@ -1029,3 +1029,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         load(spark, sf_dir, "documents"), threshold=0.9, max_doc_freq=_JACCARD_CAP
     )
+
+
+@query(
+    "sim-range-search",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS cos_sim
+    FROM embeddings, q
+    WHERE ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) >= 0.2
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: every neighbor with cosine
+    ≥ 0.2 of the query — bounds result QUALITY where top-k bounds
+    count (ext/similarity.py::range_search). Zero shuffles."""
+    from dug_data_ingest_spark.ext.similarity import range_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    return range_search(emb, _query_vec(spark, sf_dir), threshold=0.2)

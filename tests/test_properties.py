@@ -201,3 +201,72 @@ def test_hash_sample_buckets_nest(spark):
     }
     assert kept[5] <= kept[20] <= kept[60] <= kept[100]
     assert len(kept[100]) == 300
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    """The operator's reason to exist, as a constructed case: a short
+    doc whose shingles are a strict subset of a long doc's must score
+    containment 1.0 while its Jaccard stays below the usual 0.8
+    near-dup threshold — directional containment catches the
+    embedded-document near-dup Jaccard structurally cannot."""
+    from dug_data_ingest_spark.ext.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], ["doc_id", "text"]
+    )
+    cont = {
+        (r.a, r.b): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont.get((1, 2)) == 1.0  # short fully contained in long
+    assert (2, 1) not in cont  # direction matters: long is NOT in short
+    jac = ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert jac == []  # union dominated by the long side
+
+
+def test_sessionize_is_repartition_invariant(spark):
+    """Session boundaries are a pure function of each user's ordered
+    event times; any input partitioning must produce the identical
+    session table (the window's shuffle canonicalizes placement)."""
+    from dug_data_ingest_spark.queries import all_queries
+
+    qs = all_queries()
+    base = qs["events-sessionize"](spark, "/root/testdata/sf0.001")
+    rows = {tuple(r) for r in base.collect()}
+    from dug_data_ingest_spark.queries import load
+
+    # identical logic over a deliberately scrambled input layout
+    ev = load(spark, "/root/testdata/sf0.001", "events").repartition(7)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        1,
+    ).otherwise(0)
+    marked = ev.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+    seq = (
+        F.sum("new_s")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int")
+    )
+    got = (
+        marked.select("user_id", "ts", seq.alias("session_seq"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+                "duration_sec"
+            ),
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == rows
