@@ -19,6 +19,22 @@ from pyspark.sql import functions as F
 from dug_data_ingest_spark.functions.vectors import as_double, cosine, dot
 
 
+def _scored(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cos_sim): 4dp cosine of every vector against the literal
+    query — the single scoring projection behind topk_bruteforce and
+    range_search (one place to change precision or vector handling)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return embeddings.select(
+        F.col(id_col),
+        F.round(cosine(as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
+    )
+
+
 def topk_bruteforce(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -31,11 +47,7 @@ def topk_bruteforce(
     The query vector folds into the plan as a literal array (the
     moral broadcast); ordering ties broken by id for determinism.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = embeddings.select(
-        F.col(id_col),
-        F.round(cosine(as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
-    )
+    scored = _scored(embeddings, query_vec, id_col, vec_col)
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
@@ -52,13 +64,8 @@ def range_search(
     query folds into the plan as a literal array, the corpus is
     scanned once with zero shuffles, and the filter is codegen-fused;
     at 100 TB compose with the IVF probe exactly like topk."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        embeddings.select(
-            F.col(id_col),
-            F.round(cosine(as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    return _scored(embeddings, query_vec, id_col, vec_col).filter(
+        F.col("cos_sim") >= threshold
     )
 
 

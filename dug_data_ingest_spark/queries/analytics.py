@@ -1755,14 +1755,15 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
-@query("events-sessionize", oracle=_SESSIONIZE_ORACLE)
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+def sessionize_events(ev: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """DataFrame-level gap sessionization (see events-sessionize).
+    Exposed separately so tests can assert repartition invariance on
+    the same implementation the registered query runs."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
     new_s = F.when(
         prev_ts.isNull()
-        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > gap_sec),
         1,
     ).otherwise(0)
     marked = ev.select("user_id", "ts", "event_id", new_s.alias("new_s"))
@@ -1783,6 +1784,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("events-sessionize", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_events(load(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

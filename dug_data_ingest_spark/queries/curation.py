@@ -529,7 +529,7 @@ from dug_data_ingest_spark.queries.extensions import (  # noqa: E402
 )
 
 _SHINGLES3_CTE = f"""{_SHINGLES_CTE},
-{_KEPT_CTE.strip().replace("kept AS", "kept3 AS").replace("FROM sh", "FROM sh")}
+{_KEPT_CTE.strip().replace("kept AS", "kept3 AS")}
 """
 
 _INCR_DEDUP_ORACLE = f"""

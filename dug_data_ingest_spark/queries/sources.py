@@ -483,6 +483,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_partitioned(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Write events partitionBy(event_type) into a query-private
+    scratch dir and return its path. Each caller gets its OWN
+    directory: a shared one would let a later query's overwrite delete
+    the part files an earlier query's still-lazy DataFrame already
+    listed (build-both-then-execute callers would crash on collect).
+    Reuses the library writer so the partitioned-write idiom has one
+    implementation."""
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
+    path = scratch_dir(f"{name}-{tag}", fresh=False)
+    write_partitioned(load(spark, sf_dir, "events"), path, "event_type")
+    return path
+
+
 @query(
     "snk-partitioned-pruned",
     oracle="""
@@ -502,12 +516,7 @@ def snk_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     between scanning two event types and scanning the firehose. The
     oracle reads the ORIGINAL table, so the write→prune→read cycle is
     value-verified end to end."""
-    from dug_data_ingest_spark.queries import load as _load
-
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
-    path = scratch_dir(f"events-by-type-{tag}", fresh=False)
-    ev = _load(spark, sf_dir, "events")
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    path = _events_partitioned(spark, sf_dir, "events-pruned-sink")
     back = spark.read.parquet(path).filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -539,12 +548,7 @@ def join_dpp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters — the fact never learns the surviving keys until the dim
     filter runs, yet still skips the other partitions' directories
     entirely. Plan pinned in tests/test_plan_shapes.py."""
-    from dug_data_ingest_spark.queries import load as _load
-
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
-    path = scratch_dir(f"events-by-type-{tag}", fresh=False)
-    ev = _load(spark, sf_dir, "events")
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    path = _events_partitioned(spark, sf_dir, "events-dpp-fact")
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame(
         [

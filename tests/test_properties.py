@@ -233,40 +233,11 @@ def test_sessionize_is_repartition_invariant(spark):
     """Session boundaries are a pure function of each user's ordered
     event times; any input partitioning must produce the identical
     session table (the window's shuffle canonicalizes placement)."""
-    from dug_data_ingest_spark.queries import all_queries
-
-    qs = all_queries()
-    base = qs["events-sessionize"](spark, "/root/testdata/sf0.001")
-    rows = {tuple(r) for r in base.collect()}
+    from tests.conftest import TEST_SF_DIR
     from dug_data_ingest_spark.queries import load
+    from dug_data_ingest_spark.queries.analytics import sessionize_events
 
-    # identical logic over a deliberately scrambled input layout
-    ev = load(spark, "/root/testdata/sf0.001", "events").repartition(7)
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    new_s = F.when(
-        prev_ts.isNull()
-        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
-        1,
-    ).otherwise(0)
-    marked = ev.select("user_id", "ts", "event_id", new_s.alias("new_s"))
-    seq = (
-        F.sum("new_s")
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .cast("int")
-    )
-    got = (
-        marked.select("user_id", "ts", seq.alias("session_seq"))
-        .groupBy("user_id", "session_seq")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("ts").alias("start_ts"),
-            F.max("ts").alias("end_ts"),
-            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
-                "duration_sec"
-            ),
-        )
-    )
-    assert {tuple(r) for r in got.collect()} == rows
+    ev = load(spark, TEST_SF_DIR, "events")
+    rows = {tuple(r) for r in sessionize_events(ev).collect()}
+    got = {tuple(r) for r in sessionize_events(ev.repartition(7)).collect()}
+    assert got == rows and len(rows) > 0
