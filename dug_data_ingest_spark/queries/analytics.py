@@ -2267,8 +2267,14 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by account balance with their exact percentile position. Both
 # functions are exact rationals of ranks ((rank-1)/(n-1), rank/n), so
 # the 6dp values and the 0.95 cut are engine-identical by
-# construction — no float-boundary hazard. The window is global but
-# runs over the ≤|customer| dim, never a fact table.
+# construction — no float-boundary hazard. The window is global —
+# Spark plans an unpartitioned Window as ONE partition, acceptable
+# only because it runs over the dim (≤|customer| rows after pruning),
+# never a fact table. If the ranked relation itself reaches fact
+# scale, swap to the two-pass range-partitioned form: sortWithin
+# a rangepartition, per-partition local ranks + a tiny broadcast of
+# per-partition counts, global rank = local + offset — same exact
+# rationals, no single-partition bottleneck.
 # ---------------------------------------------------------------------------
 
 _PERCENT_RANK_ORACLE = """
