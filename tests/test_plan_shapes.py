@@ -501,3 +501,27 @@ def test_yoy_growth_windows_over_rollup(queries, spark):
     plan = _plan(queries["olap-yoy-growth"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     assert "lag(" in plan, plan
+
+
+def test_range_search_is_shuffle_free(queries, spark):
+    # Literal query vector folded into the plan: one scan, a fused
+    # filter, zero exchanges.
+    plan = _plan(queries["sim-range-search"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mode_per_group_is_two_aggs_no_window(queries, spark):
+    # argmax as a struct-max AGGREGATE: two keyed aggregations and no
+    # rank window anywhere in the plan.
+    plan = _plan(queries["agg-mode-per-group"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2, plan
+
+
+def test_percent_rank_runs_once_over_the_dim(queries, spark):
+    # One global (single-partition) window over the customer dim; the
+    # plan must not add extra exchanges beyond the SinglePartition one.
+    plan = _plan(queries["win-percent-rank"](spark, SF_DIR))
+    assert "percent_rank" in plan and "cume_dist" in plan, plan
+    assert "SinglePartition" in plan, plan

@@ -241,3 +241,23 @@ def test_sessionize_is_repartition_invariant(spark):
     rows = {tuple(r) for r in sessionize_events(ev).collect()}
     got = {tuple(r) for r in sessionize_events(ev.repartition(7)).collect()}
     assert got == rows and len(rows) > 0
+
+
+def test_mode_per_group_tie_breaks_deterministically(spark):
+    """On an exact count tie the struct-max argmax must pick the
+    lexicographically larger event_type — same total order as the
+    oracle's ORDER BY n DESC, event_type DESC."""
+    rows = [
+        (1, "click"), (1, "view"),            # tie 1-1 -> view
+        (2, "view"), (2, "click"), (2, "click"),  # click wins 2-1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type"])
+    counts = df.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    best = counts.groupBy("user_id").agg(
+        F.max(F.struct(F.col("n"), F.col("event_type"))).alias("best")
+    )
+    got = {
+        r.user_id: (r["best"]["event_type"], r["best"]["n"])
+        for r in best.collect()
+    }
+    assert got == {1: ("view", 1), 2: ("click", 2)}
