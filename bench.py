@@ -112,6 +112,11 @@ HEADLINE = [
     "sim-range-search",
     "agg-mode-per-group",
     "win-percent-rank",
+    # join-bucketed-colocated is deliberately NOT benched: each run
+    # rewrites both bucketed tables (the one-time layout cost), which
+    # would dominate its timing with write I/O and say nothing about
+    # the Exchange-free join the slug exists to demonstrate — that
+    # property is pinned in tests/test_plan_shapes.py instead.
     # §2.5/§2.6 window/sort/limit tail — cheap, but every SURVEY §2
     # family keeps a bench presence so a regression anywhere is visible
     "win-latest-file",
