@@ -2214,11 +2214,21 @@ def olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
+    # Aggregate the fact by (suppkey, year) FIRST: decimal sums
+    # regroup exactly, so summing the ~|supplier|x|years| partials per
+    # nation gives bit-identical revenue while the broadcast joins and
+    # the nation rollup run over thousands of rows instead of the
+    # whole fact (measured 2x on the bench).
+    per_supp = li.groupBy(
+        "l_suppkey", F.year("l_shipdate").cast("int").alias("yr")
+    ).agg(F.sum(_dec_rev()).alias("rev4"))
     rev = (
-        li.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_supp.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name", F.year("l_shipdate").cast("int").alias("yr"))
-        .agg(F.round(F.sum(_dec_rev()), 2).cast("double").alias("revenue"))
+        .groupBy("n_name", "yr")
+        .agg(F.round(F.sum("rev4"), 2).cast("double").alias("revenue"))
     )
     w = W.partitionBy("n_name").orderBy("yr")
     return (
