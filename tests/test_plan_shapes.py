@@ -97,6 +97,29 @@ def test_jaccard_candidate_join_never_sort_merges_at_test_scale(queries, spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+@pytest.mark.parametrize("slug", ["dedup-ngram-jaccard", "dedup-containment"])
+def test_shingle_self_join_reuses_pipeline_in_final_plan(queries, spark, slug):
+    # The claim pinned here is the one that matters at 100 TB: the
+    # heavy corpus pipeline (scan -> shingle explode -> df-cap
+    # anti-join -> doc_id shuffle for the set-size window) is computed
+    # ONCE, and the self-join's second side feeds from a ReusedExchange
+    # of it — only the cheap Window re-runs per side. AQE performs this
+    # reuse at stage materialization, so it is only visible in the
+    # FINALIZED plan: the query must be executed via its OWN plan
+    # (df.collect(); df.count() would build a separate QueryExecution
+    # and leave this one at isFinalPlan=false showing two full
+    # pipelines — the measurement trap documented in SCALE.md).
+    df = queries[slug](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, f"{slug}: AQE plan not finalized:\n{plan}"
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, (
+        f"{slug}: self-join sides no longer share the shingle pipeline "
+        f"(corpus scanned/exploded twice at scale):\n{final}"
+    )
+
+
 def test_exact_dedup_is_one_shuffle(queries, spark):
     plan = _plan(queries["dedup-exact"](spark, SF_DIR))
     assert plan.count("Exchange") <= 1, plan
