@@ -112,6 +112,7 @@ HEADLINE = [
     "sim-range-search",
     "agg-mode-per-group",
     "win-percent-rank",
+    "text-chunk-overlap",
     # join-bucketed-colocated is deliberately NOT benched: each run
     # rewrites both bucketed tables (the one-time layout cost), which
     # would dominate its timing with write I/O and say nothing about

@@ -234,6 +234,10 @@ _EST_COST = {
     "events-retention-pivot": 14.4, "events-stickiness-approx": 14.5,
     "olap-cube-summary": 14.6, "win-running-total": 14.7,
     "sample-stratified-exact": 14.8,
+    # round-6 late addition: sorted LAST among the never-graded so it
+    # takes the final fresh slot without displacing the 7 r1-vintage
+    # regrades from the 50-slot window (only the r3-green tail moves)
+    "text-chunk-overlap": 14.9,
 }
 
 

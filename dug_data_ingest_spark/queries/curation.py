@@ -612,3 +612,64 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# Context-window chunking: the fan-out every pretraining pipeline runs
+# between curation and tokenization. Character-based here (the repo's
+# token counter is whitespace-based and chunk boundaries must replay
+# exactly in the oracle); swap _CHUNK/_STRIDE for token offsets when a
+# real tokenizer sits upstream.
+_CHUNK = 200
+_STRIDE = 150  # 50-char overlap so no span is lost at a boundary
+
+
+@query(
+    "text-chunk-overlap",
+    oracle=f"""
+    WITH fanned AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil((GREATEST(length(text), {_CHUNK})
+                                        - {_CHUNK}) / {_STRIDE}.0) AS BIGINT)
+                             + 1)) AS i
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           substr(text, CAST(i*{_STRIDE} + 1 AS INT), {_CHUNK}) AS chunk,
+           CAST(length(substr(text, CAST(i*{_STRIDE} + 1 AS INT), {_CHUNK}))
+                AS INT) AS chunk_len
+    FROM fanned
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (window 200 chars, stride 150):
+    every document becomes 1 + ceil(max(0, len-200)/150) rows of
+    (doc_id, chunk_idx, chunk, chunk_len). The stride guarantees full
+    coverage with 50-char overlap, and the last-chunk start is always
+    <= len, so no empty chunks are ever emitted.
+
+    100-TB shape: a pure row-local Generate — sequence() over an
+    arithmetic bound, explode, substring — with ZERO shuffles; the
+    stage pipelines into whatever follows (tokenization, packing) and
+    task sizing is entirely `spark.sql.files.maxPartitionBytes`. The
+    fan-out is bounded by len/stride per row, so skew mirrors the
+    document-length distribution and never amplifies it. Reference
+    parity: no analogue (the reference ingests metadata, not corpus
+    text) — extension surface for the LLM-pipeline tier, feeding
+    pipeline-pack-sequences (Q/curation.py) downstream."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    last = F.ceil(
+        (F.greatest(F.length("text"), F.lit(_CHUNK)) - _CHUNK)
+        / F.lit(float(_STRIDE))
+    ).cast("bigint")
+    fanned = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("i"),
+    )
+    chunk = F.expr(f"substring(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK})")
+    return fanned.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )

@@ -125,3 +125,27 @@ def test_mix_sample_rates_and_nesting(spark):
     w_en_only = spark.createDataFrame([("en", 100)], ["lang", "pct"])
     en_only = mix_sample(docs, w_en_only, default_pct=0)
     assert {r.lang for r in en_only.collect()} == {"en"}
+
+
+def test_chunk_overlap_reconstructs_documents(spark):
+    # Coverage property behind text-chunk-overlap: stride < window, so
+    # stitching each chunk's first `stride` chars (plus the whole last
+    # chunk) rebuilds every document exactly — no span lost at any
+    # boundary, no empty chunks, and every non-null doc is represented.
+    from dug_data_ingest_spark.queries import all_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = all_queries()["text-chunk-overlap"](spark, sf_dir).toPandas()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    text = dict(zip(docs.doc_id, docs.text))
+    assert (out.chunk_len == out.chunk.str.len()).all()
+    assert (out.chunk_len > 0).all()
+    assert set(out.doc_id.unique()) == {d for d, t in text.items() if t is not None}
+    for doc_id, grp in out.sort_values("chunk_idx").groupby("doc_id"):
+        chunks = list(grp.chunk)
+        rebuilt = "".join(c[:150] for c in chunks[:-1]) + chunks[-1]
+        assert rebuilt == text[doc_id], doc_id
