@@ -126,6 +126,13 @@ HEADLINE = [
     "sort-distinct-join",
     "limit-top1",
     "limit-page",
+    # round-6 ingest-QC / reshape batch
+    "win-moving-avg-range",
+    "ts-gapfill-locf",
+    "agg-unpivot-melt",
+    "dq-profile",
+    "pipeline-snapshot-diff",
+    "audit-row-hash",
 ]
 
 

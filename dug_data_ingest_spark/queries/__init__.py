@@ -238,6 +238,13 @@ _EST_COST = {
     # takes the final fresh slot without displacing the 7 r1-vintage
     # regrades from the 50-slot window (only the r3-green tail moves)
     "text-chunk-overlap": 14.9,
+    # round-6 ingest-QC / reshape batch: 6 slugs, sized to exactly fill
+    # the fresh half of the 50-slot window alongside the 37 earlier
+    # round-6 slugs while keeping the 7 r1-vintage regrades inside it
+    # (43 never-graded + 7 r1 = 50; only the r3-green tail defers)
+    "win-moving-avg-range": 15.0, "ts-gapfill-locf": 15.1,
+    "agg-unpivot-melt": 15.2, "dq-profile": 15.3,
+    "pipeline-snapshot-diff": 15.4, "audit-row-hash": 15.5,
 }
 
 

@@ -2316,3 +2316,116 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pr", 6).alias("pct_rank"),
         F.round("cd", 6).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-range rolling window: 7-day trailing spend per customer. The
+# frame is a RANGE (time interval) frame, not a ROWS frame — the one
+# window-frame family win-running-total (rows) doesn't cover: each
+# order sums every order of the same customer whose date falls in the
+# trailing 6-day window, however many rows that is. Spark expresses
+# interval frames as rangeBetween over epoch seconds (DST-proof:
+# 6*86400 s == INTERVAL 6 DAY on midnight-aligned timestamps, and the
+# oracle's INTERVAL frame agrees). Scale: the window is partitioned by
+# o_custkey — per-customer sort, no global ordering, so a 100-TB fact
+# fans out across executors by key; sums ride DECIMAL(18,2) so the
+# trailing total is exact regardless of intra-frame order.
+# ---------------------------------------------------------------------------
+
+_MOVING_RANGE_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       CAST(ROUND(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) OVER w, 2)
+            AS DOUBLE) AS trailing_7d_spend,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_7d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("win-moving-avg-range", oracle=_MOVING_RANGE_ORACLE)
+def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    dec_price = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-6 * 86400, W.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.round(F.sum(dec_price).over(w), 2)
+        .cast("double")
+        .alias("trailing_7d_spend"),
+        F.count(F.lit(1)).over(w).alias("trailing_7d_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-spine gap-fill + LOCF: the bronze→silver timeseries shape. A
+# daily rollup of events has holes (days where an event_type never
+# fired); downstream models need a dense matrix. Build the complete
+# type × day spine with sequence()+explode — the spine derives from a
+# 1-row global bounds aggregate crossJoined with the distinct-type
+# dim, so it never touches the fact again — left-join the rollup onto
+# it, fill counts with 0, and forward-fill (last observation carried
+# forward) the average via last(ignorenulls) over a per-type ordered
+# window. Scale: the fact is scanned ONCE (for the rollup); spine size
+# is |types|·|days|, tiny at any corpus scale, so the join broadcasts
+# and the LOCF window sorts |days| rows per type.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         CAST(ROUND(AVG(value), 2) AS DOUBLE) AS avg_value
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+spine AS (
+  SELECT t.event_type, CAST(g.d AS DATE) AS day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+              FROM bounds) g)
+SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       (d.n_events IS NULL) AS gap_filled,
+       last_value(d.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
+FROM spine s LEFT JOIN daily d USING (event_type, day)
+"""
+
+
+@query("ts-gapfill-locf", oracle=_GAPFILL_ORACLE)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 2).cast("double").alias("avg_value"),
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = events.select("event_type").distinct()
+    # |types| × 1-row bounds: the crossJoin is a broadcast of one row,
+    # then sequence+explode densifies per type without a shuffle.
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+    return filled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("gap_filled"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+    )

@@ -222,3 +222,180 @@ def _heal_fields_from_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_heal_variable_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return variable_index(normalize_fields(_heal_fields_from_part(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Ingest QC — the checks an ingest job runs before promoting a load
+# (the reference's pipelines validate required fields / uniqueness by
+# hand, e.g. /root/reference/scripts/bdc/bdc_utils.py's per-study
+# checks; these are the same gates expressed as single-pass Spark
+# aggregates over arbitrary tables).
+# ---------------------------------------------------------------------------
+
+# dq-profile: per-column profile (nulls, exact distincts, min/max) of
+# the customer dim in ONE aggregate pass — every metric for every
+# column rides the same scan/shuffle; the wide 1-row result is then
+# reshaped to a tall (column, metric...) frame driver-free via
+# unpivot-style stacking of struct literals. Exact count_distinct over
+# k columns makes Catalyst Expand the scan k-fold; that is the
+# documented cost of an exact profile — the 100-TB swap is
+# approx_count_distinct, which collapses the Expand back to one pass
+# (same plan shape, HLL partials instead).
+
+_DQ_PROFILE_ORACLE = """
+SELECT * FROM (
+  SELECT 'c_custkey' AS col_name, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(c_custkey) AS n_nulls,
+         COUNT(DISTINCT c_custkey) AS n_distinct,
+         CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+         CAST(MAX(c_custkey) AS VARCHAR) AS max_val
+  FROM customer
+  UNION ALL
+  SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+         COUNT(DISTINCT c_name), MIN(c_name), MAX(c_name) FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+         COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment)
+  FROM customer
+  UNION ALL
+  SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+         COUNT(DISTINCT c_nationkey),
+         CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+  FROM customer)
+"""
+
+_DQ_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+
+
+@query("dq-profile", oracle=_DQ_PROFILE_ORACLE)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _DQ_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # min/max in the column's NATIVE type (numeric order for
+            # keys), rendered to string only after aggregation — a
+            # pre-agg cast would silently switch to lexicographic
+            # order ('99' > '149').
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = cust.agg(*aggs)
+    # Reshape the 1-row wide profile to tall: one struct per column,
+    # exploded — row-local on a single row, so effectively free.
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _DQ_COLS
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# pipeline-snapshot-diff: SCD-style change capture between two loads
+# WITHOUT materializing (or self-joining) either snapshot: per-customer
+# order aggregates "as of" the cutoff vs. "now" come from ONE scan via
+# conditional aggregation, and the added/changed/unchanged verdict is
+# row-local on the rollup. The naive form — full-outer-join snapshot A
+# to snapshot B on key — scans the fact twice and shuffles both sides;
+# this shape is the one that survives a 100-TB fact.
+
+_SNAPSHOT_CUTOFF = "1996-12-31"
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH rolled AS (
+  SELECT o_custkey,
+         COUNT(*) FILTER (o_orderdate <= TIMESTAMP '{_SNAPSHOT_CUTOFF} 00:00:00')
+           AS old_orders,
+         COUNT(*) AS new_orders,
+         CAST(ROUND(COALESCE(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+           FILTER (o_orderdate <= TIMESTAMP '{_SNAPSHOT_CUTOFF} 00:00:00'), 0), 2)
+           AS DOUBLE) AS old_spend,
+         CAST(ROUND(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))), 2)
+           AS DOUBLE) AS new_spend
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, old_orders, new_orders, old_spend, new_spend,
+       CASE WHEN old_orders = 0 THEN 'added'
+            WHEN new_orders > old_orders THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM rolled
+"""
+
+
+@query("pipeline-snapshot-diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    in_old = F.col("o_orderdate") <= F.lit(f"{_SNAPSHOT_CUTOFF} 00:00:00").cast(
+        "timestamp"
+    )
+    dec_price = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    rolled = orders.groupBy("o_custkey").agg(
+        F.count(F.when(in_old, 1)).alias("old_orders"),
+        F.count(F.lit(1)).alias("new_orders"),
+        F.round(F.sum(F.when(in_old, dec_price).otherwise(zero)), 2)
+        .cast("double")
+        .alias("old_spend"),
+        F.round(F.sum(dec_price), 2).cast("double").alias("new_spend"),
+    )
+    return rolled.withColumn(
+        "change_type",
+        F.when(F.col("old_orders") == 0, "added")
+        .when(F.col("new_orders") > F.col("old_orders"), "changed")
+        .otherwise("unchanged"),
+    )
+
+
+# audit-row-hash: cross-engine content fingerprint of a load. Every
+# row is rendered through an engine-stable serialization (bigints and
+# varchars verbatim, money via ROUND→DECIMAL(18,2)→string, dates via
+# an explicit yyyy-MM-dd format, NULL via a sentinel) and md5-hashed;
+# the table fingerprint is the per-bucket (first 2 hex chars, 256
+# buckets) row count + min/max hash. Order-insensitive by
+# construction, one map-side-combined groupBy over ≤256 groups — audit
+# cost is scan cost at any scale, and two independent engines (here
+# Spark and DuckDB; in production the upstream warehouse vs. the lake
+# copy) agree bucket-for-bucket iff the tables hold identical rows.
+
+_AUDIT_HASH_ORACLE = """
+WITH hashed AS (
+  SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             COALESCE(o_orderstatus, '<NULL>') || '|' ||
+             COALESCE(o_orderpriority, '<NULL>') || '|' ||
+             CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR)
+             || '|' || strftime(o_orderdate, '%Y-%m-%d')) AS h
+  FROM orders)
+SELECT substr(h, 1, 2) AS bucket, COUNT(*) AS n_rows,
+       MIN(h) AS min_hash, MAX(h) AS max_hash
+FROM hashed GROUP BY bucket
+"""
+
+
+@query("audit-row-hash", oracle=_AUDIT_HASH_ORACLE)
+def audit_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    rendered = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.coalesce("o_orderstatus", F.lit("<NULL>")),
+        F.coalesce("o_orderpriority", F.lit("<NULL>")),
+        F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    hashed = orders.select(F.md5(rendered).alias("h"))
+    return hashed.groupBy(F.substring("h", 1, 2).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+    )

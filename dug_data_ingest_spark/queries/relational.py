@@ -677,6 +677,42 @@ def agg_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unpivot / melt — the inverse reshape of agg-pivot-report: a wide
+# per-priority status matrix back to tall (priority, status, n) rows.
+# Spark's unpivot (melt) rewrites to a single Expand node — each input
+# row emits one row per value column, row-local, so the reshape is
+# scan-cost with NO shuffle beyond the one groupBy that built the wide
+# matrix. Counts are coalesced to 0 before melting because Spark's
+# unpivot keeps NULL-valued rows while DuckDB's UNPIVOT drops them —
+# zero-filling makes both engines emit the identical dense matrix.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COALESCE(COUNT(*) FILTER (o_orderstatus = 'O'), 0) AS n_open,
+         COALESCE(COUNT(*) FILTER (o_orderstatus = 'F'), 0) AS n_filled,
+         COALESCE(COUNT(*) FILTER (o_orderstatus = 'P'), 0) AS n_partial
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, status, n
+FROM wide UNPIVOT (n FOR status IN (n_open, n_filled, n_partial))
+"""
+
+
+@query("agg-unpivot-melt", oracle=_UNPIVOT_ORACLE)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+    )
+    return wide.unpivot(
+        "o_orderpriority", ["n_open", "n_filled", "n_partial"], "status", "n"
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
 

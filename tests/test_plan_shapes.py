@@ -548,3 +548,69 @@ def test_percent_rank_runs_once_over_the_dim(queries, spark):
     plan = _plan(queries["win-percent-rank"](spark, SF_DIR))
     assert "percent_rank" in plan and "cume_dist" in plan, plan
     assert "SinglePartition" in plan, plan
+
+
+def _shuffles(plan: str) -> int:
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def test_moving_range_window_is_one_keyed_shuffle(queries, spark):
+    # Interval frame compiles to a native RangeFrame window partitioned
+    # by customer: exactly one hash exchange, no global sort.
+    plan = _plan(queries["win-moving-avg-range"](spark, SF_DIR))
+    assert "RangeFrame" in plan, plan
+    assert _shuffles(plan) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_gapfill_spine_broadcasts_and_reuses_type_partitioning(queries, spark):
+    # The fact is scanned for the rollup only; the spine side is a
+    # 1-row bounds broadcast (BNLJ) + distinct types, the rollup
+    # broadcasts onto it, and the LOCF window rides the distinct-type
+    # hash partitioning with no extra exchange between join and window.
+    plan = _plan(queries["ts-gapfill-locf"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    assert "explode(sequence(" in plan, plan
+    idx_join = plan.index("BroadcastHashJoin")
+    head = plan[:idx_join]
+    assert "Exchange hashpartitioning" not in head, (
+        "unexpected shuffle between the spine join and the LOCF window:\n" + head
+    )
+
+
+def test_unpivot_is_expand_after_single_agg_shuffle(queries, spark):
+    # Melt compiles to a row-local Expand ABOVE the aggregate: the only
+    # shuffle is the groupBy that built the wide matrix.
+    plan = _plan(queries["agg-unpivot-melt"](spark, SF_DIR))
+    assert "Expand" in plan, plan
+    assert plan.index("Expand") < plan.index("HashAggregate"), plan
+    assert _shuffles(plan) == 1, plan
+
+
+def test_dq_profile_is_one_pass_no_python(queries, spark):
+    # All metrics for all columns ride one aggregate pipeline over one
+    # scan; the tall reshape is an explode of struct literals, not a
+    # per-column union of scans.
+    plan = _plan(queries["dq-profile"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_snapshot_diff_is_single_scan_no_join(queries, spark):
+    # Change capture via conditional aggregation: one fact scan, one
+    # keyed shuffle, and NO join of snapshot A against snapshot B.
+    plan = _plan(queries["pipeline-snapshot-diff"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) == 1, plan
+
+
+def test_audit_hash_is_single_scan_single_shuffle(queries, spark):
+    # Row hashing is map-local; the fingerprint groupBy shuffles <=256
+    # bucket groups once.
+    plan = _plan(queries["audit-row-hash"](spark, SF_DIR))
+    assert "md5(" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert _shuffles(plan) == 1, plan
