@@ -381,9 +381,11 @@ FROM hashed GROUP BY bucket
 """
 
 
-@query("audit-row-hash", oracle=_AUDIT_HASH_ORACLE)
-def audit_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
+def fingerprint_orders(orders: DataFrame) -> DataFrame:
+    """256-bucket md5 fingerprint of an orders-shaped frame (see the
+    audit-row-hash docstring). Exposed so audits — and the
+    mutation-sensitivity property test — can fingerprint arbitrary
+    snapshots, not just the registered table."""
     rendered = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
@@ -399,3 +401,8 @@ def audit_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_hash"),
         F.max("h").alias("max_hash"),
     )
+
+
+@query("audit-row-hash", oracle=_AUDIT_HASH_ORACLE)
+def audit_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_orders(load(spark, sf_dir, "orders"))

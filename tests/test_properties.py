@@ -261,3 +261,129 @@ def test_mode_per_group_tie_breaks_deterministically(spark):
         for r in best.collect()
     }
     assert got == {1: ("view", 1), 2: ("click", 2)}
+
+
+def test_audit_fingerprint_detects_single_cell_mutation(spark):
+    """The audit's reason to exist: fingerprint(orders) must differ
+    from fingerprint(orders with ONE cell changed), and must be
+    invariant to row order / partitioning (the histogram is a pure
+    function of the row multiset)."""
+    from tests.conftest import TEST_SF_DIR
+    from dug_data_ingest_spark.queries import load
+    from dug_data_ingest_spark.queries.pipelines import fingerprint_orders
+
+    orders = load(spark, TEST_SF_DIR, "orders")
+    base = {tuple(r) for r in fingerprint_orders(orders).collect()}
+    shuffled = {tuple(r) for r in fingerprint_orders(orders.repartition(7)).collect()}
+    assert shuffled == base and len(base) > 0
+
+    mutated = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 1, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    assert {tuple(r) for r in fingerprint_orders(mutated).collect()} != base
+
+
+def test_snapshot_diff_classification_invariants(spark):
+    """added ⇔ no pre-cutoff orders; unchanged ⇒ spend identical and
+    counts identical; every customer appears exactly once."""
+    from tests.conftest import TEST_SF_DIR
+    from dug_data_ingest_spark.queries import all_queries
+
+    rows = all_queries()["pipeline-snapshot-diff"](spark, TEST_SF_DIR).collect()
+    keys = [r.o_custkey for r in rows]
+    assert len(keys) == len(set(keys)) > 0
+    for r in rows:
+        assert 0 <= r.old_orders <= r.new_orders
+        assert (r.change_type == "added") == (r.old_orders == 0)
+        if r.change_type == "unchanged":
+            assert r.old_orders == r.new_orders
+            assert r.old_spend == r.new_spend
+        if r.change_type == "changed":
+            assert r.new_orders > r.old_orders > 0
+
+
+def test_gapfill_spine_is_dense_and_conserves_counts(spark):
+    """Every event_type covers the identical contiguous daily span
+    (global min..max), filled days carry n_events=0 + gap_filled, and
+    the dense matrix conserves the raw event count."""
+    import datetime
+
+    from tests.conftest import TEST_SF_DIR
+    from dug_data_ingest_spark.queries import all_queries, load
+
+    rows = all_queries()["ts-gapfill-locf"](spark, TEST_SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    days_global = sorted({r.day for r in rows})
+    lo, hi = (
+        datetime.date.fromisoformat(days_global[0]),
+        datetime.date.fromisoformat(days_global[-1]),
+    )
+    expect_n = (hi - lo).days + 1
+    for t, rs in by_type.items():
+        days = sorted(r.day for r in rs)
+        assert len(days) == len(set(days)) == expect_n, t
+        for r in rs:
+            assert r.gap_filled == (r.n_events == 0)
+    total = sum(r.n_events for r in rows)
+    assert total == load(spark, TEST_SF_DIR, "events").count()
+
+
+def test_unpivot_round_trips_through_pivot(spark):
+    """Melting the wide status matrix and re-pivoting it reproduces
+    the matrix exactly — unpivot is pivot's inverse on a dense frame."""
+    from tests.conftest import TEST_SF_DIR
+    from dug_data_ingest_spark.queries import all_queries
+
+    tall = all_queries()["agg-unpivot-melt"](spark, TEST_SF_DIR)
+    statuses = ["n_open", "n_filled", "n_partial"]
+    rebuilt = (
+        tall.groupBy("o_orderpriority")
+        .pivot("status", statuses)
+        .agg(F.first("n"))
+    )
+    wide = {}
+    for r in rebuilt.collect():
+        wide[r.o_orderpriority] = tuple(r[s] for s in statuses)
+    melted = {}
+    for r in tall.collect():
+        melted.setdefault(r.o_orderpriority, {})[r.status] = r.n
+    assert wide == {
+        k: tuple(v[s] for s in statuses) for k, v in melted.items()
+    } and len(wide) == 5
+
+
+def test_moving_range_frame_matches_reference_walk(spark):
+    """The RANGE-frame window agrees with a literal per-customer
+    pandas walk of the 6-day trailing sum (independent of both Spark's
+    window machinery and the DuckDB oracle)."""
+    import datetime
+
+    from tests.conftest import TEST_SF_DIR
+    from dug_data_ingest_spark.queries import all_queries, load
+
+    got = {
+        r.o_orderkey: (r.trailing_7d_spend, r.trailing_7d_orders)
+        for r in all_queries()["win-moving-avg-range"](spark, TEST_SF_DIR).collect()
+    }
+    orders = load(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", F.round("o_totalprice", 2).alias("p")
+    ).toPandas()
+    by_cust: dict[int, list] = {}
+    for t in orders.itertuples(index=False):
+        by_cust.setdefault(t.o_custkey, []).append(t)
+    for rows in by_cust.values():
+        for t in rows:
+            window = [
+                u
+                for u in rows
+                if datetime.timedelta(0)
+                <= t.o_orderdate - u.o_orderdate
+                <= datetime.timedelta(days=6)
+            ]
+            spend = round(sum(round(u.p, 2) for u in window), 2)
+            assert got[t.o_orderkey] == (spend, len(window)), t.o_orderkey
