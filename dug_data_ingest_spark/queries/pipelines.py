@@ -368,12 +368,13 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _AUDIT_HASH_ORACLE = """
 WITH hashed AS (
-  SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' ||
-             CAST(o_custkey AS VARCHAR) || '|' ||
+  SELECT md5(COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+             COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
              COALESCE(o_orderstatus, '<NULL>') || '|' ||
              COALESCE(o_orderpriority, '<NULL>') || '|' ||
-             CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR)
-             || '|' || strftime(o_orderdate, '%Y-%m-%d')) AS h
+             COALESCE(CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+                           AS VARCHAR), '<NULL>') || '|' ||
+             COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '<NULL>')) AS h
   FROM orders)
 SELECT substr(h, 1, 2) AS bucket, COUNT(*) AS n_rows,
        MIN(h) AS min_hash, MAX(h) AS max_hash
@@ -386,14 +387,23 @@ def fingerprint_orders(orders: DataFrame) -> DataFrame:
     audit-row-hash docstring). Exposed so audits — and the
     mutation-sensitivity property test — can fingerprint arbitrary
     snapshots, not just the registered table."""
+    # EVERY field is null-coalesced to the sentinel BEFORE concat_ws:
+    # Spark's concat_ws silently skips null args (shifting separators)
+    # while SQL's || nulls the whole row — the sentinel keeps the
+    # serialization total, identical in both engines, and able to
+    # distinguish (1, NULL) from (NULL, 1).
+    sentinel = F.lit("<NULL>")
     rendered = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.coalesce("o_orderstatus", F.lit("<NULL>")),
-        F.coalesce("o_orderpriority", F.lit("<NULL>")),
-        F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.coalesce(F.col("o_orderkey").cast("string"), sentinel),
+        F.coalesce(F.col("o_custkey").cast("string"), sentinel),
+        F.coalesce("o_orderstatus", sentinel),
+        F.coalesce("o_orderpriority", sentinel),
+        F.coalesce(
+            F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+            sentinel,
+        ),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), sentinel),
     )
     hashed = orders.select(F.md5(rendered).alias("h"))
     return hashed.groupBy(F.substring("h", 1, 2).alias("bucket")).agg(

@@ -387,3 +387,30 @@ def test_moving_range_frame_matches_reference_walk(spark):
             ]
             spend = round(sum(round(u.p, 2) for u in window), 2)
             assert got[t.o_orderkey] == (spend, len(window)), t.o_orderkey
+
+
+def test_audit_fingerprint_serializes_nulls_totally(spark, duck):
+    """Null fields must hash through the sentinel, not vanish: Spark's
+    concat_ws silently SKIPS null args (shifting separators) while
+    SQL's || nulls the row — both serializations coalesce per-field,
+    so a row with nulls gets the same md5 in both engines and
+    (1, NULL) never collides with (NULL, 1)."""
+    from dug_data_ingest_spark.queries.pipelines import fingerprint_orders
+
+    schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_orderpriority string, o_totalprice double, o_orderdate timestamp"
+    )
+    row = spark.createDataFrame([(None, 5, None, "1-URGENT", None, None)], schema)
+    got = fingerprint_orders(row).collect()[0]
+    want = duck.sql(
+        """
+        SELECT md5(COALESCE(CAST(NULL AS VARCHAR), '<NULL>') || '|' ||
+                   '5' || '|' || '<NULL>' || '|' || '1-URGENT' || '|' ||
+                   '<NULL>' || '|' || '<NULL>') AS h
+        """
+    ).fetchone()[0]
+    assert got.min_hash == got.max_hash == want and got.n_rows == 1
+
+    swapped = spark.createDataFrame([(5, None, None, "1-URGENT", None, None)], schema)
+    assert fingerprint_orders(swapped).collect()[0].min_hash != got.min_hash
