@@ -59,6 +59,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return normalize_events_ts(read_events_parquet(spark, path))
 
 
+def dec_money(col: str) -> "Column":
+    """Engine-stable money rendering: ROUND(x, 2) → DECIMAL(18,2).
+
+    The one convention every cross-engine-exact aggregate and
+    serialization in the registry shares (oracles mirror it as
+    ``CAST(ROUND(x, 2) AS DECIMAL(18,2))``); centralized so a future
+    precision change cannot drift between the query sites that must
+    agree bit-for-bit (e.g. the audit fingerprint vs. its oracle).
+    """
+    from pyspark.sql import functions as F
+
+    return F.round(col, 2).cast("decimal(18,2)")
+
+
 def _register_all() -> None:
     # Import for side effects: each module registers its slugs.
     from dug_data_ingest_spark.queries import (  # noqa: F401

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from dug_data_ingest_spark.queries import load, query
+from dug_data_ingest_spark.queries import dec_money, load, query
 
 # ---------------------------------------------------------------------------
 # Pricing summary (TPC-H Q1 shape): one full scan of the fact table,
@@ -2324,9 +2324,12 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window-frame family win-running-total (rows) doesn't cover: each
 # order sums every order of the same customer whose date falls in the
 # trailing 6-day window, however many rows that is. Spark expresses
-# interval frames as rangeBetween over epoch seconds (DST-proof:
-# 6*86400 s == INTERVAL 6 DAY on midnight-aligned timestamps, and the
-# oracle's INTERVAL frame agrees). Scale: the window is partitioned by
+# interval frames as rangeBetween over epoch seconds; 6*86400 s ==
+# INTERVAL 6 DAY here because the session pins
+# spark.sql.session.timeZone=UTC (session.py) — in a DST-observing
+# session timezone, midnights across a transition sit 86400±3600 s
+# apart and the epoch frame would disagree with the oracle's calendar
+# INTERVAL frame. Scale: the window is partitioned by
 # o_custkey — per-customer sort, no global ordering, so a 100-TB fact
 # fans out across executors by key; sums ride DECIMAL(18,2) so the
 # trailing total is exact regardless of intra-frame order.
@@ -2347,7 +2350,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
 @query("win-moving-avg-range", oracle=_MOVING_RANGE_ORACLE)
 def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    dec_price = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    dec_price = dec_money("o_totalprice")
     w = (
         W.partitionBy("o_custkey")
         .orderBy(F.unix_timestamp("o_orderdate"))
@@ -2371,22 +2374,29 @@ def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # type × day spine with sequence()+explode — the spine derives from a
 # 1-row global bounds aggregate crossJoined with the distinct-type
 # dim, so it never touches the fact again — left-join the rollup onto
-# it, fill counts with 0, and forward-fill (last observation carried
-# forward) the average via last(ignorenulls) over a per-type ordered
-# window. Scale: the fact is scanned ONCE (for the rollup); spine size
-# is |types|·|days|, tiny at any corpus scale, so the join broadcasts
-# and the LOCF window sorts |days| rows per type.
+# it, fill counts with 0, and forward-fill. Instead of building the
+# spine and JOINING the rollup onto it (two fact scans + a join),
+# each rollup row EXPLODES its own run of days — itself, the gap up
+# to the next observation (lead), and, for a type's first row, the
+# head back to the global min day — inheriting its LOCF value from
+# the source row. Scale: the fact is scanned exactly ONCE and there
+# is NO join; the only post-rollup work is two window passes and an
+# explode over |types|·|days| rows, which the calendar bounds at any
+# corpus scale (the unpartitioned bounds window included —
+# plan-pinned in tests/test_plan_shapes.py). NULL event_type rows
+# are excluded by contract (see the function body); the oracle
+# replays the equivalent spine construction declaratively.
 # ---------------------------------------------------------------------------
 
 _GAPFILL_ORACLE = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
          CAST(ROUND(AVG(value), 2) AS DOUBLE) AS avg_value
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
 bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
 spine AS (
   SELECT t.event_type, CAST(g.d AS DATE) AS day
-  FROM (SELECT DISTINCT event_type FROM events) t
+  FROM (SELECT DISTINCT event_type FROM daily) t
   CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
               FROM bounds) g)
 SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
@@ -2401,31 +2411,76 @@ FROM spine s LEFT JOIN daily d USING (event_type, day)
 
 @query("ts-gapfill-locf", oracle=_GAPFILL_ORACLE)
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
+    # Contract: NULL event_type rows are excluded up front — a plain
+    # equi-join/groupBy key can never reunite a NULL series with its
+    # rollup rows (NULL = NULL is never true in either engine), so
+    # carrying them would silently zero their counts; excluding them
+    # is the honest semantic and the filter is pushed to the scan.
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 2).cast("double").alias("avg_value"),
     )
-    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    types = events.select("event_type").distinct()
-    # |types| × 1-row bounds: the crossJoin is a broadcast of one row,
-    # then sequence+explode densifies per type without a shuffle.
-    spine = types.crossJoin(F.broadcast(bounds)).select(
+    # Gap days are generated FROM the rollup rows themselves (each
+    # observed day explodes the run up to the next observation, and
+    # inherits its LOCF value from the source row) — no spine table,
+    # no join, and the fact is scanned exactly once. Global bounds
+    # ride an unpartitioned window over the rollup: |types|·|days|
+    # rows at ANY corpus scale, so the single-partition pass is
+    # bounded by the calendar, not the data.
+    wt = W.partitionBy("event_type").orderBy("day")
+    wg = W.partitionBy(F.lit(1))
+    d2 = daily.select(
         "event_type",
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        "day",
+        "n_events",
+        F.last("avg_value", ignorenulls=True)
+        .over(wt.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("carried"),
+        F.lead("day").over(wt).alias("next_day"),
+        F.row_number().over(wt).alias("rn"),
+    ).select(
+        "*",
+        F.min("day").over(wg).alias("glo"),
+        F.max("day").over(wg).alias("ghi"),
     )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    filled = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
-    return filled.select(
+    exploded = d2.select(
         "event_type",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.coalesce("n_events", F.lit(0)).alias("n_events"),
-        F.col("n_events").isNull().alias("gap_filled"),
-        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
+        "day",
+        "n_events",
+        "carried",
+        F.explode(
+            F.expr(
+                """
+                concat(
+                  CASE WHEN rn = 1 AND day > glo
+                       THEN sequence(glo, date_sub(day, 1)) ELSE array() END,
+                  array(day),
+                  CASE WHEN coalesce(date_sub(next_day, 1), ghi) > day
+                       THEN sequence(date_add(day, 1),
+                                     coalesce(date_sub(next_day, 1), ghi))
+                       ELSE array() END)
+                """
+            )
+        ).alias("d"),
     )
+    return exploded.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("d") == F.col("day"), F.col("n_events"))
+        .otherwise(F.lit(0))
+        .alias("n_events"),
+        (F.col("d") != F.col("day")).alias("gap_filled"),
+        # days BEFORE a type's first observation have no value to
+        # carry (LOCF null, as the oracle's IGNORE NULLS spine walk
+        # produces); every other day — observed or gap — carries the
+        # source row's last non-null average forward.
+        F.when(F.col("d") < F.col("day"), F.lit(None).cast("double"))
+        .otherwise(F.col("carried"))
+        .alias("avg_value_locf"),
+    )
+

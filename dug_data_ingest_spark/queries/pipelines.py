@@ -20,7 +20,7 @@ from dug_data_ingest_spark.plans.bdc import (
     validate_gen3,
 )
 from dug_data_ingest_spark.plans.heal import normalize_fields, variable_index
-from dug_data_ingest_spark.queries import load, query
+from dug_data_ingest_spark.queries import dec_money, load, query
 
 # ---------------------------------------------------------------------------
 # Derivations: TPC-H rows → reference-shaped metadata
@@ -337,7 +337,7 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_old = F.col("o_orderdate") <= F.lit(f"{_SNAPSHOT_CUTOFF} 00:00:00").cast(
         "timestamp"
     )
-    dec_price = F.round("o_totalprice", 2).cast("decimal(18,2)")
+    dec_price = dec_money("o_totalprice")
     zero = F.lit(0).cast("decimal(18,2)")
     rolled = orders.groupBy("o_custkey").agg(
         F.count(F.when(in_old, 1)).alias("old_orders"),
@@ -360,11 +360,15 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # varchars verbatim, money via ROUND→DECIMAL(18,2)→string, dates via
 # an explicit yyyy-MM-dd format, NULL via a sentinel) and md5-hashed;
 # the table fingerprint is the per-bucket (first 2 hex chars, 256
-# buckets) row count + min/max hash. Order-insensitive by
-# construction, one map-side-combined groupBy over ≤256 groups — audit
-# cost is scan cost at any scale, and two independent engines (here
-# Spark and DuckDB; in production the upstream warehouse vs. the lake
-# copy) agree bucket-for-bucket iff the tables hold identical rows.
+# buckets) row count + min/max hash + the exact sum of each hash's
+# 60-bit chunk. Order-insensitive by construction, one
+# map-side-combined groupBy over ≤256 groups — audit cost is scan
+# cost at any scale, and two independent engines (here Spark and
+# DuckDB; in production the upstream warehouse vs. the lake copy)
+# agree bucket-for-bucket exactly when the tables hold identical row
+# multisets, up to md5/60-bit-sum collisions (the count/min/max-only
+# variant would miss a same-bucket drop+duplicate; the chunk sum
+# catches it — see test_audit_fingerprint_catches_swap_corruption).
 
 _AUDIT_HASH_ORACLE = """
 WITH hashed AS (
@@ -377,7 +381,9 @@ WITH hashed AS (
              COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '<NULL>')) AS h
   FROM orders)
 SELECT substr(h, 1, 2) AS bucket, COUNT(*) AS n_rows,
-       MIN(h) AS min_hash, MAX(h) AS max_hash
+       MIN(h) AS min_hash, MAX(h) AS max_hash,
+       CAST(SUM(CAST(CAST(('0x' || substr(h, 3, 15)) AS BIGINT)
+                AS DECIMAL(38,0))) AS VARCHAR) AS sum_hash60
 FROM hashed GROUP BY bucket
 """
 
@@ -399,17 +405,25 @@ def fingerprint_orders(orders: DataFrame) -> DataFrame:
         F.coalesce(F.col("o_custkey").cast("string"), sentinel),
         F.coalesce("o_orderstatus", sentinel),
         F.coalesce("o_orderpriority", sentinel),
-        F.coalesce(
-            F.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
-            sentinel,
-        ),
+        F.coalesce(dec_money("o_totalprice").cast("string"), sentinel),
         F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), sentinel),
     )
     hashed = orders.select(F.md5(rendered).alias("h"))
+    # sum_hash60 makes the bucket fingerprint a COMPLETE checksum:
+    # count/min/max alone cannot see a drop-one-duplicate-another
+    # corruption inside a bucket ({a,b,c} vs {a,a,c} when b is not an
+    # extremum), but the exact DECIMAL(38,0) sum of each hash's
+    # 60-bit chunk (hex chars 3-17; chars 1-2 are the bucket id)
+    # shifts by b-a. The sum is order-insensitive and map-side
+    # mergeable, so the audit stays one scan + one tiny groupBy.
+    chunk = F.conv(F.substring("h", 3, 15), 16, 10).cast("bigint")
     return hashed.groupBy(F.substring("h", 1, 2).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("h").alias("min_hash"),
         F.max("h").alias("max_hash"),
+        # rendered as a string: pandas demotes DECIMAL(38,0) to
+        # float64 (silently losing low digits), strings stay exact
+        F.sum(chunk.cast("decimal(38,0)")).cast("string").alias("sum_hash60"),
     )
 
 

@@ -563,19 +563,15 @@ def test_moving_range_window_is_one_keyed_shuffle(queries, spark):
     assert "SinglePartition" not in plan, plan
 
 
-def test_gapfill_spine_broadcasts_and_reuses_type_partitioning(queries, spark):
-    # The fact is scanned for the rollup only; the spine side is a
-    # 1-row bounds broadcast (BNLJ) + distinct types, the rollup
-    # broadcasts onto it, and the LOCF window rides the distinct-type
-    # hash partitioning with no extra exchange between join and window.
+def test_gapfill_is_single_scan_join_free(queries, spark):
+    # Gap days explode FROM the rollup rows (lead + global-bounds
+    # windows), so the whole dense matrix costs ONE fact scan and no
+    # join; the null-type contract filter reaches the scan.
     plan = _plan(queries["ts-gapfill-locf"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
-    assert "explode(sequence(" in plan, plan
-    idx_join = plan.index("BroadcastHashJoin")
-    head = plan[:idx_join]
-    assert "Exchange hashpartitioning" not in head, (
-        "unexpected shuffle between the spine join and the LOCF window:\n" + head
-    )
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert "explode(" in plan and "lead(" in plan, plan
+    assert "PushedFilters: [IsNotNull(event_type)]" in plan, plan
 
 
 def test_unpivot_is_expand_after_single_agg_shuffle(queries, spark):

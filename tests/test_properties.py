@@ -330,7 +330,9 @@ def test_gapfill_spine_is_dense_and_conserves_counts(spark):
         for r in rs:
             assert r.gap_filled == (r.n_events == 0)
     total = sum(r.n_events for r in rows)
-    assert total == load(spark, TEST_SF_DIR, "events").count()
+    ev = load(spark, TEST_SF_DIR, "events")
+    # NULL event_type rows are excluded by the operator's contract
+    assert total == ev.filter(F.col("event_type").isNotNull()).count()
 
 
 def test_unpivot_round_trips_through_pivot(spark):
@@ -414,3 +416,59 @@ def test_audit_fingerprint_serializes_nulls_totally(spark, duck):
 
     swapped = spark.createDataFrame([(5, None, None, "1-URGENT", None, None)], schema)
     assert fingerprint_orders(swapped).collect()[0].min_hash != got.min_hash
+
+
+def test_audit_fingerprint_catches_swap_corruption(spark):
+    """count/min/max alone are blind to dropping row Y and duplicating
+    row X inside one bucket (same count, same extrema); the 60-bit
+    chunk sum must catch exactly that corruption."""
+    from collections import defaultdict
+
+    from tests.conftest import TEST_SF_DIR
+    from dug_data_ingest_spark.queries import load
+    from dug_data_ingest_spark.queries.pipelines import fingerprint_orders
+
+    orders = load(spark, TEST_SF_DIR, "orders")
+    # find a bucket with >= 4 rows and pick two NON-extremal hashes in
+    # it: duplicate one order and drop the other
+    hashed = fingerprint_orders(orders)  # forces same serialization
+    from pyspark.sql import functions as SF
+
+    with_h = orders.withColumn(
+        "h",
+        SF.md5(
+            SF.concat_ws(
+                "|",
+                SF.coalesce(SF.col("o_orderkey").cast("string"), SF.lit("<NULL>")),
+                SF.coalesce(SF.col("o_custkey").cast("string"), SF.lit("<NULL>")),
+                SF.coalesce("o_orderstatus", SF.lit("<NULL>")),
+                SF.coalesce("o_orderpriority", SF.lit("<NULL>")),
+                SF.coalesce(
+                    SF.round("o_totalprice", 2).cast("decimal(18,2)").cast("string"),
+                    SF.lit("<NULL>"),
+                ),
+                SF.coalesce(SF.date_format("o_orderdate", "yyyy-MM-dd"), SF.lit("<NULL>")),
+            )
+        ),
+    )
+    buckets = defaultdict(list)
+    for r in with_h.select("o_orderkey", "h").collect():
+        buckets[r.h[:2]].append((r.h, r.o_orderkey))
+    victim = next(
+        sorted(v)[1:3] for v in buckets.values() if len(v) >= 4
+    )  # two middle hashes: neither min nor max of the bucket
+    (h_dup, key_dup), (h_drop, key_drop) = victim
+    corrupted = orders.filter(SF.col("o_orderkey") != key_drop).unionAll(
+        orders.filter(SF.col("o_orderkey") == key_dup)
+    )
+    base = {r.bucket: r for r in fingerprint_orders(orders).collect()}
+    bad = {r.bucket: r for r in fingerprint_orders(corrupted).collect()}
+    b = h_dup[:2]
+    # the blind-spot trio is unchanged ...
+    assert (base[b].n_rows, base[b].min_hash, base[b].max_hash) == (
+        bad[b].n_rows,
+        bad[b].min_hash,
+        bad[b].max_hash,
+    )
+    # ... but the chunk sum moves, so the fingerprint differs
+    assert base[b].sum_hash60 != bad[b].sum_hash60
