@@ -133,6 +133,7 @@ HEADLINE = [
     "dq-profile",
     "pipeline-snapshot-diff",
     "audit-row-hash",
+    "mm-audio-features",
 ]
 
 

@@ -318,19 +318,25 @@ def extract_features(media: DataFrame, decoder=image_stats,
 def _feature_batch(batch: pd.DataFrame, decoder, keep_cols,
                    out_schema: T.StructType) -> pd.DataFrame:
     """One Arrow batch of the decode stage (module-level so the
-    quarantine accounting is directly unit-testable)."""
+    quarantine accounting is directly unit-testable).
+
+    The decoder's 3-tuple lands in the schema's fields 1-3 by
+    POSITION (media_id is field 0), so the same stage serves any
+    modality: images fill (width, height, feature), audio fills
+    (sample_rate, n_samples, feature)."""
     out: dict[str, list] = {f.name: [] for f in out_schema.fields}
+    f1, f2, f3 = (f.name for f in out_schema.fields[1:4])
     dropped = 0
     for row in batch.itertuples(index=False):
         try:
-            w, h, feat = decoder(bytes(row.payload))
+            a, b, feat = decoder(bytes(row.payload))
         except CODEC_ERRORS:
             dropped += 1  # quarantine malformed payloads
             continue
         out["media_id"].append(row.media_id)
-        out["width"].append(w)
-        out["height"].append(h)
-        out["feature"].append(feat)
+        out[f1].append(a)
+        out[f2].append(b)
+        out[f3].append(feat)
         for c in keep_cols:
             out[c].append(getattr(row, c))
     if dropped:
@@ -402,3 +408,133 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "frame_no",
         (F.col("frame_no") * every_n_bytes).alias("byte_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib audio codec: canonical RIFF/WAVE, PCM16 little-endian
+# mono. Like the image codecs above, WAV is a fully specified byte
+# container parseable with struct — real decode plumbing, no soundfile
+# or librosa needed.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Canonical 44-byte-header WAV: PCM16 LE, mono."""
+    if sample_rate <= 0:
+        raise ValueError(f"invalid sample rate {sample_rate}")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a RIFF/WAVE payload → (sample_rate, n_samples, samples).
+
+    Walks the chunk list (so writers that insert LIST/INFO chunks
+    between fmt and data still parse); requires PCM16 mono, the only
+    layout ``encode_wav`` produces."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"only PCM16 mono supported, got fmt={audio_format} "
+            f"ch={channels} bits={bits}"
+        )
+    n = len(data) // 2
+    return sample_rate, n, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+
+
+def audio_stats(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode + per-clip features: [duration_ms, rms, zero_crossings,
+    peak]. Integer-exact except rms (sqrt of a rational — both engines
+    compute the identical IEEE double)."""
+    sample_rate, n, samples = decode_wav(payload)
+    if n == 0:
+        raise ValueError("empty audio payload")
+    rms = round((sum(s * s for s in samples) / n) ** 0.5, 4)
+    zc = sum(
+        1
+        for i in range(1, n)
+        if (samples[i - 1] >= 0) != (samples[i] >= 0)
+    )
+    peak = max(abs(s) for s in samples)
+    return sample_rate, n, [n * 1000.0 / sample_rate, rms, float(zc), float(peak)]
+
+
+AUDIO_SAMPLE_RATE = 8000
+
+
+def synth_audio_samples(media_id: int) -> list[int]:
+    """Deterministic pseudo-signal: sample i of clip d is
+    ((31*d + 17*i) mod 201) - 100, length 1600 + (d mod 5)*80 —
+    closed-form so a SQL oracle can replay the decoded features."""
+    n = 1600 + (media_id % 5) * 80
+    return [((31 * media_id + 17 * i) % 201) - 100 for i in range(n)]
+
+
+def synth_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched fixture stage: id column → MEDIA_SCHEMA frame of
+    real WAV payloads (same posture as synth_image_media)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            for mid in batch[id_col]:
+                mid = int(mid)
+                payload = encode_wav(AUDIO_SAMPLE_RATE, synth_audio_samples(mid))
+                out["media_id"].append(mid)
+                out["payload"].append(payload)
+                out["media_type"].append("audio/wav")
+                out["n_bytes"].append(len(payload))
+                out["checksum"].append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return ids.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame,
+                           keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched audio decode/feature stage — the audio twin of
+    extract_features, sharing its batch walker and quarantine
+    posture (CODEC_ERRORS only; malformed clips drop, bugs raise)."""
+    out_schema = T.StructType(
+        list(AUDIO_FEATURE_SCHEMA.fields)
+        + [media.schema[c] for c in keep_cols]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _feature_batch(batch, audio_stats, keep_cols, out_schema)
+
+    cols = ["media_id", "payload", *keep_cols]
+    return media.select(*cols).mapInPandas(run, out_schema)

@@ -122,6 +122,33 @@ _REGRADE_BEFORE_ROUND = {
 _STALE_AFTER_ROUNDS = 2
 
 
+# Never-graded slugs registered AFTER the current round's 50-slot
+# window already filled: {slug: registration_round}. While the newest
+# correctness file on disk predates the registration round (i.e. the
+# registration round is still in flight), the slug sorts at an
+# artificial vintage AFTER every real regrade in the fresh block —
+# it waits at the back instead of jumping ahead of regrades the
+# round's plan promised (never-graded normally lead the window). The
+# moment the registration round's own CORRECTNESS file lands, the
+# marker expires and the slug becomes an ordinary never-graded lead
+# for the next round. Round 6 filled its window exactly (43
+# never-graded + the 7 r1-vintage regrades), so slugs registered
+# after that freeze carry marker 6: deferred while max_round < 6,
+# front of the window from round 7 on.
+_DEFER_NEW_UNTIL_ROUND: dict[str, int] = {"mm-audio-features": 6}
+
+
+def _deferred_vintage(max_round: int) -> dict[str, int]:
+    """Artificial vintages for still-deferred never-graded slugs: one
+    past the newest graded round, so they trail every real regrade and
+    stale green but still precede the current-green tail."""
+    return {
+        slug: max_round + 1
+        for slug, rnd in _DEFER_NEW_UNTIL_ROUND.items()
+        if max_round < rnd
+    }
+
+
 def _driver_rows(root: str | None = None) -> tuple[dict[str, tuple[int, bool]], int]:
     """Latest driver correctness row per slug: ``{slug: (round, ok)}``
     plus the newest round number seen on disk.
@@ -259,6 +286,9 @@ _EST_COST = {
     "win-moving-avg-range": 15.0, "ts-gapfill-locf": 15.1,
     "agg-unpivot-melt": 15.2, "dq-profile": 15.3,
     "pipeline-snapshot-diff": 15.4, "audit-row-hash": 15.5,
+    # registered after the round-6 freeze — deferred to round 7 via
+    # _DEFER_NEW_UNTIL_ROUND, so cost only orders them among themselves
+    "mm-audio-features": 16.0,
 }
 
 
@@ -272,10 +302,15 @@ def _prioritized(keys):
     latest, max_round = _driver_rows()
     green = _green_set(latest, max_round)
     order = {k: i for i, k in enumerate(keys)}
+    deferred = _deferred_vintage(max_round)
 
     def vintage(k):
         rnd, ok = latest.get(k, (0, False))
         if not ok or rnd < _REGRADE_BEFORE_ROUND.get(k, 0):
+            if k not in latest and k in deferred:
+                # registered after this round's window filled: wait
+                # behind the promised regrades until next round
+                return deferred[k]
             # failed, never-graded, or semantically-changed: their old
             # rows are meaningless, so they must lead the window, not
             # trail the merely-old stale greens

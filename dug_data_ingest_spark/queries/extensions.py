@@ -27,9 +27,11 @@ from dug_data_ingest_spark.ext.dedup import (
 from dug_data_ingest_spark.functions.vectors import as_double, cosine
 from dug_data_ingest_spark.ext.multimodal import (
     as_media,
+    extract_audio_features,
     extract_features,
     frame_sample,
     resize,
+    synth_audio_media,
     synth_image_media,
 )
 from dug_data_ingest_spark.ext.similarity import (
@@ -941,6 +943,58 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         F.col("feature").getItem(0).cast("bigint").alias("px_sum"),
+    )
+
+
+@query(
+    "mm-audio-features",
+    # Replays, in closed form, what Spark computes by ENCODING real
+    # RIFF/WAVE PCM16 bytes and PARSING them back (ext/multimodal.py:
+    # encode_wav/decode_wav/audio_stats): sample i of clip d is
+    # ((31*d + 17*i) mod 201) - 100, length 1600 + (d mod 5)*80 at
+    # 8 kHz. duration/zero-crossings/peak are integer-exact; rms is
+    # sqrt of a rational both engines evaluate to the identical IEEE
+    # double. If the WAV encoder, the chunk-walking parser, or the
+    # feature pass were wrong, the replay would not match.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 1600 + (doc_id % 5) * 80 AS n FROM documents
+    ),
+    idx AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM dims),
+    smp AS (
+      SELECT doc_id, n, i, ((31 * doc_id + 17 * i) % 201) - 100 AS s FROM idx
+    ),
+    lagd AS (SELECT *, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+             FROM smp)
+    SELECT doc_id AS media_id, 8000 AS sample_rate,
+           CAST(MAX(n) AS INT) AS n_samples,
+           CAST(MAX(n) / 8.0 AS DOUBLE) AS duration_ms,
+           CAST(ROUND(SQRT(SUM(CAST(s AS DOUBLE) * s) / MAX(n)), 4) AS DOUBLE)
+             AS rms,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev >= 0) <> (s >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM lagd GROUP BY doc_id
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio completes the multimodal triad (images: mm-decode-features
+    / mm-resize; video-shaped: mm-frame-sample): real WAV payloads are
+    synthesized per doc, decoded by the stdlib RIFF chunk walker, and
+    reduced to per-clip features — duration, RMS energy, zero-crossing
+    rate's numerator, peak amplitude — in one Arrow-batched pass. The
+    100-TB shape is identical to the image path: payloads never
+    shuffle; the only movement is the scan and the per-batch decode."""
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_audio_features(synth_audio_media(docs))
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.col("feature").getItem(0).alias("duration_ms"),
+        F.col("feature").getItem(1).alias("rms"),
+        F.col("feature").getItem(2).cast("bigint").alias("zero_crossings"),
+        F.col("feature").getItem(3).cast("int").alias("peak"),
     )
 
 

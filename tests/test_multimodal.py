@@ -241,3 +241,73 @@ def test_codecs_reject_zero_dimensions():
         encode_bmp(4, 0, b"")
     with pytest.raises(ValueError, match="dimensions"):
         decode_ppm(b"P6\n0 3\n255\n")
+
+
+# ---------------------------------------------------------------------------
+# Audio (RIFF/WAVE PCM16) codec
+# ---------------------------------------------------------------------------
+
+
+def test_wav_round_trip():
+    from dug_data_ingest_spark.ext.multimodal import decode_wav, encode_wav
+
+    samples = [0, 100, -100, 32767, -32768, 1, -1]
+    sr, n, back = decode_wav(encode_wav(44100, samples))
+    assert (sr, n, back) == (44100, len(samples), samples)
+
+
+def test_wav_chunk_walker_skips_foreign_chunks():
+    # external writers insert LIST/INFO chunks between fmt and data;
+    # the parser must walk past them (word-aligned) and still find both
+    import struct
+
+    from dug_data_ingest_spark.ext.multimodal import decode_wav, encode_wav
+
+    wav = encode_wav(8000, [5, -5, 7])
+    fmt_chunk = wav[12:36]
+    data_chunk = wav[36:]
+    foreign = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"  # odd size, padded
+    doctored = wav[:12] + fmt_chunk + foreign + data_chunk
+    sr, n, back = decode_wav(doctored)
+    assert (sr, n, back) == (8000, 3, [5, -5, 7])
+
+
+def test_wav_rejects_malformed():
+    import pytest as _pytest
+
+    from dug_data_ingest_spark.ext.multimodal import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"NOTAWAV")
+    wav = encode_wav(8000, [1, 2, 3])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:-2])
+    # stereo / non-PCM rejected
+    import struct
+
+    stereo_fmt = wav[:12] + b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16
+    ) + wav[36:]
+    with _pytest.raises(ValueError, match="PCM16 mono"):
+        decode_wav(stereo_fmt)
+
+
+def test_audio_stats_replays_synth_formula():
+    from dug_data_ingest_spark.ext.multimodal import (
+        AUDIO_SAMPLE_RATE,
+        audio_stats,
+        encode_wav,
+        synth_audio_samples,
+    )
+
+    for d in (0, 3, 7, 11):
+        s = synth_audio_samples(d)
+        sr, n, feats = audio_stats(encode_wav(AUDIO_SAMPLE_RATE, s))
+        assert (sr, n) == (8000, 1600 + (d % 5) * 80)
+        dur, rms, zc, peak = feats
+        assert dur == n / 8.0
+        assert rms == round((sum(x * x for x in s) / n) ** 0.5, 4)
+        assert zc == sum(
+            1 for i in range(1, n) if (s[i - 1] >= 0) != (s[i] >= 0)
+        )
+        assert peak == max(abs(x) for x in s)

@@ -610,3 +610,15 @@ def test_audit_hash_is_single_scan_single_shuffle(queries, spark):
     assert "md5(" in plan, plan
     assert plan.count("FileScan") == 1, plan
     assert _shuffles(plan) == 1, plan
+
+
+def test_audio_features_is_arrow_staged_single_scan(queries, spark):
+    # Audio decode rides the same Arrow-batched mapInPandas shape as
+    # the image path: one scan of the id source, python only at the
+    # two staged boundaries (synth fixture + decode), no shuffle of
+    # payloads and no row-at-a-time BatchEvalPython.
+    plan = _plan(queries["mm-audio-features"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert _shuffles(plan) == 0, plan

@@ -69,3 +69,22 @@ def test_window_ordering_rules(tmp_path, monkeypatch):
     assert set(order[:3]) == {"f", "g", "n"}
     assert order[3] == "s"
     assert order[4:] == ["b", "a"]
+
+
+def test_deferred_new_slugs_wait_behind_regrades_then_lead(tmp_path, monkeypatch):
+    # window already planned: never-graded n leads, stale s regrades
+    # next. A slug d registered AFTER the round-6 freeze (marker 6)
+    # must trail BOTH while round 6 is in flight (max_round 5), and
+    # lead like any never-graded slug once CORRECTNESS_r06 lands.
+    _write(tmp_path, 1, {"s": GOOD})
+    _write(tmp_path, 5, {"a": GOOD})
+    monkeypatch.setattr(Q, "_DEFER_NEW_UNTIL_ROUND", {"d": 6})
+    real = Q._driver_rows
+    monkeypatch.setattr(Q, "_driver_rows", lambda root=None: real(root=str(tmp_path)))
+
+    order = Q._prioritized(["a", "d", "n", "s"])
+    assert order == ["n", "s", "d", "a"]  # d after the promised regrade
+
+    _write(tmp_path, 6, {"s": GOOD, "n": GOOD})  # round 6 graded
+    order = Q._prioritized(["a", "d", "n", "s"])
+    assert order[0] == "d"  # marker expired: ordinary never-graded lead
