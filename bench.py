@@ -134,6 +134,10 @@ HEADLINE = [
     "pipeline-snapshot-diff",
     "audit-row-hash",
     "mm-audio-features",
+    "olap-waiting-suppliers",
+    "events-path-transitions",
+    "pipeline-dq-expectations",
+    "text-lm-score",
 ]
 
 

@@ -135,7 +135,13 @@ _STALE_AFTER_ROUNDS = 2
 # never-graded + the 7 r1-vintage regrades), so slugs registered
 # after that freeze carry marker 6: deferred while max_round < 6,
 # front of the window from round 7 on.
-_DEFER_NEW_UNTIL_ROUND: dict[str, int] = {"mm-audio-features": 6}
+_DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
+    "mm-audio-features": 6,
+    "olap-waiting-suppliers": 6,
+    "events-path-transitions": 6,
+    "pipeline-dq-expectations": 6,
+    "text-lm-score": 6,
+}
 
 
 def _deferred_vintage(max_round: int) -> dict[str, int]:
@@ -288,7 +294,9 @@ _EST_COST = {
     "pipeline-snapshot-diff": 15.4, "audit-row-hash": 15.5,
     # registered after the round-6 freeze — deferred to round 7 via
     # _DEFER_NEW_UNTIL_ROUND, so cost only orders them among themselves
-    "mm-audio-features": 16.0,
+    "mm-audio-features": 16.0, "olap-waiting-suppliers": 16.1,
+    "events-path-transitions": 16.2, "pipeline-dq-expectations": 16.3,
+    "text-lm-score": 16.4,
 }
 
 

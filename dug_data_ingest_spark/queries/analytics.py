@@ -2484,3 +2484,103 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_value_locf"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: "waiting suppliers" — the supplier who was the ONLY
+# late shipper in a multi-supplier finished order. The textbook SQL is
+# a triple self-correlation (EXISTS another supplier's line, NOT
+# EXISTS another LATE supplier's line) that a naive planner answers
+# with two extra fact self-joins; the aggregate-first rework below
+# answers all three correlations from ONE per-order aggregate of the
+# same joined lines (distinct suppliers, distinct late suppliers,
+# the unique late supplier), so the fact shuffles once on l_orderkey
+# and the self-joins vanish. Reference: adapted to the reduced schema
+# (late = shipped > 90 days after order date, as olap-late-shipments).
+# ---------------------------------------------------------------------------
+
+_WAITING_SUPPLIERS_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT l_suppkey) FILTER (late) AS n_late_supp,
+         MIN(l_suppkey) FILTER (late) AS the_late_supp
+  FROM lines GROUP BY l_orderkey)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON the_late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+@query("olap-waiting-suppliers", oracle=_WAITING_SUPPLIERS_ORACLE)
+def olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    lines = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select("l_orderkey", "l_suppkey", late.alias("late"))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("the_late_supp"),
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supplier), F.col("the_late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event path transitions: the per-user first-order Markov matrix —
+# counts of consecutive (prev_type → next_type) steps in each user's
+# timeline, the input for funnel discovery / next-action models. ONE
+# user-keyed window (lag) and ONE tiny groupBy over |types|² keys;
+# the lag ordering tie-breaks on event_id so simultaneous events
+# produce the identical chain in both engines.
+# ---------------------------------------------------------------------------
+
+_PATH_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_steps
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@query("events-path-transitions", oracle=_PATH_TRANSITIONS_ORACLE)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_steps"))
+    )

@@ -673,3 +673,60 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk"),
         F.length(chunk).cast("int").alias("chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM fluency score: train a bigram language model ON the corpus
+# (P(w2|w1) = bigram count / prefix count) and score every document by
+# its mean log-probability — the classic statistical-fluency gate
+# (gibberish and boilerplate score far from the corpus mode). Two
+# passes over the exploded bigrams: one to build the LM rollup
+# (vocab²-bounded, broadcast back), one to score; the fact explodes
+# once per pass and never self-joins. At 100 TB the LM rollup is
+# df-capped to its frequency head before broadcasting (the same cap
+# pattern as dedup-ngram-jaccard's hot-shingle list).
+# ---------------------------------------------------------------------------
+
+_LM_SCORE_ORACLE = f"""
+WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+bi AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                ELSE []::VARCHAR[] END) AS bigram
+  FROM words),
+lm AS (
+  SELECT bigram, string_split(bigram, ' ')[1] AS prefix, COUNT(*) AS n_big
+  FROM bi GROUP BY bigram),
+pre AS (SELECT prefix, SUM(n_big) AS n_prefix FROM lm GROUP BY prefix),
+scored AS (
+  SELECT b.doc_id,
+         ln(CAST(lm.n_big AS DOUBLE) / pre.n_prefix) AS logp
+  FROM bi b JOIN lm USING (bigram) JOIN pre USING (prefix))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(logp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text-lm-score", oracle=_LM_SCORE_ORACLE)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            shingles_of(normalized_words(F.col("text")), k=2)
+        ).alias("bigram"),
+    )
+    lm = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_big"))
+    lm = lm.withColumn("prefix", F.split("bigram", " ").getItem(0))
+    pre = lm.groupBy("prefix").agg(F.sum("n_big").alias("n_prefix"))
+    table = lm.join(F.broadcast(pre), "prefix").select(
+        "bigram", (F.col("n_big").cast("double") / F.col("n_prefix")).alias("p")
+    )
+    scored = bi.join(F.broadcast(table), "bigram").select(
+        "doc_id", F.log("p").alias("logp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )

@@ -430,3 +430,78 @@ def fingerprint_orders(orders: DataFrame) -> DataFrame:
 @query("audit-row-hash", oracle=_AUDIT_HASH_ORACLE)
 def audit_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_orders(load(spark, sf_dir, "orders"))
+
+
+# dq-expectations: the promote/quarantine gate an ingest job runs as a
+# RULE TABLE — uniqueness, format, range, and domain expectations —
+# evaluated as conditional aggregates in ONE pass over the load (no
+# per-rule rescans; the per-rule reshape is a struct explode of the
+# 1-row wide result, as dq-profile). The acctbal bound is set tight
+# enough that real rows fail it, so the gate's failure path is
+# value-verified, not just its all-green path.
+
+_DQ_EXPECTATIONS_ORACLE = """
+SELECT 'custkey_unique' AS rule, COUNT(*) AS n_checked,
+       COUNT(*) - COUNT(DISTINCT c_custkey) AS n_failed,
+       (COUNT(*) - COUNT(DISTINCT c_custkey)) = 0 AS passed
+FROM customer
+UNION ALL
+SELECT 'name_format', COUNT(*),
+       COUNT(*) FILTER (c_name IS NULL
+                        OR NOT regexp_matches(c_name, '^Customer#[0-9]+$')),
+       COUNT(*) FILTER (c_name IS NULL
+                        OR NOT regexp_matches(c_name, '^Customer#[0-9]+$')) = 0
+FROM customer
+UNION ALL
+SELECT 'acctbal_range', COUNT(*),
+       COUNT(*) FILTER (c_acctbal IS NULL OR c_acctbal < -1000
+                        OR c_acctbal > 8000),
+       COUNT(*) FILTER (c_acctbal IS NULL OR c_acctbal < -1000
+                        OR c_acctbal > 8000) = 0
+FROM customer
+UNION ALL
+SELECT 'nationkey_domain', COUNT(*),
+       COUNT(*) FILTER (c_nationkey IS NULL OR c_nationkey < 0
+                        OR c_nationkey > 24),
+       COUNT(*) FILTER (c_nationkey IS NULL OR c_nationkey < 0
+                        OR c_nationkey > 24) = 0
+FROM customer
+"""
+
+
+@query("pipeline-dq-expectations", oracle=_DQ_EXPECTATIONS_ORACLE)
+def pipeline_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    fails = {
+        "name_format": F.col("c_name").isNull()
+        | ~F.col("c_name").rlike("^Customer#[0-9]+$"),
+        "acctbal_range": F.col("c_acctbal").isNull()
+        | (F.col("c_acctbal") < -1000)
+        | (F.col("c_acctbal") > 8000),
+        "nationkey_domain": F.col("c_nationkey").isNull()
+        | (F.col("c_nationkey") < 0)
+        | (F.col("c_nationkey") > 24),
+    }
+    aggs = [
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias(
+            "custkey_unique__failed"
+        ),
+    ] + [
+        F.count(F.when(cond, 1)).alias(f"{rule}__failed")
+        for rule, cond in fails.items()
+    ]
+    wide = cust.agg(*aggs)
+    rules = ["custkey_unique", *fails]
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rule"),
+                F.col("n_checked").alias("n_checked"),
+                F.col(f"{r}__failed").alias("n_failed"),
+                (F.col(f"{r}__failed") == 0).alias("passed"),
+            )
+            for r in rules
+        ]
+    )
+    return wide.select(F.explode(per_rule).alias("x")).select("x.*")

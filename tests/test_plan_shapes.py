@@ -622,3 +622,34 @@ def test_audio_features_is_arrow_staged_single_scan(queries, spark):
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert _shuffles(plan) == 0, plan
+
+
+def test_waiting_suppliers_has_no_self_join(queries, spark):
+    # Q21's EXISTS/NOT-EXISTS self-correlations are answered by ONE
+    # per-order aggregate: lineitem is scanned exactly once and the
+    # only joins are lineitem⋈orders + the broadcast supplier lookup.
+    plan = _plan(queries["olap-waiting-suppliers"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_path_transitions_is_window_plus_tiny_agg(queries, spark):
+    # one user-keyed lag window + one |types|^2 groupBy — two shuffles
+    plan = _plan(queries["events-path-transitions"](spark, SF_DIR))
+    assert "lag(" in plan, plan
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_dq_expectations_is_one_pass_no_union(queries, spark):
+    plan = _plan(queries["pipeline-dq-expectations"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_lm_score_broadcasts_the_model(queries, spark):
+    # the vocab^2-bounded LM rollup comes back as broadcasts; the
+    # bigram stream itself is never sort-merge-joined
+    plan = _plan(queries["text-lm-score"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
