@@ -138,6 +138,8 @@ HEADLINE = [
     "events-path-transitions",
     "pipeline-dq-expectations",
     "text-lm-score",
+    "ts-resample-ohlc",
+    "text-keyword-tfidf",
 ]
 
 

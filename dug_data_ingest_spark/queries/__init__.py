@@ -141,6 +141,8 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     "events-path-transitions": 6,
     "pipeline-dq-expectations": 6,
     "text-lm-score": 6,
+    "ts-resample-ohlc": 6,
+    "text-keyword-tfidf": 6,
 }
 
 
@@ -296,7 +298,8 @@ _EST_COST = {
     # _DEFER_NEW_UNTIL_ROUND, so cost only orders them among themselves
     "mm-audio-features": 16.0, "olap-waiting-suppliers": 16.1,
     "events-path-transitions": 16.2, "pipeline-dq-expectations": 16.3,
-    "text-lm-score": 16.4,
+    "text-lm-score": 16.4, "ts-resample-ohlc": 16.5,
+    "text-keyword-tfidf": 16.6,
 }
 
 

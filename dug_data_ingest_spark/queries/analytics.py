@@ -2584,3 +2584,45 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_steps"))
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC time-bar resample: 15-minute open/high/low/close bars per event
+# type — the canonical timeseries downsample (metrics rollups, market
+# bars). open/close are argmin/argmax AGGREGATES over a scalar
+# (epoch·10⁷ + event_id) order key — no rank window, no self-join, so
+# the whole resample is ONE map-side-combined groupBy over
+# |types|·|buckets| keys at any fact size. The composite key fits a
+# bigint while event_id < 10⁷ (testdata ids are ≪ that; a production
+# run would widen to a decimal key).
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+SELECT event_type,
+       CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_start,
+       ROUND(arg_min(value, CAST(epoch(ts) AS BIGINT) * 10000000 + event_id),
+             2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(arg_max(value, CAST(epoch(ts) AS BIGINT) * 10000000 + event_id),
+             2) AS close,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type, bucket_start
+"""
+
+
+@query("ts-resample-ohlc", oracle=_OHLC_ORACLE)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    ordkey = epoch * 10_000_000 + F.col("event_id")
+    return events.groupBy(
+        "event_type",
+        (F.floor(epoch / 900) * 900).cast("bigint").alias("bucket_start"),
+    ).agg(
+        F.round(F.min_by("value", ordkey), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", ordkey), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -730,3 +730,63 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction: each doc's top-3 TF-IDF terms — the
+# metadata-enrichment pass (search facets, topic tags) a corpus
+# pipeline runs after text-idf builds the weighting table. tf rides
+# the (doc, token) rollup; the df table is vocabulary-sized so it
+# broadcasts back onto it; the rank window partitions by doc_id.
+# Ties break (tfidf DESC, token ASC) identically in both engines, and
+# tfidf compares EXACTLY (tf · ln(N/df) of integer inputs → the same
+# IEEE double) so the top-3 SET is engine-stable.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text-keyword-tfidf",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM words
+      WHERE token IS NOT NULL AND token != '' GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS n_docs FROM tf GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * ln((SELECT COUNT(*) FROM documents) / df.n_docs)
+               AS tfidf
+      FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, ROUND(tfidf, 4) AS tfidf,
+           CAST(rn AS INT) AS kw_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("n_total"))
+    tokens = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(F.broadcast(df_counts), "token").crossJoin(
+        F.broadcast(total)
+    ).select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log(F.col("n_total") / F.col("n_docs"))).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("kw_rank") <= 3)
+        .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"), "kw_rank")
+    )

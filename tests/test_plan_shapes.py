@@ -653,3 +653,18 @@ def test_lm_score_broadcasts_the_model(queries, spark):
     plan = _plan(queries["text-lm-score"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ohlc_is_single_groupby_no_window(queries, spark):
+    # argmin/argmax as aggregates: the whole resample is one
+    # map-side-combined groupBy — no rank window anywhere
+    plan = _plan(queries["ts-resample-ohlc"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert _shuffles(plan) == 1, plan
+    assert "partial_min_by" in plan or "partial_min" in plan, plan
+
+
+def test_keyword_tfidf_broadcasts_df_table(queries, spark):
+    plan = _plan(queries["text-keyword-tfidf"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
