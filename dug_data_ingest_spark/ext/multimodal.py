@@ -244,18 +244,19 @@ def synth_image_payload(media_id: int) -> tuple[bytes, str]:
     return encode_bmp(width, height, pixels), "image/bmp"
 
 
-def synth_image_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _synth_media(ids: DataFrame, id_col: str, payload_fn) -> DataFrame:
     """Arrow-batched fixture stage: id column → MEDIA_SCHEMA frame of
-    real PPM/BMP payloads. Python is fine here — this is test-fixture
-    generation; production media arrives as binary columns and goes
-    straight into the decode stages below."""
+    real payloads built by ``payload_fn(mid) -> (bytes, media_type)``.
+    Python is fine here — this is test-fixture generation; production
+    media arrives as binary columns and goes straight into the decode
+    stages."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {k.name: [] for k in MEDIA_SCHEMA.fields}
             for mid in batch[id_col]:
                 mid = int(mid)
-                payload, mtype = synth_image_payload(mid)
+                payload, mtype = payload_fn(mid)
                 out["media_id"].append(mid)
                 out["payload"].append(payload)
                 out["media_type"].append(mtype)
@@ -266,6 +267,10 @@ def synth_image_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_image_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return _synth_media(ids, id_col, synth_image_payload)
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +292,8 @@ def as_media(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> D
 
 
 def extract_features(media: DataFrame, decoder=image_stats,
-                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
+                     keep_cols: tuple[str, ...] = (),
+                     feature_schema: T.StructType = FEATURE_SCHEMA) -> DataFrame:
     """Arrow-batched decode/feature-extract stage. Batch shape: each
     pandas batch holds whole payloads (bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch); partitioning is
@@ -303,7 +309,7 @@ def extract_features(media: DataFrame, decoder=image_stats,
     failing the task — one malformed blob must not abort a 100 TB job
     (same posture as parse_data_tables, SURVEY §7 principles)."""
     out_schema = T.StructType(
-        list(FEATURE_SCHEMA.fields)
+        list(feature_schema.fields)
         + [media.schema[c] for c in keep_cols]
     )
 
@@ -501,40 +507,23 @@ def synth_audio_samples(media_id: int) -> list[int]:
 
 
 def synth_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched fixture stage: id column → MEDIA_SCHEMA frame of
-    real WAV payloads (same posture as synth_image_media)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            out = {k.name: [] for k in MEDIA_SCHEMA.fields}
-            for mid in batch[id_col]:
-                mid = int(mid)
-                payload = encode_wav(AUDIO_SAMPLE_RATE, synth_audio_samples(mid))
-                out["media_id"].append(mid)
-                out["payload"].append(payload)
-                out["media_type"].append("audio/wav")
-                out["n_bytes"].append(len(payload))
-                out["checksum"].append(hashlib.md5(payload).hexdigest())
-            yield pd.DataFrame(
-                {k: pd.Series(v, dtype="object") for k, v in out.items()}
-            )
-
-    return ids.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
+    return _synth_media(
+        ids,
+        id_col,
+        lambda mid: (
+            encode_wav(AUDIO_SAMPLE_RATE, synth_audio_samples(mid)),
+            "audio/wav",
+        ),
+    )
 
 
 def extract_audio_features(media: DataFrame,
                            keep_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Arrow-batched audio decode/feature stage — the audio twin of
-    extract_features, sharing its batch walker and quarantine
-    posture (CODEC_ERRORS only; malformed clips drop, bugs raise)."""
-    out_schema = T.StructType(
-        list(AUDIO_FEATURE_SCHEMA.fields)
-        + [media.schema[c] for c in keep_cols]
+    """Audio decode/feature stage: extract_features with the audio
+    decoder and schema — one batch walker, one quarantine posture."""
+    return extract_features(
+        media,
+        decoder=audio_stats,
+        keep_cols=keep_cols,
+        feature_schema=AUDIO_FEATURE_SCHEMA,
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            yield _feature_batch(batch, audio_stats, keep_cols, out_schema)
-
-    cols = ["media_id", "payload", *keep_cols]
-    return media.select(*cols).mapInPandas(run, out_schema)

@@ -2594,17 +2594,23 @@ def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the whole resample is ONE map-side-combined groupBy over
 # |types|·|buckets| keys at any fact size. The composite key fits a
 # bigint while event_id < 10⁷ (testdata ids are ≪ that; a production
-# run would widen to a decimal key).
+# run would widen to a decimal key). Both engines TRUNCATE the epoch
+# to whole seconds (Spark's unix_timestamp truncates; the oracle
+# FLOORs before casting — a bare CAST would ROUND and order
+# same-second-after-rounding pairs differently), so sub-second order
+# resolves identically: by event_id.
 # ---------------------------------------------------------------------------
 
 _OHLC_ORACLE = """
 SELECT event_type,
        CAST(FLOOR(epoch(ts) / 900) * 900 AS BIGINT) AS bucket_start,
-       ROUND(arg_min(value, CAST(epoch(ts) AS BIGINT) * 10000000 + event_id),
+       ROUND(arg_min(value,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) * 10000000 + event_id),
              2) AS open,
        ROUND(MAX(value), 2) AS high,
        ROUND(MIN(value), 2) AS low,
-       ROUND(arg_max(value, CAST(epoch(ts) AS BIGINT) * 10000000 + event_id),
+       ROUND(arg_max(value,
+                     CAST(FLOOR(epoch(ts)) AS BIGINT) * 10000000 + event_id),
              2) AS close,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type, bucket_start

@@ -682,9 +682,12 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (gibberish and boilerplate score far from the corpus mode). Two
 # passes over the exploded bigrams: one to build the LM rollup
 # (vocab²-bounded, broadcast back), one to score; the fact explodes
-# once per pass and never self-joins. At 100 TB the LM rollup is
-# df-capped to its frequency head before broadcasting (the same cap
-# pattern as dedup-ngram-jaccard's hot-shingle list).
+# once per pass and never self-joins. Here the FULL LM table is
+# broadcast (distinct-bigram-bounded, fine at these corpus sizes); a
+# 100 TB run would first frequency-floor it to its head — the
+# dedup-ngram-jaccard cap pattern — which is a semantic choice (rare
+# bigrams would score as unseen) and so is left to the caller, not
+# silently applied.
 # ---------------------------------------------------------------------------
 
 _LM_SCORE_ORACLE = f"""
@@ -711,11 +714,13 @@ FROM scored GROUP BY doc_id
 @query("text-lm-score", oracle=_LM_SCORE_ORACLE)
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    bi = docs.select(
-        "doc_id",
-        F.explode(
-            shingles_of(normalized_words(F.col("text")), k=2)
-        ).alias("bigram"),
+    # project the word array FIRST: shingles_of's lambda references
+    # its input once per element, so an inline normalized_words(...)
+    # would re-run the regex normalization O(n_words) times per row
+    # (see functions/text.py:shingles_of)
+    words = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
+    bi = words.select(
+        "doc_id", F.explode(shingles_of(F.col("w"), k=2)).alias("bigram")
     )
     lm = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_big"))
     lm = lm.withColumn("prefix", F.split("bigram", " ").getItem(0))
@@ -768,8 +773,6 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load(spark, sf_dir, "documents")
     total = docs.agg(F.count("*").alias("n_total"))
     tokens = docs.select(
@@ -784,7 +787,7 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         (F.col("tf") * F.log(F.col("n_total") / F.col("n_docs"))).alias("tfidf"),
     )
-    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
         scored.withColumn("kw_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("kw_rank") <= 3)

@@ -472,3 +472,43 @@ def test_audit_fingerprint_catches_swap_corruption(spark):
     )
     # ... but the chunk sum moves, so the fingerprint differs
     assert base[b].sum_hash60 != bad[b].sum_hash60
+
+
+def test_ohlc_order_key_truncates_subseconds(spark, duck):
+    """Both engines must TRUNCATE the epoch in the OHLC order key: a
+    bare CAST in DuckDB ROUNDS, so events 0.6s apart with inverted
+    event_ids would pick different open/close rows. Pinned with
+    adversarial (non-monotone-in-ts) ids the generated testdata
+    happens never to produce."""
+    import datetime as dt
+
+    rows = [
+        # same 15-min bucket; B is later in time but has a LOWER id,
+        # and A's fraction (.6) rounds UP across the second boundary
+        (7, dt.datetime(2024, 1, 1, 0, 0, 0, 600000), "click", 10.0),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 1, 200000), "click", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    epoch = F.unix_timestamp("ts")
+    ordkey = epoch * 10_000_000 + F.col("event_id")
+    got = df.groupBy("event_type").agg(
+        F.min_by("value", ordkey).alias("open"),
+        F.max_by("value", ordkey).alias("close"),
+    ).collect()[0]
+    # truncation: A is second 0, B is second 1 -> A opens, B closes
+    assert (got.open, got.close) == (10.0, 20.0)
+    want = duck.sql(
+        """
+        WITH e(event_id, ts, value) AS (VALUES
+          (7, TIMESTAMP '2024-01-01 00:00:00.6', 10.0),
+          (3, TIMESTAMP '2024-01-01 00:00:01.2', 20.0))
+        SELECT arg_min(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 10000000
+                              + event_id) AS open,
+               arg_max(value, CAST(FLOOR(epoch(ts)) AS BIGINT) * 10000000
+                              + event_id) AS close
+        FROM e
+        """
+    ).fetchone()
+    assert want == (10.0, 20.0)
