@@ -126,7 +126,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flagged AS (
       SELECT *, CASE WHEN prev_ts IS NULL
-                       OR epoch(ts) - epoch(prev_ts) > 14400
+                       OR date_diff('second', prev_ts, ts) > 14400
                        OR prev_type = 'purchase'
                      THEN 1 ELSE 0 END AS brk
       FROM ordered

@@ -63,6 +63,10 @@ def marker_sessions(
     prev_type = F.lag("event_type").over(w)
     is_break = (
         prev_ts.isNull()
+        # gap semantics: SECOND-BOUNDARY CROSSINGS (each operand
+        # truncates to whole seconds), matching the oracle's
+        # date_diff('second', ...) — not the fractional difference,
+        # which would break one boundary-second earlier
         | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_s)
         | (prev_type == terminal)
     )
