@@ -515,7 +515,7 @@ def synth_audio_samples(media_id: int) -> list[int]:
 
     n = 1600 + (media_id % 5) * 80
     s = (31 * media_id + 17 * np.arange(n, dtype=np.int64)) % 201 - 100
-    return [int(x) for x in s]
+    return s.tolist()
 
 
 def synth_audio_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:

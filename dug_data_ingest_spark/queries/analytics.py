@@ -2534,11 +2534,13 @@ def olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, F.col("l_orderkey") == F.col("o_orderkey")
     ).select("l_orderkey", "l_suppkey", late.alias("late"))
     # Two plain keyed aggregates instead of two countDistincts: the
-    # distinct rewrite would Expand every joined row 2x before the
+    # distinct rewrite would Expand every joined row 2x before its
     # shuffle; rolling up to (order, supplier) grain first moves the
-    # same information in one un-expanded pass, and the second agg
-    # runs on the already-partitioned (orderkey is a prefix of the
-    # first agg's key) supplier-grain rollup.
+    # same information un-expanded. The second groupBy(orderkey) does
+    # re-shuffle (hashpartitioning on (orderkey, suppkey) does NOT
+    # satisfy a grouping on orderkey alone), but it shuffles the
+    # supplier-grain rollup, not the fact — the win is the dropped
+    # Expand plus the smaller second exchange.
     per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("supp_late")
     )

@@ -133,7 +133,14 @@ def marker_sessions_stream(
 
         for row in rows.itertuples(index=False):
             ts_us = int(row.ts.value // 1000)  # pandas ns → µs
-            if start_us is not None and ts_us - last_us > gap_us:
+            # gap semantics: SECOND-BOUNDARY CROSSINGS, matching the
+            # batch twin's unix_timestamp difference and the oracle's
+            # date_diff('second', ...) — a µs-exact comparison would
+            # close sessions one boundary-second earlier than both
+            if (
+                start_us is not None
+                and ts_us // 1_000_000 - last_us // 1_000_000 > gap_us // 1_000_000
+            ):
                 close()
                 start_us = None
             if start_us is None:

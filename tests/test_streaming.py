@@ -231,3 +231,30 @@ def test_stream_stream_left_outer_withholds_open_windows(spark):
     cutoff = max_ts - datetime.timedelta(hours=1, minutes=30)
     closed = {t for t in want if t[2] <= cutoff}
     assert closed <= got and len(closed) > 0
+
+
+def test_marker_sessionize_gap_boundary_is_truncated_seconds(spark):
+    """All three implementations (batch twin, streaming state walker,
+    DuckDB oracle) count the session gap in SECOND-BOUNDARY CROSSINGS:
+    a fractional gap of 14400.8s whose truncated difference is exactly
+    14400 must NOT split the session in any of them — a µs-exact
+    comparison would. Constructed because the generated testdata never
+    lands a gap inside (14400, 14401)."""
+    import datetime as dt
+
+    from dug_data_ingest_spark.streaming.sessionize import marker_sessions
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0, 100000), 9, "click", 1.0),
+        # exact gap 14400.8 s; floor(ts2) - floor(ts1) = 14400 (not >)
+        (2, dt.datetime(2024, 1, 1, 4, 0, 0, 900000), 9, "view", 1.0),
+        # and one clearly-beyond gap that MUST split
+        (3, dt.datetime(2024, 1, 1, 9, 0, 0, 0), 9, "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = sorted(
+        (r.session_start, r.n_events) for r in marker_sessions(ev).collect()
+    )
+    assert got == [("2024-01-01 00:00:00", 2), ("2024-01-01 09:00:00", 1)]
