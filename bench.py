@@ -140,6 +140,9 @@ HEADLINE = [
     "text-lm-score",
     "ts-resample-ohlc",
     "text-keyword-tfidf",
+    "pipeline-upsert-latest",
+    "graph-triangle-count",
+    "win-cume-distinct",
 ]
 
 

@@ -143,6 +143,9 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     "text-lm-score": 6,
     "ts-resample-ohlc": 6,
     "text-keyword-tfidf": 6,
+    "pipeline-upsert-latest": 6,
+    "graph-triangle-count": 6,
+    "win-cume-distinct": 6,
 }
 
 
@@ -299,7 +302,8 @@ _EST_COST = {
     "mm-audio-features": 16.0, "olap-waiting-suppliers": 16.1,
     "events-path-transitions": 16.2, "pipeline-dq-expectations": 16.3,
     "text-lm-score": 16.4, "ts-resample-ohlc": 16.5,
-    "text-keyword-tfidf": 16.6,
+    "text-keyword-tfidf": 16.6, "pipeline-upsert-latest": 16.7,
+    "graph-triangle-count": 16.8, "win-cume-distinct": 16.9,
 }
 
 

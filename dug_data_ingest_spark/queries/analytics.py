@@ -2643,3 +2643,50 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", ordkey), 2).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct count: per user-day, how many DISTINCT event
+# types the user has touched so far — the running-engagement-breadth
+# series (neither engine has COUNT(DISTINCT) OVER). The classic exact
+# rewrite: a type's FIRST day per user (one keyed agg) marks where the
+# running count increments; daily new-type counts then running-sum
+# over a per-user ordered window. Two rollup-sized shuffles; the fact
+# is scanned once and never windows at event grain.
+# ---------------------------------------------------------------------------
+
+_CUME_DISTINCT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id, event_type),
+daily AS (
+  SELECT user_id, first_day AS day, COUNT(*) AS n_new_types
+  FROM firsts GROUP BY user_id, first_day)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_new_types,
+       CAST(SUM(n_new_types) OVER (PARTITION BY user_id ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_types_cum
+FROM daily
+"""
+
+
+@query("win-cume-distinct", oracle=_CUME_DISTINCT_ORACLE)
+def win_cume_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "user_id", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new_types"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new_types",
+        F.sum("n_new_types").over(w).alias("n_types_cum"),
+    )

@@ -505,3 +505,120 @@ def pipeline_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(per_rule).alias("x")).select("x.*")
+
+
+# pipeline-upsert-latest: the ingest MERGE shape — a base load plus a
+# late-arriving update batch, last-writer-wins per key. The update
+# batch derives deterministically from orders (every 7th key arrives
+# again with a bumped version and status); the merge is union →
+# per-key rank by (version DESC) → keep rank 1 — the window
+# formulation a table format's MERGE INTO compiles to when the engine
+# has to do it itself. Scale: ONE shuffle on the merge key over
+# base+updates; no join of base against updates (an upsert join would
+# shuffle base twice).
+
+_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS DOUBLE)
+           AS price, 1 AS version
+  FROM orders),
+updates AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus,
+         CAST(CAST(ROUND(o_totalprice + 10, 2) AS DECIMAL(18,2)) AS DOUBLE)
+           AS price, 2 AS version
+  FROM orders WHERE o_orderkey % 7 = 0),
+merged AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+SELECT o_orderkey, o_orderstatus, price,
+       CAST(version AS INT) AS version
+FROM merged WHERE rn = 1
+"""
+
+
+@query("pipeline-upsert-latest", oracle=_UPSERT_ORACLE)
+def pipeline_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        dec_money("o_totalprice").cast("double").alias("price"),
+        F.lit(1).alias("version"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") + 10, 2)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("price"),
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        base.unionAll(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey", "o_orderstatus", "price",
+            F.col("version").cast("int").alias("version"),
+        )
+    )
+
+
+# graph-triangle-count: triangles in the co-purchase category graph
+# (categories co-occurring in an order, high-quantity lines only) —
+# the clustering-structure primitive recommendation and community
+# pipelines start from. Edges are oriented u < v once, so each
+# triangle is counted exactly once by the two-join wedge-close
+# (e1(u,v) ⋈ e2(v,w) ⋈ e3(u,w)); at 100 TB the standard refinement
+# orients edges by DEGREE instead of id, bounding every wedge list by
+# the arboricity — same plan shape, different orientation key.
+
+_TRIANGLE_ORACLE = """
+WITH cats AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 500 AS cat
+  FROM lineitem WHERE l_quantity >= 45),
+edges AS (
+  SELECT DISTINCT a.cat AS u, b.cat AS v
+  FROM cats a JOIN cats b ON a.l_orderkey = b.l_orderkey AND a.cat < b.cat),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+@query("graph-triangle-count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cats = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", (F.col("l_partkey") % 500).alias("cat"))
+        .distinct()
+    )
+    b = cats.select(
+        F.col("l_orderkey").alias("bk"), F.col("cat").alias("v")
+    )
+    edges = (
+        cats.join(b, (F.col("l_orderkey") == F.col("bk")) & (F.col("cat") < F.col("v")))
+        .select(F.col("cat").alias("u"), "v")
+        .distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v2u"), F.col("v").alias("w"))
+    e3 = edges.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
+    tri = (
+        e1.join(e2, F.col("v") == F.col("v2u"))
+        .join(e3, (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cw")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri)

@@ -668,3 +668,21 @@ def test_keyword_tfidf_broadcasts_df_table(queries, spark):
     plan = _plan(queries["text-keyword-tfidf"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_upsert_is_single_merge_key_shuffle(queries, spark):
+    # union + version-rank window: one hash exchange on the merge key,
+    # no join of base against updates
+    plan = _plan(queries["pipeline-upsert-latest"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Union" in plan and "row_number" in plan, plan
+    assert _shuffles(plan) == 1, plan
+
+
+def test_cume_distinct_never_windows_at_event_grain(queries, spark):
+    # the fact is scanned once; the running sum rides the DAILY rollup
+    plan = _plan(queries["win-cume-distinct"](spark, SF_DIR))
+    assert plan.count("FileScan") == 1, plan
+    assert plan.index("Window") < plan.index("FileScan"), (
+        "window must sit above the rollup aggregates:\n" + plan
+    )
