@@ -59,8 +59,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return normalize_events_ts(read_events_parquet(spark, path))
 
 
-def dec_money(col: str) -> "Column":
+def dec_money(col) -> "Column":
     """Engine-stable money rendering: ROUND(x, 2) → DECIMAL(18,2).
+    Accepts a column name or a Column expression.
 
     The one convention every cross-engine-exact aggregate and
     serialization in the registry shares (oracles mirror it as

@@ -11,7 +11,7 @@ not just the leaf operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dug_data_ingest_spark.plans.bdc import (
@@ -540,8 +540,6 @@ FROM merged WHERE rn = 1
 
 @query("pipeline-upsert-latest", oracle=_UPSERT_ORACLE)
 def pipeline_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     orders = load(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey",
@@ -552,10 +550,7 @@ def pipeline_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
         "o_orderkey",
         F.lit("X").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") + 10, 2)
-        .cast("decimal(18,2)")
-        .cast("double")
-        .alias("price"),
+        dec_money(F.col("o_totalprice") + 10).cast("double").alias("price"),
         F.lit(2).alias("version"),
     )
     w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))

@@ -686,3 +686,19 @@ def test_cume_distinct_never_windows_at_event_grain(queries, spark):
     assert plan.index("Window") < plan.index("FileScan"), (
         "window must sit above the rollup aggregates:\n" + plan
     )
+
+
+def test_triangle_count_builds_edges_once(queries, spark):
+    # edges feeds e1/e2/e3 and the n_edges reduction: in the FINALIZED
+    # AQE plan the edge pipeline materializes once (ReusedExchange /
+    # ReusedQueryStage) and lineitem is scanned exactly once — a
+    # refactor that perturbs one edge subplan would quietly quadruple
+    # the corpus work (same measurement trap as the shingle self-joins,
+    # see test_shingle_self_join_reuses_pipeline_in_final_plan)
+    df = queries["graph-triangle-count"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("lineitem.parquet") == 1, final
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
