@@ -137,10 +137,18 @@ def summarize(
         F.when(F.col("n_vars") > 0, "XML_generator")
         .otherwise("both_methods_failed")
         .alias("method"),
-        F.coalesce(
+        # guard the format explicitly: Spark's format_string renders a
+        # NULL argument as the literal string "null" (it never returns
+        # NULL), so a bare coalesce over it can't supply the fallback —
+        # studies with no variables would read "null variables
+        # rendered" (latent until a scale where such studies exist;
+        # caught by the sf0.1 oracle sweep)
+        F.when(
+            F.col("n_vars").isNotNull(),
             F.format_string("%d variables rendered", "n_vars"),
-            F.lit("no PicSure variables for study"),
-        ).alias("details"),
+        )
+        .otherwise(F.lit("no PicSure variables for study"))
+        .alias("details"),
         F.col("program_dir").alias("program"),
     )
     return scored

@@ -175,3 +175,24 @@ def test_heal_kgx_edges_subset_of_nodes(heal):
 def test_heal_xml_docs_parse_back(heal):
     parsed = parse_data_tables(heal["xml_docs"].select("study_id", "dd_id", "xml"))
     assert parsed.count() == heal["_fields_count"]
+
+
+def test_summarize_null_var_count_uses_fallback_details(spark):
+    """Spark's format_string renders a NULL argument as the literal
+    string "null" (it never returns NULL), so the no-variables
+    fallback must be an explicit when/otherwise, not a coalesce over
+    the formatted string. Latent until a scale where variable-less
+    studies exist — caught by the sf0.1 oracle sweep."""
+    from dug_data_ingest_spark.plans.bdc import summarize
+
+    studies = spark.createDataFrame(
+        [("phs000001", "phs000001.v1.p1", "covid"),
+         ("phs000002", "phs000002.v1.p1", "covid")],
+        ["study_id", "Accession", "program_dir"],
+    )
+    variables = spark.createDataFrame(
+        [("phs000001", "phv1")], ["study_id", "varId"]
+    )
+    got = {r.study_id: (r.status, r.details) for r in summarize(studies, variables).collect()}
+    assert got["phs000001"] == ("SUCCESS", "1 variables rendered")
+    assert got["phs000002"] == ("FAILED", "no PicSure variables for study")
