@@ -143,6 +143,7 @@ HEADLINE = [
     "pipeline-upsert-latest",
     "graph-triangle-count",
     "win-cume-distinct",
+    "events-last-touch",
 ]
 
 

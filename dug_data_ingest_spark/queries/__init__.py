@@ -147,6 +147,7 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     "pipeline-upsert-latest": 6,
     "graph-triangle-count": 6,
     "win-cume-distinct": 6,
+    "events-last-touch": 6,
 }
 
 
@@ -305,6 +306,7 @@ _EST_COST = {
     "text-lm-score": 16.4, "ts-resample-ohlc": 16.5,
     "text-keyword-tfidf": 16.6, "pipeline-upsert-latest": 16.7,
     "graph-triangle-count": 16.8, "win-cume-distinct": 16.9,
+    "events-last-touch": 17.0,
 }
 
 

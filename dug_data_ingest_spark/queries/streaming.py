@@ -8,6 +8,7 @@ API guarantees the same logical plan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dug_data_ingest_spark.queries import load, query
 from dug_data_ingest_spark.streaming.events import (
@@ -173,3 +174,43 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark closes the match window — are asserted against this
     batch twin in tests/test_streaming.py."""
     return unattributed_purchases(load(spark, sf_dir, "events"))
+
+
+@query(
+    "events-last-touch",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             c.ts AS c_ts
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE)
+    SELECT purchase_id, click_id, n_candidates FROM (
+      SELECT purchase_id, click_id,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY c_ts DESC, click_id DESC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_candidates
+      FROM pairs) WHERE rn = 1
+    """,
+)
+def events_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: the stream-stream-join candidate pairs
+    reduced to one winning click per purchase — the attribution model
+    itself, not just its candidate set. The winner is an argmax
+    AGGREGATE — max_by on the µs-exact click timestamp (click_id
+    tie-break for identical timestamps) — so assignment adds ONE keyed
+    aggregation to the join: no rank window, no second scan. The µs
+    timestamp comes from the shared join's opt-in keep_click_ts column
+    (the floored lag_sec would tie clicks landing in the same second
+    and mis-pick against the oracle's exact ordering)."""
+    pairs = purchase_click_attribution(
+        load(spark, sf_dir, "events"), keep_click_ts=True
+    )
+    return pairs.groupBy("purchase_id").agg(
+        F.max_by(
+            "click_id", F.struct(F.col("c_ts").alias("k"), F.col("click_id").alias("t"))
+        ).alias("click_id"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )

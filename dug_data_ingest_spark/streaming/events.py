@@ -93,7 +93,8 @@ def first_event_dedup(events: DataFrame) -> DataFrame:
 
 
 def purchase_click_attribution(
-    events: DataFrame, lookback: str = "30 minutes", delay: str = "1 hour"
+    events: DataFrame, lookback: str = "30 minutes", delay: str = "1 hour",
+    keep_click_ts: bool = False,
 ) -> DataFrame:
     """Stream-stream JOIN with watermarks: every (purchase, click) pair
     for the same user where the click precedes the purchase by at most
@@ -133,13 +134,19 @@ def purchase_click_attribution(
     # arithmetic (unix_timestamp would floor each operand separately —
     # off by one whenever the click's sub-second part exceeds the
     # purchase's)
-    return purchases.join(clicks, cond).select(
-        "purchase_id",
-        "click_id",
+    cols = [
+        F.col("purchase_id"),
+        F.col("click_id"),
         F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
             "lag_sec"
         ),
-    )
+    ]
+    if keep_click_ts:
+        # µs-exact click time for downstream winner selection
+        # (events-last-touch) — opt-in so the registered join slug's
+        # schema stays unchanged
+        cols.append(F.col("c_ts"))
+    return purchases.join(clicks, cond).select(*cols)
 
 
 def streaming_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
