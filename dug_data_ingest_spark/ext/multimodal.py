@@ -487,9 +487,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
 def audio_stats(payload: bytes) -> tuple[int, int, list[float]]:
     """Decode + per-clip features: [duration_ms, rms, zero_crossings,
     peak]. Integer-exact except rms (sqrt of a rational — both engines
-    compute the identical IEEE double). Per-sample math is numpy over
-    the raw PCM buffer: int64 sums are exact (identical values to the
-    pure-Python walk, ~30× the throughput on ~2k-sample clips)."""
+    compute the identical IEEE double). rms is returned UNROUNDED:
+    rounding happens in the Spark projection via F.round (HALF_UP),
+    matching DuckDB ROUND in the oracle — Python round() is half-even
+    and would be the one half-mode mismatch in the exact-hash gate.
+    Per-sample math is numpy over the raw PCM buffer: int64 sums are
+    exact (identical values to the pure-Python walk, ~30× the
+    throughput on ~2k-sample clips)."""
     import numpy as np
 
     sample_rate, data = _parse_wav(payload)
@@ -497,7 +501,7 @@ def audio_stats(payload: bytes) -> tuple[int, int, list[float]]:
     if n == 0:
         raise ValueError("empty audio payload")
     s = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.int64)
-    rms = round(float(int((s * s).sum()) / n) ** 0.5, 4)
+    rms = float(int((s * s).sum()) / n) ** 0.5
     nonneg = s >= 0
     zc = int(np.count_nonzero(nonneg[:-1] != nonneg[1:]))
     peak = int(np.abs(s).max())

@@ -992,7 +992,10 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "n_samples",
         F.col("feature").getItem(0).alias("duration_ms"),
-        F.col("feature").getItem(1).alias("rms"),
+        # audio_stats returns rms unrounded; round HERE with F.round
+        # (HALF_UP, same half-mode as DuckDB ROUND) — the repo-wide
+        # convention for every value in the exact-hash gate
+        F.round(F.col("feature").getItem(1), 4).alias("rms"),
         F.col("feature").getItem(2).cast("bigint").alias("zero_crossings"),
         F.col("feature").getItem(3).cast("int").alias("peak"),
     )

@@ -306,7 +306,8 @@ def test_audio_stats_replays_synth_formula():
         assert (sr, n) == (8000, 1600 + (d % 5) * 80)
         dur, rms, zc, peak = feats
         assert dur == n / 8.0
-        assert rms == round((sum(x * x for x in s) / n) ** 0.5, 4)
+        # unrounded by design: rounding is F.round in the projection
+        assert rms == (sum(x * x for x in s) / n) ** 0.5
         assert zc == sum(
             1 for i in range(1, n) if (s[i - 1] >= 0) != (s[i] >= 0)
         )

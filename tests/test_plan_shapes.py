@@ -680,10 +680,16 @@ def test_upsert_is_single_merge_key_shuffle(queries, spark):
 
 
 def test_cume_distinct_never_windows_at_event_grain(queries, spark):
-    # the fact is scanned once; the running sum rides the DAILY rollup
+    # the fact is scanned once; the running sum rides the DAILY rollup.
+    # Root-first explain prints every node before the leaf FileScan, so
+    # "Window before FileScan" is vacuous — the load-bearing assertion
+    # is a rollup HashAggregate BETWEEN the Window and the scan (a
+    # regression that windows at event grain has no aggregate below
+    # the Window).
     plan = _plan(queries["win-cume-distinct"](spark, SF_DIR))
     assert plan.count("FileScan") == 1, plan
-    assert plan.index("Window") < plan.index("FileScan"), (
+    agg_below_window = plan.find("HashAggregate", plan.index("Window"))
+    assert -1 < agg_below_window < plan.index("FileScan"), (
         "window must sit above the rollup aggregates:\n" + plan
     )
 
