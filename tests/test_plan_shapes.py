@@ -647,12 +647,41 @@ def test_dq_expectations_is_one_pass_no_union(queries, spark):
     assert "Generate explode" in plan, plan
 
 
-def test_lm_score_broadcasts_the_model(queries, spark):
-    # the vocab^2-bounded LM rollup comes back as broadcasts; the
-    # bigram stream itself is never sort-merge-joined
+def test_lm_score_caps_then_broadcasts_the_model(queries, spark):
+    # the LM the score join broadcasts is the df-capped frequency head,
+    # not the vocab^2-bounded full bigram table: the cap must be LIVE in
+    # the plan (TakeOrderedAndProject = floor + deterministic top-K,
+    # partial per-partition — never a global Sort), the head feeds the
+    # broadcasts, and the bigram stream is never sort-merge-joined
     plan = _plan(queries["text-lm-score"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # the frequency floor reaches the capped side as a filter
+    from dug_data_ingest_spark.queries.curation import _LM_MIN_COUNT
+
+    assert f"n_big#" in plan and f">= {_LM_MIN_COUNT}" in plan, plan
+
+
+def test_lm_score_cap_bites_in_the_result(queries, spark):
+    # the floor must be observable in the graded output, not vacuous:
+    # at least one document loses bigrams to the head cut (hapax
+    # bigrams exist at every SF), so n_bigrams < total bigram count
+    import pyspark.sql.functions as F
+
+    res = queries["text-lm-score"](spark, SF_DIR)
+    scored = res.agg(F.sum("n_bigrams")).collect()[0][0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from dug_data_ingest_spark.functions.text import (
+        normalized_words,
+        shingles_of,
+    )
+
+    words = docs.select(normalized_words(F.col("text")).alias("w"))
+    total = words.select(
+        F.explode(shingles_of(F.col("w"), k=2)).alias("b")
+    ).count()
+    assert 0 < scored < total, (scored, total)
 
 
 def test_ohlc_is_single_groupby_no_window(queries, spark):
@@ -664,10 +693,24 @@ def test_ohlc_is_single_groupby_no_window(queries, spark):
     assert "partial_min_by" in plan or "partial_min" in plan, plan
 
 
-def test_keyword_tfidf_broadcasts_df_table(queries, spark):
+def test_keyword_tfidf_df_join_is_adaptive_not_forced(queries, spark):
+    # at test SF the vocabulary-sized df table broadcasts (AQE picks
+    # it); with broadcast disabled the SAME code must degrade to a
+    # token-keyed shuffle join — i.e. the broadcast is adaptive, not a
+    # forced hint that would OOM the driver when the vocabulary
+    # outgrows the threshold at 100 TB
     plan = _plan(queries["text-keyword-tfidf"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        degraded = _plan(queries["text-keyword-tfidf"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in degraded or "ShuffledHashJoin" in degraded, (
+        degraded
+    )
 
 
 def test_upsert_is_single_merge_key_shuffle(queries, spark):
