@@ -148,6 +148,9 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     "graph-triangle-count": 6,
     "win-cume-distinct": 6,
     "events-last-touch": 6,
+    # round-7 registrations: the round-7 window is exactly the 11
+    # round-6 leads + 39 r3-vintage regrades, so these wait for round 8
+    "snk-delta-sync": 7,
 }
 
 

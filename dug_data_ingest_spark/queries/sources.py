@@ -301,6 +301,150 @@ def snk_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Delta-sync sink: the only-what-changed half of the reference's
+# publish step (rclone sync --track-renames --no-update-modtime,
+# scripts/bdc/ingest.sh:82; scripts/heal/ingest.sh:40-48), implemented
+# as a content-hash manifest diff (sources/delta_sync.py). The graded
+# scenario runs TWO real generations through delta_sync_write on the
+# scratch store — generation 2 extends the date range (added months →
+# upload), flips scattered statuses (changed months → upload), moves
+# one month's identical bytes to an archive key (rename, zero bytes
+# rewritten), and drops one month (delete) — and returns the second
+# sync's action plan, which the oracle reproduces from the same two
+# generations in pure SQL, rename pairing included.
+# ---------------------------------------------------------------------------
+
+_DS_HASH = (
+    "CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, o_custkey, "
+    "o_orderstatus, o_orderpriority)), 1, 15)) AS BIGINT)"
+)
+_DS_MANIFEST = (
+    "SELECT k AS sync_key, COUNT(*) AS n_rows, "
+    f"bit_xor({_DS_HASH}) AS content_hash, "
+    f"CAST(SUM({_DS_HASH} % 1073741824) AS BIGINT) AS content_sum "
+    "FROM {gen} GROUP BY k"
+)
+
+_DELTA_SYNC_ORACLE = f"""
+WITH g1 AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS k, o_orderkey, o_custkey,
+         o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+g2_base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m, o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 997 = 0
+                   AND strftime(o_orderdate, '%Y-%m') <> '1995-03'
+              THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+),
+g2 AS (
+  SELECT CASE WHEN m = '1995-03' THEN 'archive-1995-03' ELSE m END AS k,
+         o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+  FROM g2_base WHERE m <> '1995-01'
+),
+m1 AS ({_DS_MANIFEST.format(gen="g1")}),
+m2 AS ({_DS_MANIFEST.format(gen="g2")}),
+j AS (
+  SELECT COALESCE(m1.sync_key, m2.sync_key) AS sync_key,
+         m1.n_rows AS p_rows, m1.content_hash AS p_hash,
+         m1.content_sum AS p_sum,
+         m2.n_rows AS c_rows, m2.content_hash AS c_hash,
+         m2.content_sum AS c_sum
+  FROM m1 FULL JOIN m2 ON m1.sync_key = m2.sync_key
+),
+base AS (
+  SELECT sync_key,
+         CASE WHEN p_rows IS NULL THEN 'added'
+              WHEN c_rows IS NULL THEN 'deleted'
+              WHEN p_rows = c_rows AND p_hash = c_hash AND p_sum = c_sum
+                   THEN 'keep'
+              ELSE 'changed' END AS state,
+         COALESCE(c_rows, p_rows) AS n_rows,
+         COALESCE(c_hash, p_hash) AS content_hash,
+         COALESCE(c_sum, p_sum) AS content_sum
+  FROM j
+),
+adds AS (
+  SELECT *, row_number() OVER (PARTITION BY n_rows, content_hash, content_sum
+                               ORDER BY sync_key) AS rk
+  FROM base WHERE state = 'added'
+),
+dels AS (
+  SELECT *, row_number() OVER (PARTITION BY n_rows, content_hash, content_sum
+                               ORDER BY sync_key) AS rk
+  FROM base WHERE state = 'deleted'
+),
+ren AS (
+  SELECT d.sync_key AS old_key, a.sync_key AS new_key
+  FROM dels d JOIN adds a USING (n_rows, content_hash, content_sum, rk)
+)
+SELECT b.sync_key,
+       CASE WHEN r1.new_key IS NOT NULL THEN 'rename'
+            WHEN b.state IN ('added', 'changed') THEN 'upload'
+            WHEN b.state = 'deleted' THEN 'delete'
+            ELSE 'keep' END AS action,
+       r1.new_key AS rename_to,
+       b.n_rows
+FROM base b
+LEFT JOIN ren r1 ON b.sync_key = r1.old_key
+LEFT JOIN ren r2 ON b.sync_key = r2.new_key
+WHERE r2.new_key IS NULL
+"""
+
+
+def _delta_sync_generations(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two publish generations of the graded scenario (see the
+    oracle above for the exact SQL they mirror)."""
+    orders = load(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    gen1 = orders.filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    ).select(
+        month.alias("k"), "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority",
+    )
+    gen2 = (
+        orders.filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-07-01")))
+        .select(
+            month.alias("m"), "o_orderkey", "o_custkey",
+            F.when(
+                (F.col("o_orderkey") % 997 == 0) & (month != "1995-03"), "X"
+            ).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            "o_orderpriority",
+        )
+        .filter(F.col("m") != "1995-01")
+        .select(
+            F.when(F.col("m") == "1995-03", "archive-1995-03")
+            .otherwise(F.col("m"))
+            .alias("k"),
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        )
+    )
+    return gen1, gen2
+
+
+@query("snk-delta-sync", oracle=_DELTA_SYNC_ORACLE)
+def snk_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.sources.delta_sync import (
+        ACTIONS_SCHEMA,
+        delta_sync_write,
+    )
+
+    path = scratch_dir("snk-delta-sync")
+    gen1, gen2 = _delta_sync_generations(spark, sf_dir)
+    content = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    delta_sync_write(gen1, path, "k", content)  # initial publish
+    _, actions = delta_sync_write(gen2, path, "k", content)
+    # the action plan is key-cardinality bounded (the rclone file
+    # list); materialized before the apply step mutated the store
+    return spark.createDataFrame(actions, ACTIONS_SCHEMA)
+
+
 @query(
     "src-dug-api",
     oracle="""

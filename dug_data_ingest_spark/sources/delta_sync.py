@@ -1,0 +1,253 @@
+"""Delta-sync object-store sink: write only what changed.
+
+The reference publishes with ``rclone sync --track-renames
+--no-update-modtime`` (scripts/bdc/ingest.sh:82;
+scripts/heal/ingest.sh:40-48): unchanged files are never re-uploaded,
+a file whose bytes moved to a new path becomes a server-side rename
+instead of a delete + re-upload, and files gone from the source are
+deleted from the target. ``snk-object-store``'s write-then-commit
+covered the versioning half; this module adds the only-what-changed
+half as a content-hash manifest diff:
+
+- ``build_manifest`` rolls the staged DataFrame up to one row per sync
+  key (= one object/partition dir): ``(sync_key, n_rows, content_hash,
+  content_sum)``. The hash is order-insensitive and fully distributed
+  — a bit_xor + modular sum of per-row 60-bit md5 hashes, no per-key
+  sort, no collect_list — so the manifest build is one map-side-
+  combined groupBy whatever the corpus size.
+- ``diff_manifests`` full-outer-joins previous vs current manifest and
+  classifies every key: ``keep`` (identical), ``upload`` (new or
+  changed), ``delete`` (gone), ``rename`` (a deleted key whose exact
+  content fingerprint reappears under an added key — rclone's
+  --track-renames; ranked pairing keeps the match deterministic when
+  several keys share a fingerprint).
+- ``delta_sync_write`` applies the plan: rewrites ONLY the changed/new
+  partition directories (dynamic partition overwrite), renames moved
+  directories in place (no data bytes rewritten — the server-side-move
+  analogue), deletes vanished ones, refreshes the stored manifest, and
+  fires the LakeFS commit hook ONLY when something changed — a re-run
+  on unchanged input touches zero objects and publishes no version.
+
+Manifest cardinality = number of sync keys (objects), the same list
+rclone holds in memory; the one driver-side ``collect()`` here is
+bounded by that, never by row count.
+
+The per-row hash is computable identically in DuckDB
+(``CAST(concat('0x', substr(md5(row), 1, 15)) AS BIGINT)``), which is
+what lets the registered ``snk-delta-sync`` query check the whole
+diff — including rename pairing — against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# 15 hex chars = 60 bits: fits a signed 64-bit int in both engines
+_HASH_HEX_CHARS = 15
+# modular sum keeps the checksum wrap-free in both engines: 2^30-bound
+# terms sum past 2^63 only after ~2^33 rows PER KEY
+_SUM_MOD = 1 << 30
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("sync_key", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("content_hash", T.LongType(), False),
+        T.StructField("content_sum", T.LongType(), False),
+    ]
+)
+
+ACTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("sync_key", T.StringType(), False),
+        T.StructField("action", T.StringType(), False),
+        T.StructField("rename_to", T.StringType(), True),
+        T.StructField("n_rows", T.LongType(), True),
+    ]
+)
+
+
+def row_content_hash(*cols: Column | str) -> Column:
+    """Cross-engine 60-bit row fingerprint: md5 of the '|'-joined
+    columns, first 15 hex chars parsed base-16."""
+    joined = F.concat_ws("|", *cols)
+    return F.conv(F.substring(F.md5(joined), 1, _HASH_HEX_CHARS), 16, 10).cast(
+        "bigint"
+    )
+
+
+def build_manifest(
+    df: DataFrame, key_col: Column | str, content_cols: list
+) -> DataFrame:
+    """One row per sync key: ``(sync_key, n_rows, content_hash,
+    content_sum)``. Order-insensitive (xor) so the manifest doesn't
+    depend on partition order, plus a modular sum so a change that
+    swaps an even multiplicity of duplicate rows (which xor alone
+    cancels) still flips the fingerprint."""
+    h = row_content_hash(*content_cols)
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        df.select(key.cast("string").alias("sync_key"), h.alias("h"))
+        .groupBy("sync_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("content_hash"),
+            F.sum(F.col("h") % F.lit(_SUM_MOD)).alias("content_sum"),
+        )
+    )
+
+
+def diff_manifests(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """Classify every key across two manifests.
+
+    Returns ``(sync_key, action, rename_to, n_rows)`` with action in
+    {keep, upload, delete, rename}; a ``rename`` row carries the OLD
+    key with ``rename_to`` = the new key, and the new key does NOT
+    also appear as an upload (rclone --track-renames: the bytes move
+    server-side). When several keys share one content fingerprint,
+    adds and deletes are ranked by key and paired rank-to-rank, so
+    the pairing is deterministic in any engine.
+    """
+    p = prev.select(
+        "sync_key",
+        F.col("n_rows").alias("p_rows"),
+        F.col("content_hash").alias("p_hash"),
+        F.col("content_sum").alias("p_sum"),
+    )
+    c = curr.select(
+        "sync_key",
+        F.col("n_rows").alias("c_rows"),
+        F.col("content_hash").alias("c_hash"),
+        F.col("content_sum").alias("c_sum"),
+    )
+    j = p.join(c, "sync_key", "full_outer")
+    base = j.select(
+        "sync_key",
+        F.when(F.col("p_rows").isNull(), F.lit("added"))
+        .when(F.col("c_rows").isNull(), F.lit("deleted"))
+        .when(
+            (F.col("p_rows") == F.col("c_rows"))
+            & (F.col("p_hash") == F.col("c_hash"))
+            & (F.col("p_sum") == F.col("c_sum")),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("changed"))
+        .alias("state"),
+        F.coalesce("c_rows", "p_rows").alias("n_rows"),
+        F.coalesce("c_hash", "p_hash").alias("content_hash"),
+        F.coalesce("c_sum", "p_sum").alias("content_sum"),
+    )
+
+    fp = ["n_rows", "content_hash", "content_sum"]
+    rank_w = Window.partitionBy(*fp).orderBy("sync_key")
+    adds = base.filter(F.col("state") == "added").select(
+        *fp, F.col("sync_key").alias("new_key"), F.row_number().over(rank_w).alias("rk")
+    )
+    dels = base.filter(F.col("state") == "deleted").select(
+        *fp, F.col("sync_key").alias("old_key"), F.row_number().over(rank_w).alias("rk")
+    )
+    renames = dels.join(adds, fp + ["rk"]).select("old_key", "new_key")
+
+    out = (
+        base.join(
+            renames.withColumnRenamed("old_key", "sync_key"),
+            "sync_key",
+            "left",
+        )
+        .join(
+            renames.select(F.col("new_key").alias("sync_key"), F.lit(1).alias("consumed")),
+            "sync_key",
+            "left",
+        )
+        .filter(F.col("consumed").isNull())  # renamed-to keys vanish
+        .select(
+            "sync_key",
+            F.when(F.col("new_key").isNotNull(), F.lit("rename"))
+            .when(F.col("state").isin("added", "changed"), F.lit("upload"))
+            .when(F.col("state") == "deleted", F.lit("delete"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.col("new_key").alias("rename_to"),
+            "n_rows",
+        )
+    )
+    return out
+
+
+def _partition_dir(data_path: str, key_col: str, key: str) -> str:
+    return os.path.join(data_path, f"{key_col}={key}")
+
+
+def delta_sync_write(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    content_cols: list,
+    commit_hook=None,
+) -> tuple[dict, list]:
+    """Sync ``df`` into ``path`` keyed by ``key_col``, touching only
+    what changed. Returns ``(stats, actions)`` where stats counts each
+    action (plus ``"empty"``) and actions is the collected plan rows
+    (key-cardinality bounded — the rclone file list, not the data).
+
+    Layout: ``path/data/<key_col>=<key>/*.parquet`` + the manifest at
+    ``path/_sync_manifest``. The commit hook fires only on a non-empty
+    sync, so an unchanged re-run publishes no version (LakeFS never
+    even sees an empty commit).
+    """
+    spark = df.sparkSession
+    data_path = os.path.join(path, "data")
+    manifest_path = os.path.join(path, "_sync_manifest")
+
+    curr = build_manifest(df, key_col, content_cols)
+    if os.path.exists(manifest_path):
+        prev = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
+    else:
+        prev = spark.createDataFrame([], MANIFEST_SCHEMA)
+
+    actions = diff_manifests(prev, curr).collect()
+    stats = {"upload": 0, "delete": 0, "rename": 0, "keep": 0}
+    for row in actions:
+        stats[row.action] += 1
+    stats["empty"] = stats["upload"] + stats["delete"] + stats["rename"] == 0
+    if stats["empty"]:
+        return stats, actions
+
+    # server-side moves first: no data bytes rewritten
+    for row in actions:
+        if row.action == "rename":
+            os.rename(
+                _partition_dir(data_path, key_col, row.sync_key),
+                _partition_dir(data_path, key_col, row.rename_to),
+            )
+    for row in actions:
+        if row.action == "delete":
+            shutil.rmtree(
+                _partition_dir(data_path, key_col, row.sync_key),
+                ignore_errors=True,
+            )
+    to_write = [r.sync_key for r in actions if r.action == "upload"]
+    if to_write:
+        # dynamic overwrite: only the partitions present in the
+        # filtered frame are replaced; everything else is untouched
+        mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.filter(F.col(key_col).cast("string").isin(to_write))
+                .write.mode("overwrite")
+                .partitionBy(key_col)
+                .parquet(data_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+
+    curr.write.mode("overwrite").parquet(manifest_path)
+    if commit_hook is not None:
+        commit_hook(path, stats)
+    return stats, actions

@@ -95,3 +95,21 @@ def lakefs_commit_hook(
         )
 
     return hook
+
+
+def lakefs_delta_commit_hook(
+    client: LakeFSClient, repository: str, branch: str, message: str
+):
+    """``commit_hook`` for ``delta_sync.delta_sync_write``: same
+    commit, but the sync stats ride the commit metadata so the version
+    history records WHAT changed (uploads/renames/deletes) — the
+    rclone-sync log line, persisted. delta_sync_write only calls this
+    on a non-empty sync, so unchanged re-runs publish nothing (LakeFS
+    never even sees an empty commit)."""
+
+    def hook(path: str, stats: dict) -> dict:
+        meta = {"path": path}
+        meta.update({k: str(v) for k, v in stats.items()})
+        return client.commit(repository, branch, message, metadata=meta)
+
+    return hook

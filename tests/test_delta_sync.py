@@ -1,0 +1,155 @@
+"""Delta-sync sink behavior (sources/delta_sync.py): the rclone
+``sync --track-renames --no-update-modtime`` contract — a re-run on
+unchanged input touches ZERO objects and publishes no version; a
+changed key rewrites only its own partition; identical bytes under a
+new key become a directory move, not a re-upload."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dug_data_ingest_spark.sources import scratch_dir
+from dug_data_ingest_spark.sources.delta_sync import (
+    build_manifest,
+    delta_sync_write,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+CONTENT = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("k"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+def _file_states(path: str) -> dict[str, float]:
+    """{relative parquet path: mtime} under the data dir."""
+    out = {}
+    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                out[os.path.relpath(full, path)] = os.path.getmtime(full)
+    return out
+
+
+@pytest.fixture()
+def commits():
+    calls = []
+    return calls, lambda path, stats: calls.append((path, dict(stats)))
+
+
+def test_rerun_on_unchanged_input_is_a_noop(spark, commits):
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-noop")
+    df = _orders(spark)
+
+    stats, _ = delta_sync_write(df, path, "k", CONTENT, commit_hook=hook)
+    assert not stats["empty"] and stats["upload"] > 0
+    assert len(calls) == 1
+    before = _file_states(path)
+    assert before
+
+    stats2, actions2 = delta_sync_write(df, path, "k", CONTENT, commit_hook=hook)
+    assert stats2["empty"]
+    assert stats2["upload"] == stats2["delete"] == stats2["rename"] == 0
+    assert {r.action for r in actions2} == {"keep"}
+    # zero objects written, no version published
+    assert _file_states(path) == before
+    assert len(calls) == 1
+
+
+def test_changed_key_rewrites_only_its_partition(spark, commits):
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-selective")
+    df = _orders(spark)
+    delta_sync_write(df, path, "k", CONTENT, commit_hook=hook)
+    before = _file_states(path)
+    target = df.select(F.min("k")).collect()[0][0]
+
+    changed = df.withColumn(
+        "o_orderstatus",
+        F.when(F.col("k") == target, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    stats, actions = delta_sync_write(changed, path, "k", CONTENT, commit_hook=hook)
+    assert stats["upload"] == 1 and stats["delete"] == stats["rename"] == 0
+    by_key = {r.sync_key: r.action for r in actions}
+    assert by_key[target] == "upload"
+    after = _file_states(path)
+    prefix = f"data{os.sep}k={target}{os.sep}"
+    untouched = {p: t for p, t in before.items() if not p.startswith(prefix)}
+    assert {p: t for p, t in after.items() if not p.startswith(prefix)} == untouched
+    assert any(p.startswith(prefix) for p in after)
+    assert len(calls) == 2
+
+
+def test_rename_moves_bytes_server_side(spark, commits):
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-rename")
+    df = _orders(spark)
+    delta_sync_write(df, path, "k", CONTENT, commit_hook=hook)
+    before = _file_states(path)
+    target = df.select(F.min("k")).collect()[0][0]
+
+    moved = df.withColumn(
+        "k",
+        F.when(F.col("k") == target, F.concat(F.lit("archive-"), F.col("k")))
+        .otherwise(F.col("k")),
+    )
+    stats, actions = delta_sync_write(moved, path, "k", CONTENT, commit_hook=hook)
+    assert stats == {
+        "upload": 0, "delete": 0, "rename": 1,
+        "keep": stats["keep"], "empty": False,
+    }
+    ren = [r for r in actions if r.action == "rename"]
+    assert len(ren) == 1 and ren[0].sync_key == target
+    assert ren[0].rename_to == f"archive-{target}"
+    # the data files MOVED (os.rename preserves mtime): same basenames
+    # and mtimes under the new directory, none under the old
+    after = _file_states(path)
+    old_prefix = f"data{os.sep}k={target}{os.sep}"
+    new_prefix = f"data{os.sep}k=archive-{target}{os.sep}"
+    assert not any(p.startswith(old_prefix) for p in after)
+    moved_files = {
+        p.replace(new_prefix, old_prefix): t
+        for p, t in after.items()
+        if p.startswith(new_prefix)
+    }
+    assert moved_files == {p: t for p, t in before.items() if p.startswith(old_prefix)}
+    # read-back through the renamed layout still yields every row
+    n = spark.read.parquet(os.path.join(path, "data")).count()
+    assert n == df.count()
+
+
+def test_deleted_key_is_removed(spark, commits):
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-delete")
+    df = _orders(spark)
+    delta_sync_write(df, path, "k", CONTENT, commit_hook=hook)
+    target = df.select(F.min("k")).collect()[0][0]
+
+    pruned = df.filter(F.col("k") != target)
+    stats, _ = delta_sync_write(pruned, path, "k", CONTENT, commit_hook=hook)
+    assert stats["delete"] == 1 and stats["upload"] == stats["rename"] == 0
+    assert not os.path.exists(os.path.join(path, "data", f"k={target}"))
+    # a third run is again a no-op against the updated manifest
+    stats3, _ = delta_sync_write(pruned, path, "k", CONTENT, commit_hook=hook)
+    assert stats3["empty"]
+
+
+def test_manifest_is_order_insensitive(spark):
+    df = _orders(spark)
+    m1 = build_manifest(df, "k", CONTENT)
+    m2 = build_manifest(df.repartition(7).sortWithinPartitions("o_custkey"), "k", CONTENT)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))

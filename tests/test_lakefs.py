@@ -110,6 +110,44 @@ def test_idempotent_rerun_empty_commit_is_success(spark, lakefs_server, tmp_path
         client.commit("repo", "main", "msg", ignore_empty=False)
 
 
+def test_delta_sync_commits_only_when_something_changed(
+    spark, lakefs_server, tmp_path
+):
+    # the rclone-sync analogue end-to-end: sync #1 publishes and the
+    # commit metadata records the action counts; an unchanged re-run
+    # performs NO commit at all (the server never even sees an empty
+    # one); a changed key commits again with upload=1
+    from dug_data_ingest_spark.sources.delta_sync import delta_sync_write
+    from dug_data_ingest_spark.sources.lakefs import lakefs_delta_commit_hook
+
+    out = str(tmp_path / "delta")
+    df = spark.read.parquet(f"{TEST_SF_DIR}/nation.parquet")
+    hook = lakefs_delta_commit_hook(
+        _client(lakefs_server), "repo", "main", "delta publish"
+    )
+    delta_sync_write(df, out, "n_regionkey", ["n_nationkey", "n_name"], commit_hook=hook)
+    assert len(lakefs_server.commits) == 1
+    meta = lakefs_server.commits[0]["body"]["metadata"]
+    assert int(meta["upload"]) > 0 and meta["empty"] == "False"
+
+    delta_sync_write(df, out, "n_regionkey", ["n_nationkey", "n_name"], commit_hook=hook)
+    assert len(lakefs_server.commits) == 1, "unchanged re-run must not commit"
+
+    from pyspark.sql import functions as F
+
+    changed = df.withColumn(
+        "n_name",
+        F.when(
+            F.col("n_regionkey") == 0, F.concat(F.col("n_name"), F.lit("-v2"))
+        ).otherwise(F.col("n_name")),
+    )
+    delta_sync_write(
+        changed, out, "n_regionkey", ["n_nationkey", "n_name"], commit_hook=hook
+    )
+    assert len(lakefs_server.commits) == 2
+    assert lakefs_server.commits[1]["body"]["metadata"]["upload"] == "1"
+
+
 def test_bad_credentials_raise(lakefs_server):
     bad = LakeFSClient(
         f"http://127.0.0.1:{lakefs_server.server_address[1]}", "user", "wrong"
