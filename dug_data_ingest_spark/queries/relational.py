@@ -887,7 +887,14 @@ def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string join (edit distance ≤ 2) with length-band
+    """REFERENCE-ONLY BLOCKING BASELINE — not the production path.
+    Use ``join-fuzzy-qgram`` (operators/joins.py:fuzzy_join_qgram)
+    for real workloads: length-band blocking degenerates on narrow
+    length distributions (see Caveat below), and this slug stays
+    registered solely as the measured comparison point that justifies
+    the q-gram design.
+
+    Fuzzy string join (edit distance ≤ 2) with length-band
     blocking: every 191st part's name, truncated by two characters,
     is matched back against the part table by levenshtein. The
     blocking key floor(length/5) (probe side exploded ±1) is
