@@ -144,6 +144,10 @@ HEADLINE = [
     "graph-triangle-count",
     "win-cume-distinct",
     "events-last-touch",
+    # round-7: delta-sync sink (two real write generations + diff) and
+    # the raw-FTP protocol walk (executor-side fixture replay)
+    "snk-delta-sync",
+    "src-ftp-walk",
 ]
 
 
@@ -258,8 +262,13 @@ def main() -> None:
     # Round-over-round stability: append every run to a history log
     # (per-query minima are the stable signal; totals swing with
     # machine load — see SCALE.md "Bench posture") and flag on stderr
-    # if this run regressed >2x against the best prior total at the
-    # same sf. stdout stays exactly one JSON line for the driver.
+    # only on an HONEST regression signal: the comparison against each
+    # prior run is restricted to the queries BOTH runs timed (a
+    # 108-query total vs a 35-query-era total is apples-to-oranges —
+    # the round-6 false alarm) and normalized by the calib_spark
+    # machine-speed anchor when both runs carry one (the shared host
+    # drifts 1.3-1.8x under tenant load). stdout stays exactly one
+    # JSON line for the driver.
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_HISTORY.jsonl")
     try:
@@ -267,16 +276,33 @@ def main() -> None:
         if os.path.exists(hist_path):
             with open(hist_path) as fh:
                 prior = [json.loads(ln) for ln in fh if ln.strip()]
-        best_prior = min(
-            (p["value"] for p in prior if p.get("sf") == sf_val), default=None
-        )
         with open(hist_path, "a") as fh:
             fh.write(json.dumps({**result, "ts": int(time.time())}) + "\n")
-        if best_prior is not None and result["value"] > 2 * best_prior:
+        cur_calib = result.get("calib_spark_sec")
+        best = None  # (adjusted_ratio, n_shared, prior_total, raw_ratio)
+        for p in prior:
+            if p.get("sf") != sf_val or not isinstance(p.get("queries"), dict):
+                continue
+            shared = [q for q in timings if q in p["queries"]]
+            # demand real overlap: a comparison over a sliver of the
+            # current set says nothing about this run
+            if len(shared) < max(10, len(timings) // 2):
+                continue
+            pri_t = sum(p["queries"][q] for q in shared)
+            if pri_t <= 0:
+                continue
+            raw = sum(timings[q] for q in shared) / pri_t
+            p_calib = p.get("calib_spark_sec")
+            adj = raw / (cur_calib / p_calib) if cur_calib and p_calib else raw
+            if best is None or adj < best[0]:
+                best = (adj, len(shared), round(pri_t, 3), round(raw, 3))
+        if best is not None and best[0] > 2:
             print(
-                f"WARNING: bench total {result['value']}s is >2x the best "
-                f"prior {best_prior}s at sf={sf_val}; check per-query times "
-                f"in {hist_path} before trusting (cold-JVM noise is real).",
+                f"WARNING: same-set bench regression: {best[3]}x raw, "
+                f"{round(best[0], 3)}x after calib_spark machine-speed "
+                f"adjustment, vs the best prior run sharing {best[1]} "
+                f"queries ({best[2]}s) at sf={sf_val}; check per-query "
+                f"times in {hist_path} before trusting.",
                 file=sys.stderr,
             )
     except Exception:  # noqa: BLE001 — a corrupt/truncated history line

@@ -151,6 +151,7 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     # round-7 registrations: the round-7 window is exactly the 11
     # round-6 leads + 39 r3-vintage regrades, so these wait for round 8
     "snk-delta-sync": 7,
+    "src-ftp-walk": 7,
 }
 
 

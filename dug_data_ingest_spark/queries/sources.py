@@ -164,6 +164,63 @@ def src_ftp_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetched.unionByName(manifest)
 
 
+@query(
+    "src-ftp-walk",
+    # n_bytes replays the double's deterministic payload in closed
+    # form: '<data_table study="phsNNNNNN"><name>' + s_name +
+    # '</name></data_table>' = 56 fixed chars + the name (ASCII). If
+    # the protocol walk — login/PASV, error_temp reconnect, nlst
+    # filter, chunked retrbinary reassembly — dropped or corrupted
+    # anything, filenames/rows/sizes would not match.
+    oracle="""
+    SELECT s_suppkey,
+           concat('phs', lpad(CAST(s_suppkey AS VARCHAR), 6, '0'),
+                  '.data_dict.xml') AS filename,
+           'ftp' AS source,
+           CAST(56 + length(s_name) AS BIGINT) AS n_bytes
+    FROM supplier WHERE s_suppkey <= 8
+    """,
+)
+def src_ftp_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-FTP protocol walk (sources/ftp.py) replayed through the
+    in-process ftplib double (sources/ftp_fixture.py) INSIDE executors
+    via the standard keyed fetch stage: one FTP connection per Arrow
+    batch, cwd-with-reconnect (the double fires one error_temp per
+    python worker, exercising the reconnect in the graded run), nlst
+    name filtering, chunked retrbinary reassembly. Reference:
+    scripts/bdc/get_dbgap_data_dicts.py:46-137; src-ftp-files keeps
+    the HTTP-mirror/incremental-manifest half of that code path."""
+    from dug_data_ingest_spark.sources.ftp import ftp_tree_fetcher
+    from dug_data_ingest_spark.sources.ftp_fixture import parquet_ftp_factory
+
+    keys = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 8)
+        .select("s_suppkey")
+    )
+    fetch = ftp_tree_fetcher(
+        "ftp.example.test",
+        "/studies/phs{key:06d}/pheno_variable_summaries",
+        "s_suppkey",
+        "data_dict",
+        ftp_factory=parquet_ftp_factory(
+            f"{sf_dir}/supplier.parquet", timeout_first_cwd=True
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("filename", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return keyed_fetch(keys, fetch, schema).select(
+        "s_suppkey", "filename", "source", "n_bytes"
+    )
+
+
 def _part_as_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """part → canonical VARIABLE_SCHEMA rows (study=brand, dd=type)."""
     return load(spark, sf_dir, "part").select(

@@ -11,13 +11,15 @@ network implementations, mirroring the reference's client semantics:
 - per-key N+1 metadata GETs (same file :84-97)
 - primary→mirror download fallback (scripts/bdc/get_dbgap_data_dicts.py:92-104
   — the FTP retrbinary path crashes, so files fall back to the HTTPS
-  mirror of the same path). The reference's live-FTP protocol walk
-  (get_dbgap_data_dicts.py:104-120) is intentionally modeled as
-  HTTP-with-retry + mirror fallback rather than raw ftplib: dbGaP
-  serves the identical tree over HTTPS, HTTP is what a sandboxed /
-  proxied cluster can actually reach, and the retry/mirror semantics
-  are a superset of the reference's behavior (tested against a real
-  local HTTP server in tests/test_http_fetch.py)
+  mirror of the same path). The reference's raw-FTP protocol walk
+  (get_dbgap_data_dicts.py:104-120) IS implemented — sources/ftp.py:
+  login/PASV, cwd with error_temp reconnect, error_perm study probe,
+  nlst filter, retrbinary with per-file mirror fallback, fixture-
+  replayed via sources/ftp_fixture.py — for FTP-only servers; this
+  HTTP-with-retry + mirror path remains the default for dbGaP itself
+  (it serves the identical tree over HTTPS, which is what a
+  sandboxed / proxied cluster can actually reach; tested against a
+  real local HTTP server in tests/test_http_fetch.py)
 
 On top of the reference's semantics we add bounded retries with
 exponential backoff for transient failures (429/5xx/connection

@@ -1,0 +1,137 @@
+"""Raw-FTP protocol walk (sources/ftp.py) against the in-process
+ftplib double (sources/ftp_fixture.py): the reference behaviors —
+error_temp reconnect, error_perm study probe, name filtering,
+retrbinary download, per-file mirror fallback — each replayed without
+touching the network (reference: scripts/bdc/get_dbgap_data_dicts.py
+:46-137)."""
+
+from __future__ import annotations
+
+from ftplib import error_temp
+
+import pandas as pd
+import pytest
+
+from dug_data_ingest_spark.sources import ftp_fixture
+from dug_data_ingest_spark.sources.ftp import (
+    fetch_ftp_dir,
+    ftp_tree_fetcher,
+    probe_study,
+)
+from dug_data_ingest_spark.sources.ftp_fixture import (
+    dict_content,
+    dict_filename,
+    parquet_ftp_factory,
+    study_dir,
+)
+from tests.conftest import TEST_SF_DIR
+
+SUPPLIER = f"{TEST_SF_DIR}/supplier.parquet"
+HOST = "ftp.example.test"
+
+
+def _names(n=3):
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(SUPPLIER, columns=["s_suppkey", "s_name"]).to_pandas()
+    return dict(zip(pdf["s_suppkey"][:n], pdf["s_name"][:n]))
+
+
+def test_walk_downloads_filtered_files_with_exact_bytes():
+    names = _names()
+    factory = parquet_ftp_factory(SUPPLIER)
+    for k, s_name in names.items():
+        files = fetch_ftp_dir(
+            HOST, study_dir(k), "data_dict", ftp_factory=factory
+        )
+        # README.txt filtered out by name; content assembled from the
+        # chunked retrbinary callbacks
+        assert [f["filename"] for f in files] == [dict_filename(k)]
+        assert files[0]["source"] == "ftp"
+        assert files[0]["content"] == dict_content(k, s_name)
+
+
+def test_session_timeout_reconnects_then_succeeds():
+    k = next(iter(_names()))
+    ftp_fixture._TIMEOUT_FIRED.discard(SUPPLIER)
+    factory = parquet_ftp_factory(SUPPLIER, timeout_first_cwd=True)
+    files = fetch_ftp_dir(HOST, study_dir(k), "data_dict", ftp_factory=factory)
+    assert len(files) == 1  # the walk survived the 421
+
+
+def test_session_timeout_without_reconnect_budget_raises():
+    k = next(iter(_names()))
+    ftp_fixture._TIMEOUT_FIRED.discard(SUPPLIER)
+    factory = parquet_ftp_factory(SUPPLIER, timeout_first_cwd=True)
+    with pytest.raises(error_temp):
+        fetch_ftp_dir(
+            HOST, study_dir(k), "data_dict",
+            ftp_factory=factory, max_reconnects=0,
+        )
+
+
+def test_probe_study_classifies_ok_empty_missing():
+    k = next(iter(_names()))
+    study = study_dir(k).rsplit("/", 1)[0]
+    factory = parquet_ftp_factory(
+        SUPPLIER, empty_studies=frozenset({"/studies/phs999999"})
+    )
+    assert probe_study(HOST, study, ftp_factory=factory) == "ok"
+    # study exists but has no pheno_variable_summaries -> warning path
+    assert probe_study(HOST, "/studies/phs999999", ftp_factory=factory) == "empty"
+    # accession id not on the server at all -> error path
+    assert probe_study(HOST, "/studies/phs000000x", ftp_factory=factory) == "missing"
+
+
+def test_flaky_retrbinary_falls_back_to_mirror():
+    names = _names()
+    k, s_name = next(iter(names.items()))
+    flaky = dict_filename(k)
+    factory = parquet_ftp_factory(SUPPLIER, flaky_files=frozenset({flaky}))
+    fetched_urls = []
+
+    class _Resp:
+        content = b"mirror bytes"
+
+    def fake_http_get(url):
+        fetched_urls.append(url)
+        return _Resp()
+
+    files = fetch_ftp_dir(
+        HOST,
+        study_dir(k),
+        "data_dict",
+        ftp_factory=factory,
+        mirror_template="https://mirror.test/{dir_path}/{filename}",
+        http_get_fn=fake_http_get,
+    )
+    assert files[0]["source"] == "mirror"
+    assert files[0]["content"] == b"mirror bytes"
+    assert fetched_urls == [
+        f"https://mirror.test/{study_dir(k).strip('/')}/{flaky}"
+    ]
+    # without a mirror, the per-file failure propagates
+    with pytest.raises(error_temp):
+        fetch_ftp_dir(HOST, study_dir(k), "data_dict", ftp_factory=factory)
+
+
+def test_tree_fetcher_batch_shape():
+    names = _names(3)
+    factory = parquet_ftp_factory(SUPPLIER)
+    fetch = ftp_tree_fetcher(
+        HOST,
+        "/studies/phs{key:06d}/pheno_variable_summaries",
+        "s_suppkey",
+        "data_dict",
+        ftp_factory=factory,
+    )
+    out = fetch(pd.DataFrame({"s_suppkey": list(names)}))
+    assert list(out.columns) == [
+        "s_suppkey", "filename", "source", "n_bytes", "content",
+    ]
+    assert len(out) == len(names)
+    for _, row in out.iterrows():
+        assert row["n_bytes"] == len(row["content"])
+        assert row["content"] == dict_content(
+            row["s_suppkey"], names[row["s_suppkey"]]
+        )
