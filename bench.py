@@ -76,7 +76,8 @@ HEADLINE = [
     "events-stickiness",
     "text-zipf-slope",
     "agg-approx-quantiles",
-    "join-fuzzy-name",
+    # join-fuzzy-name retired round 7 (reference-only baseline; see
+    # tests/test_fuzzy_baseline.py) — qgram is the production path
     "join-fuzzy-qgram",
     "olap-grouping-sets",
     "stream-stream-join",

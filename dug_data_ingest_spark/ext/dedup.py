@@ -340,7 +340,11 @@ def _arm_cap_signal(
             target=wait, name="ngram-df-cap-signal", daemon=True
         ).start()
     except Exception:  # noqa: BLE001 — observability is best-effort
-        pass
+        log.debug(
+            "df-cap signal thread could not start; the cap itself is "
+            "unaffected, only the dropped-hot-shingle warning is lost",
+            exc_info=True,
+        )
     return hot
 
 

@@ -285,7 +285,8 @@ _EST_COST = {
     "xml-modify-study-name": 13.0, "join-skew-salted": 13.1,
     "olap-cheapest-supplier": 13.2, "olap-important-stock": 13.3,
     "events-stickiness": 13.4, "text-zipf-slope": 13.5, "snk-orc": 13.6,
-    "agg-approx-quantiles": 13.7, "join-fuzzy-name": 13.8,
+    "agg-approx-quantiles": 13.7,
+    # join-fuzzy-name retired round 7 (reference-only baseline)
     # round-6 batch
     "join-fuzzy-qgram": 14.0, "olap-grouping-sets": 14.1,
     "stream-stream-join": 14.2, "events-props-flatten": 14.3,

@@ -866,9 +866,13 @@ def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.distinct_rows(load(spark, sf_dir, "customer").select("c_mktsegment"))
 
 
-@query(
-    "join-fuzzy-name",
-    oracle="""
+# RETIRED from the registry in round 7 (SCALE.md "retire redundant
+# slugs" + VERDICT r6 "no production-path slug carrying a known
+# degeneracy"): join-fuzzy-qgram is the production fuzzy join; this
+# function stays as the measured length-band baseline it documents
+# (the controlled comparison that justified the q-gram design) and is
+# still exercised by tests/test_fuzzy_baseline.py.
+_RETIRED_FUZZY_NAME_ORACLE = """
     WITH parts AS (SELECT p_partkey, p_name, length(p_name) AS len FROM part),
     probes AS (
       SELECT p_partkey AS probe_id,
@@ -884,15 +888,18 @@ def set_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(pb.probe_name, p.p_name) AS INT) AS lev
     FROM pb JOIN parts p ON CAST(p.len // 5 AS INT) = pb.bucket
     WHERE levenshtein(pb.probe_name, p.p_name) <= 2
-    """,
-)
+    """
+
+
 def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REFERENCE-ONLY BLOCKING BASELINE — not the production path.
-    Use ``join-fuzzy-qgram`` (operators/joins.py:fuzzy_join_qgram)
-    for real workloads: length-band blocking degenerates on narrow
-    length distributions (see Caveat below), and this slug stays
-    registered solely as the measured comparison point that justifies
-    the q-gram design.
+    """REFERENCE-ONLY BLOCKING BASELINE — retired from the registry;
+    not the production path. Use ``join-fuzzy-qgram``
+    (operators/joins.py:fuzzy_join_qgram) for real workloads:
+    length-band blocking degenerates on narrow length distributions
+    (see Caveat below). This function remains as the measured
+    comparison point that justifies the q-gram design, verified
+    against ``_RETIRED_FUZZY_NAME_ORACLE`` in
+    tests/test_fuzzy_baseline.py.
 
     Fuzzy string join (edit distance ≤ 2) with length-band
     blocking: every 191st part's name, truncated by two characters,
