@@ -32,6 +32,12 @@ Manifest cardinality = number of sync keys (objects), the same list
 rclone holds in memory; the one driver-side ``collect()`` here is
 bounded by that, never by row count.
 
+The apply step's ``os.rename`` / ``shutil.rmtree`` are the local-
+FileSystem binding of operations that are server-side API calls on a
+real object store (S3 copy+delete, LakeFS object move, HDFS rename) —
+key-cardinality-many metadata calls, never data movement; swapping the
+binding does not touch the manifest/diff logic.
+
 The per-row hash is computable identically in DuckDB
 (``CAST(concat('0x', substr(md5(row), 1, 15)) AS BIGINT)``), which is
 what lets the registered ``snk-delta-sync`` query check the whole

@@ -737,6 +737,24 @@ def test_cume_distinct_never_windows_at_event_grain(queries, spark):
     )
 
 
+def test_delta_sync_manifest_is_one_mapside_groupby(spark):
+    # the content-fingerprint rollup must stay a single key shuffle
+    # with map-side partial aggregation and NO collect_list/sort —
+    # the property that keeps the manifest build O(scan) at 100 TB
+    import pyspark.sql.functions as F
+
+    from dug_data_ingest_spark.sources.delta_sync import build_manifest
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("k"),
+        "o_orderkey", "o_custkey", "o_orderstatus",
+    )
+    plan = _plan(build_manifest(df, "k", ["o_orderkey", "o_custkey", "o_orderstatus"]))
+    assert _shuffles(plan) == 1, plan
+    assert "partial_count" in plan or "partial" in plan, plan
+    assert "collect_list" not in plan and "Sort" not in plan, plan
+
+
 def test_triangle_count_builds_edges_once(queries, spark):
     # edges feeds e1/e2/e3 and the n_edges reduction: in the FINALIZED
     # AQE plan the edge pipeline materializes once (ReusedExchange /
