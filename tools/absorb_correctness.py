@@ -25,7 +25,9 @@ def main() -> None:
     from dug_data_ingest_spark.queries import _driver_green, all_queries
 
     ordered = list(all_queries())
-    green = _driver_green()
+    # restrict to the live registry: retired slugs may still have
+    # green driver rows on disk
+    green = _driver_green() & set(ordered)
     fresh = [s for s in ordered if s not in green]
     print(f"{len(green)} driver-green, {len(fresh)} fresh of {len(ordered)}")
     print("next driver window (first 50):")
