@@ -47,6 +47,7 @@ diff — including rename pairing — against a SQL oracle.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -185,8 +186,28 @@ def diff_manifests(prev: DataFrame, curr: DataFrame) -> DataFrame:
     return out
 
 
+# Spark URL-escapes partition values containing special characters
+# ("a b" → "a%20b") when writing <col>=<value> directories; the
+# rename/delete paths below address directories by RAW key and would
+# silently miss escaped ones. Rather than replicate Spark's escaping
+# (a moving target), delta-sync constrains sync keys to the characters
+# Spark writes verbatim and fails loudly otherwise — a sync key is an
+# object name, not free text.
+_SAFE_KEY = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _checked_key(key: str) -> str:
+    if not _SAFE_KEY.match(key):
+        raise ValueError(
+            f"delta-sync key {key!r} contains characters Spark would "
+            "escape in partition directory names; keys must match "
+            "[A-Za-z0-9._-]+ (derive a slug first)"
+        )
+    return key
+
+
 def _partition_dir(data_path: str, key_col: str, key: str) -> str:
-    return os.path.join(data_path, f"{key_col}={key}")
+    return os.path.join(data_path, f"{key_col}={_checked_key(key)}")
 
 
 def delta_sync_write(
@@ -217,6 +238,13 @@ def delta_sync_write(
         prev = spark.createDataFrame([], MANIFEST_SCHEMA)
 
     actions = diff_manifests(prev, curr).collect()
+    # validate EVERY key before any mutation: a partial apply that
+    # stops at the first bad key would leave store and manifest
+    # disagreeing
+    for row in actions:
+        _checked_key(row.sync_key)
+        if row.rename_to is not None:
+            _checked_key(row.rename_to)
     stats = {"upload": 0, "delete": 0, "rename": 0, "keep": 0}
     for row in actions:
         stats[row.action] += 1

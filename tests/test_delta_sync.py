@@ -148,6 +148,66 @@ def test_deleted_key_is_removed(spark, commits):
     assert stats3["empty"]
 
 
+def test_unsafe_keys_fail_loudly_before_any_mutation(spark, commits):
+    # Spark URL-escapes special characters in partition dir names; the
+    # rename/delete paths address dirs by raw key, so unsafe keys are
+    # rejected up front — BEFORE the store is touched
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-badkey")
+    df = _orders(spark).withColumn(
+        "k", F.concat(F.col("k"), F.lit(" bad/key"))
+    )
+    with pytest.raises(ValueError, match="delta-sync key"):
+        delta_sync_write(df, path, "k", CONTENT, commit_hook=hook)
+    assert calls == []
+    assert not os.path.exists(os.path.join(path, "data"))
+
+
+# --- whole-store invariant: after syncing gen1 then gen2, the store
+# --- IS gen2 — for ANY interleaving of adds/changes/renames/deletes
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_KEYS = [f"k{i}" for i in range(6)]
+_gen = st.dictionaries(
+    st.sampled_from(_KEYS),
+    st.lists(
+        st.integers(min_value=0, max_value=99), min_size=1, max_size=5
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(gen1=_gen, gen2=_gen)
+def test_store_equals_generation_two_after_any_sync(spark, gen1, gen2):
+    import shutil
+    import tempfile
+
+    def _df(gen):
+        rows = [(k, v) for k, vs in gen.items() for v in vs]
+        return spark.createDataFrame(rows, "k string, v int")
+
+    path = tempfile.mkdtemp(prefix="delta-sync-prop-")
+    try:
+        delta_sync_write(_df(gen1), path, "k", ["v"])
+        stats, _ = delta_sync_write(_df(gen2), path, "k", ["v"])
+        back = spark.read.parquet(os.path.join(path, "data"))
+        got = sorted((r.k, r.v) for r in back.collect())
+        want = sorted((k, v) for k, vs in gen2.items() for v in vs)
+        assert got == want
+        # and a third pass is a no-op
+        stats3, _ = delta_sync_write(_df(gen2), path, "k", ["v"])
+        assert stats3["empty"]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_manifest_is_order_insensitive(spark):
     df = _orders(spark)
     m1 = build_manifest(df, "k", CONTENT)
