@@ -226,6 +226,14 @@ def delta_sync_write(
     ``path/_sync_manifest``. The commit hook fires only on a non-empty
     sync, so an unchanged re-run publishes no version (LakeFS never
     even sees an empty commit).
+
+    Crash consistency: the manifest is written LAST, after every
+    rename/delete/upload landed. A sync that dies mid-apply leaves the
+    previous manifest in place, so the re-run re-diffs against the old
+    fingerprints and re-applies the remaining (idempotent) actions —
+    convergent, never silently missing work. The commit hook fires
+    after the manifest, so a published version always reflects a fully
+    applied sync.
     """
     spark = df.sparkSession
     data_path = os.path.join(path, "data")
@@ -252,13 +260,17 @@ def delta_sync_write(
     if stats["empty"]:
         return stats, actions
 
-    # server-side moves first: no data bytes rewritten
+    # server-side moves first: no data bytes rewritten. A rename whose
+    # source is gone but whose target exists was already applied by a
+    # prior partial run (crash between apply and manifest write) —
+    # skip it so re-runs converge instead of raising.
     for row in actions:
         if row.action == "rename":
-            os.rename(
-                _partition_dir(data_path, key_col, row.sync_key),
-                _partition_dir(data_path, key_col, row.rename_to),
-            )
+            src = _partition_dir(data_path, key_col, row.sync_key)
+            dst = _partition_dir(data_path, key_col, row.rename_to)
+            if not os.path.exists(src) and os.path.exists(dst):
+                continue
+            os.rename(src, dst)
     for row in actions:
         if row.action == "delete":
             shutil.rmtree(

@@ -208,6 +208,55 @@ def test_store_equals_generation_two_after_any_sync(spark, gen1, gen2):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_crashed_sync_rerun_converges(spark, commits):
+    # simulate dying AFTER the rename/delete/upload landed but BEFORE
+    # the manifest write: restore the old manifest, re-run the same
+    # sync — the re-diff re-applies idempotently (the already-moved
+    # rename is skipped, the upload overwrites, the delete is a no-op)
+    # and the store ends exactly at generation 2
+    import shutil as sh
+
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-crash")
+    df = _orders(spark)
+    delta_sync_write(df, path, "k", CONTENT, commit_hook=hook)
+    manifest = os.path.join(path, "_sync_manifest")
+    backup = os.path.join(path, "_sync_manifest.bak")
+    sh.copytree(manifest, backup)
+
+    keys = sorted(r.k for r in df.select("k").distinct().collect())
+    moved, changed, dropped = keys[0], keys[1], keys[2]
+    gen2 = (
+        df.filter(F.col("k") != dropped)
+        .withColumn(
+            "k",
+            F.when(F.col("k") == moved, F.concat(F.lit("archive-"), F.col("k")))
+            .otherwise(F.col("k")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("k") == changed, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    stats, _ = delta_sync_write(gen2, path, "k", CONTENT, commit_hook=hook)
+    assert stats["rename"] == 1 and stats["delete"] == 1 and stats["upload"] == 1
+
+    # "crash": the apply landed but the manifest write did not
+    sh.rmtree(manifest)
+    sh.copytree(backup, manifest)
+    stats2, _ = delta_sync_write(gen2, path, "k", CONTENT, commit_hook=hook)
+    assert stats2["rename"] == 1  # skipped as already-applied, not an error
+    back = spark.read.parquet(os.path.join(path, "data"))
+    assert sorted(map(tuple, back.select(*CONTENT, "k").collect())) == sorted(
+        map(tuple, gen2.select(*CONTENT, "k").collect())
+    )
+    # and now the manifest is current: a third run is a no-op
+    stats3, _ = delta_sync_write(gen2, path, "k", CONTENT, commit_hook=hook)
+    assert stats3["empty"]
+
+
 def test_manifest_is_order_insensitive(spark):
     df = _orders(spark)
     m1 = build_manifest(df, "k", CONTENT)
