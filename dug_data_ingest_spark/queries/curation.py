@@ -711,14 +711,18 @@ bi AS (
 counts AS (
   SELECT bigram, string_split(bigram, ' ')[1] AS prefix, COUNT(*) AS n_big
   FROM bi GROUP BY bigram),
+with_totals AS (
+  SELECT bigram, n_big,
+         SUM(n_big) OVER (PARTITION BY prefix) AS n_prefix
+  FROM counts),
 head AS (
-  SELECT bigram, prefix, n_big FROM counts WHERE n_big >= {_LM_MIN_COUNT}
+  SELECT bigram, n_big, n_prefix FROM with_totals
+  WHERE n_big >= {_LM_MIN_COUNT}
   ORDER BY n_big DESC, bigram LIMIT {_LM_HEAD_K}),
-pre AS (SELECT prefix, SUM(n_big) AS n_prefix FROM counts GROUP BY prefix),
 scored AS (
   SELECT b.doc_id,
-         ln(CAST(h.n_big AS DOUBLE) / pre.n_prefix) AS logp
-  FROM bi b JOIN head h USING (bigram) JOIN pre USING (prefix))
+         ln(CAST(h.n_big AS DOUBLE) / h.n_prefix) AS logp
+  FROM bi b JOIN head h USING (bigram))
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        ROUND(AVG(logp), 4) AS avg_logprob
 FROM scored GROUP BY doc_id
@@ -741,17 +745,25 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_big"))
         .withColumn("prefix", F.split("bigram", " ").getItem(0))
     )
+    # True (uncapped) denominators via a window over the SINGLE counts
+    # rollup — a separate pre = counts.groupBy(prefix) branch planned a
+    # second full scan→explode→aggregate of the corpus: an inferred
+    # isnotnull(split(bigram)[0]) pushed below one branch's exchange
+    # made the two pipelines canonically different, defeating
+    # ReusedExchange (the lesson-2 InferFilters family). The window
+    # shuffles only the vocab-bounded counts table by prefix.
+    w_prefix = Window.partitionBy("prefix")
+    with_totals = counts.select(
+        "bigram", "n_big", F.sum("n_big").over(w_prefix).alias("n_prefix")
+    )
     # frequency head: floor + deterministic top-K (TakeOrderedAndProject
     # — partial per-partition top-K, never a full sort)
     head = (
-        counts.filter(F.col("n_big") >= _LM_MIN_COUNT)
+        with_totals.filter(F.col("n_big") >= _LM_MIN_COUNT)
         .orderBy(F.desc("n_big"), F.asc("bigram"))
         .limit(_LM_HEAD_K)
     )
-    # true denominators from the UNCAPPED counts; joining the K-bounded
-    # head into the prefix rollup keeps the big side shuffle-free
-    pre = counts.groupBy("prefix").agg(F.sum("n_big").alias("n_prefix"))
-    table = pre.join(F.broadcast(head), "prefix").select(
+    table = head.select(
         "bigram", (F.col("n_big").cast("double") / F.col("n_prefix")).alias("p")
     )
     # the score join broadcasts ≤ _LM_HEAD_K rows — bounded at any SF

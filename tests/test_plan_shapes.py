@@ -653,7 +653,9 @@ def test_lm_score_caps_then_broadcasts_the_model(queries, spark):
     # the plan (TakeOrderedAndProject = floor + deterministic top-K,
     # partial per-partition — never a global Sort), the head feeds the
     # broadcasts, and the bigram stream is never sort-merge-joined
-    plan = _plan(queries["text-lm-score"](spark, SF_DIR))
+    df = queries["text-lm-score"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
@@ -661,6 +663,13 @@ def test_lm_score_caps_then_broadcasts_the_model(queries, spark):
     from dug_data_ingest_spark.queries.curation import _LM_MIN_COUNT
 
     assert f"n_big#" in plan and f">= {_LM_MIN_COUNT}" in plan, plan
+    # the LM build runs ONCE: corpus scanned exactly twice (build +
+    # score) in the FINAL plan — a regression to a second counts
+    # branch (the InferFilters reuse-defeat, SCALE.md lesson 12) would
+    # show a third scan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan, plan
+    assert final.count("documents.parquet") == 2, final
 
 
 def test_lm_score_cap_bites_in_the_result(queries, spark):
