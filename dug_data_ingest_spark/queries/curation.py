@@ -821,7 +821,17 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(normalized_words(F.col("text"))).alias("token")
     ).filter(F.col("token") != "")
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    # The vacuous tf >= 1 filter is load-bearing: without it, column
+    # pruning strips tf's count from THIS branch's partial aggregate
+    # (functions=[] vs functions=[partial_count(1)]), the two tf
+    # exchanges stop being canonically identical, and ReusedExchange
+    # can't share the scan→explode→rollup shuffle — the corpus would
+    # be exploded twice (the lesson-12 reuse-defeat; plan-pinned).
+    df_counts = (
+        tf.filter(F.col("tf") >= 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
     # no broadcast hint on the vocabulary-sized df table: AQE
     # broadcasts while small, degrades to a token-keyed shuffle join
     # beyond the threshold (the 1-row corpus total stays hinted)

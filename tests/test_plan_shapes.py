@@ -708,9 +708,18 @@ def test_keyword_tfidf_df_join_is_adaptive_not_forced(queries, spark):
     # token-keyed shuffle join — i.e. the broadcast is adaptive, not a
     # forced hint that would OOM the driver when the vocabulary
     # outgrows the threshold at 100 TB
-    plan = _plan(queries["text-keyword-tfidf"](spark, SF_DIR))
+    df = queries["text-keyword-tfidf"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # the (doc, token) rollup shuffle is SHARED between the df branch
+    # and the score branch (the vacuous tf >= 1 filter keeps the two
+    # exchanges canonically identical): corpus exploded once
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan, plan
+    assert final.count("documents.parquet") == 2, final  # rollup + total
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
