@@ -136,7 +136,16 @@ def fetch_ftp_dir(
         ftp = _cwd_with_reconnect(
             ftp, host, timeout, ftp_factory, dir_path, max_reconnects
         )
-        names = sorted(n for n in ftp.nlst(".") if name_filter in n)
+        # servers differ on NLST output: bare names, "./name", or full
+        # paths — normalize to basenames so the filter and RETR always
+        # see the same form
+        names = sorted(
+            {
+                n.rsplit("/", 1)[-1]
+                for n in ftp.nlst(".")
+                if name_filter in n.rsplit("/", 1)[-1]
+            }
+        )
         out: list[dict] = []
         for name in names:
             chunks: list[bytes] = []

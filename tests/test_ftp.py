@@ -115,6 +115,30 @@ def test_flaky_retrbinary_falls_back_to_mirror():
         fetch_ftp_dir(HOST, study_dir(k), "data_dict", ftp_factory=factory)
 
 
+def test_nlst_path_forms_are_normalized():
+    # servers differ on NLST output: bare names, "./name", full paths —
+    # the walk must handle all three identically
+    k = next(iter(_names()))
+    base = parquet_ftp_factory(SUPPLIER)
+
+    def prefixing_factory(prefix):
+        def factory(host, timeout=60):
+            inner = base(host, timeout=timeout)
+            orig = inner.nlst
+            inner.nlst = lambda arg=".": [f"{prefix}{n}" for n in orig(arg)]
+            return inner
+
+        return factory
+
+    expected = fetch_ftp_dir(HOST, study_dir(k), "data_dict", ftp_factory=base)
+    for prefix in ("./", f"{study_dir(k)}/"):
+        got = fetch_ftp_dir(
+            HOST, study_dir(k), "data_dict",
+            ftp_factory=prefixing_factory(prefix),
+        )
+        assert got == expected, prefix
+
+
 def test_tree_fetcher_batch_shape():
     names = _names(3)
     factory = parquet_ftp_factory(SUPPLIER)
