@@ -280,12 +280,18 @@ def delta_sync_write(
     to_write = [r.sync_key for r in actions if r.action == "upload"]
     if to_write:
         # dynamic overwrite: only the partitions present in the
-        # filtered frame are replaced; everything else is untouched
+        # filtered frame are replaced; everything else is untouched.
+        # Repartition by the sync key first: an unshuffled partitioned
+        # write emits up to (input tasks × keys) files — file-count
+        # rot that compounds across weekly syncs at scale; keyed
+        # repartition bounds it at one file per partition dir (cap a
+        # hot key's file size with spark.sql.files.maxRecordsPerFile).
         mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             (
                 df.filter(F.col(key_col).cast("string").isin(to_write))
+                .repartition(F.col(key_col))
                 .write.mode("overwrite")
                 .partitionBy(key_col)
                 .parquet(data_path)

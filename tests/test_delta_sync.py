@@ -257,6 +257,18 @@ def test_crashed_sync_rerun_converges(spark, commits):
     assert stats3["empty"]
 
 
+def test_one_file_per_partition_dir(spark):
+    # keyed repartition before the write: file count is bounded by the
+    # number of sync keys, not (input tasks x keys) — weekly re-syncs
+    # must not accrete files
+    path = scratch_dir("test-delta-sync-files")
+    df = _orders(spark).repartition(16)  # deliberately many input tasks
+    delta_sync_write(df, path, "k", CONTENT)
+    n_keys = df.select("k").distinct().count()
+    files = _file_states(path)
+    assert len(files) == n_keys, (len(files), n_keys)
+
+
 def test_manifest_is_order_insensitive(spark):
     df = _orders(spark)
     m1 = build_manifest(df, "k", CONTENT)
