@@ -88,3 +88,40 @@ def test_deferred_new_slugs_wait_behind_regrades_then_lead(tmp_path, monkeypatch
     _write(tmp_path, 6, {"s": GOOD, "n": GOOD})  # round 6 graded
     order = Q._prioritized(["a", "d", "n", "s"])
     assert order[0] == "d"  # marker expired: ordinary never-graded lead
+
+
+def test_round8_projection_on_real_registry(tmp_path, monkeypatch):
+    # Project the NEXT round against the real registry and the real
+    # on-disk correctness history: simulate the driver grading this
+    # round's 50-slot window all-green, then assert the two round-7
+    # registrations (deferred via marker 7) lead the following window.
+    # Catches a defer-marker mistake BEFORE it costs a real round.
+    import glob
+    import os
+    import shutil
+
+    from dug_data_ingest_spark.queries import all_queries
+
+    slugs = list(all_queries())  # force registration first
+    assert len(slugs) >= 200
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(Q.__file__)))
+    )
+    real_files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    assert real_files, repo  # guard against a wrong repo-root guess
+    for f in real_files:
+        shutil.copy(f, tmp_path)
+    real = Q._driver_rows
+    monkeypatch.setattr(
+        Q, "_driver_rows", lambda root=None: real(root=str(tmp_path))
+    )
+    _latest, mx = real(root=str(tmp_path))
+    this_window = Q._prioritized(slugs)[:50]
+    assert "snk-delta-sync" not in this_window
+    assert "src-ftp-walk" not in this_window
+
+    _write(tmp_path, mx + 1, {s: GOOD for s in this_window})
+    next_window = Q._prioritized(slugs)[:50]
+    assert set(next_window[:2]) == {"snk-delta-sync", "src-ftp-walk"}
+    # and nothing freshly graded re-enters the very next window
+    assert not (set(next_window) & set(this_window))
