@@ -1,0 +1,65 @@
+"""Scan-count audit: run every registered slug at sf0.001, finalize
+its adaptive plan, and flag any slug whose FINAL plan scans one table
+more than twice — the signature of a defeated-reuse regression (two
+branches of the same rollup planned as separate pipelines).
+
+    python tools/scan_audit.py
+
+Round-7 provenance: this audit caught text-lm-score's duplicated LM
+build (an inferred isnotnull pushed below one branch's exchange) and
+text-keyword-tfidf's duplicated (doc, token) rollup (column pruning
+stripped one branch's partial count) — both fixed and plan-pinned.
+Every remaining FLAG is justified and documented in SCALE.md lesson
+12: truth-vs-sketch measurement slugs, per-round kmeans scans,
+inherently multi-pass pipelines, and fuzzy-qgram's rarity pass.
+Re-run after any plan-shaping change; investigate NEW flags.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# FLAGs reviewed and justified as of round 7 (see module docstring).
+KNOWN = {
+    "events-audience-overlap", "join-fuzzy-qgram", "pipeline-curate-corpus",
+    "pipeline-incremental-dedup", "sim-ivf-recall", "sim-kmeans-cells",
+    "sim-lsh-recall", "sim-lsh-recall-banded", "src-ftp-files",
+    "text-decontaminate",
+}
+
+
+def main() -> int:
+    from dug_data_ingest_spark.queries import all_queries
+    from dug_data_ingest_spark.session import get_spark
+
+    spark = get_spark("scan-audit")
+    new_flags = []
+    for slug, fn in sorted(all_queries().items()):
+        try:
+            df = fn(spark, SF_DIR)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("+- == Initial Plan ==")[0]
+            tables = Counter(re.findall(r"(\w+)\.parquet", final))
+            multi = {t: n for t, n in tables.items() if n > 2}
+            if multi:
+                tag = "known" if slug in KNOWN else "NEW"
+                print(f"FLAG[{tag}] {slug}: {multi}", flush=True)
+                if slug not in KNOWN:
+                    new_flags.append(slug)
+        except Exception as exc:  # noqa: BLE001 — isolate per slug
+            print(f"SKIP {slug}: {type(exc).__name__}: {exc}"[:160], flush=True)
+
+    print(f"AUDIT DONE — {len(new_flags)} new flag(s): {new_flags}")
+    return 1 if new_flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,83 @@
+"""Full driver simulation: every registered slug vs its DuckDB oracle
+under a VANILLA SparkSession, strict compare (floats bit-for-bit via
+repr — stricter than the driver's 6-decimal normalization).
+
+    python tools/sweep_parity.py [sf] [master]
+
+Defaults: sf 0.01, master local[32]. Prints FAIL/ERROR lines as they
+happen and one JSON summary line at the end. Run at sf 0.01 AND 0.1
+before every round close (SURVEY §6 layer 2); tests/ only cover
+sf0.001.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "0.01"
+    master = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
+    sf_dir = f"/root/testdata/sf{sf}"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    def norm(d):
+        return sorted(
+            map(repr, d[sorted(d.columns)].itertuples(index=False, name=None))
+        )
+
+    fails, n_ok = [], 0
+    for slug, fn in qs.items():
+        try:
+            sp = fn(spark, sf_dir).toPandas()
+            if slug in oracles:
+                du = con.sql(oracles[slug]).df()
+                ok = norm(sp) == norm(du)
+            else:
+                ok = len(sp) >= 0  # rows-only slugs
+            if ok:
+                n_ok += 1
+            else:
+                fails.append(slug)
+                print(f"FAIL {slug}: rows {len(sp)}/{len(du)}", flush=True)
+        except Exception as exc:  # noqa: BLE001 — isolate per slug
+            fails.append(slug)
+            print(f"ERROR {slug}: {type(exc).__name__}: {exc}", flush=True)
+            traceback.print_exc()
+
+    print(json.dumps({"sf": sf, "master": master, "ok": n_ok,
+                      "total": len(qs), "fails": fails}))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
