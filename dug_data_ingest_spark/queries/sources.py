@@ -365,11 +365,16 @@ def snk_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as a content-hash manifest diff (sources/delta_sync.py). The graded
 # scenario runs TWO real generations through delta_sync_write on the
 # scratch store — generation 2 extends the date range (added months →
-# upload), flips scattered statuses (changed months → upload), moves
-# one month's identical bytes to an archive key (rename, zero bytes
-# rewritten), and drops one month (delete) — and returns the second
-# sync's action plan, which the oracle reproduces from the same two
-# generations in pure SQL, rename pairing included.
+# upload), flips statuses in a BOUNDED set of months (changed months →
+# upload), moves one month's identical bytes to an archive key
+# (rename, zero bytes rewritten), and drops one month (delete) — and
+# returns the second sync's action plan, which the oracle reproduces
+# from the same two generations in pure SQL, rename pairing included.
+# The mutation is deliberately confined to 1996-01..03: a delta sink's
+# defining property is that untouched partitions cost nothing, so the
+# graded scenario keeps most months on the keep path (the second
+# sync rewrites ~3 changed + ~6 added partition dirs, not the whole
+# store) while still exercising every action type at every SF.
 # ---------------------------------------------------------------------------
 
 _DS_HASH = (
@@ -391,8 +396,9 @@ WITH g1 AS (
 ),
 g2_base AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS m, o_orderkey, o_custkey,
-         CASE WHEN o_orderkey % 997 = 0
-                   AND strftime(o_orderdate, '%Y-%m') <> '1995-03'
+         CASE WHEN o_orderkey % 7 = 0
+                   AND strftime(o_orderdate, '%Y-%m')
+                       IN ('1996-01', '1996-02', '1996-03')
               THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
          o_orderpriority
   FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
@@ -470,7 +476,9 @@ def _delta_sync_generations(
         .select(
             month.alias("m"), "o_orderkey", "o_custkey",
             F.when(
-                (F.col("o_orderkey") % 997 == 0) & (month != "1995-03"), "X"
+                (F.col("o_orderkey") % 7 == 0)
+                & month.isin("1996-01", "1996-02", "1996-03"),
+                "X",
             ).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
             "o_orderpriority",
         )

@@ -289,9 +289,16 @@ def delta_sync_write(
         mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
+            staged = df
+            if len(to_write) < len(actions):
+                staged = staged.filter(
+                    F.col(key_col).cast("string").isin(to_write)
+                )
+            # else: every key uploads (e.g. the initial publish into an
+            # empty store) — the membership filter would pass all rows,
+            # so skip evaluating it
             (
-                df.filter(F.col(key_col).cast("string").isin(to_write))
-                .repartition(F.col(key_col))
+                staged.repartition(F.col(key_col))
                 .write.mode("overwrite")
                 .partitionBy(key_col)
                 .parquet(data_path)
