@@ -2,12 +2,22 @@
 under a VANILLA SparkSession, strict compare (floats bit-for-bit via
 repr — stricter than the driver's 6-decimal normalization).
 
-    python tools/sweep_parity.py [sf] [master]
+    python tools/sweep_parity.py [sf] [master] [shuffle_partitions]
 
-Defaults: sf 0.01, master local[32]. Prints FAIL/ERROR lines as they
-happen and one JSON summary line at the end. Run at sf 0.01 AND 0.1
-before every round close (SURVEY §6 layer 2); tests/ only cover
+Defaults: sf 0.01, master local[32], Spark's default shuffle
+partitions (200 on a vanilla session). Prints FAIL/ERROR lines as
+they happen and one JSON summary line at the end. Run at sf 0.01 AND
+0.1 before every round close (SURVEY §6 layer 2); tests/ only cover
 sf0.001.
+
+The third arg is the determinism probe: an adversarial partition
+count that divides nothing evenly (e.g. 7) reshapes every shuffle's
+row-to-task assignment, so any result that leans on partition order
+or count — an untied rank, a first() without an order, a
+collect_list serialized unsorted — diverges from its oracle. Run
+``python tools/sweep_parity.py 0.001 'local[5]' 7`` as the cheap
+third axis alongside the two vanilla sweeps (tests run local[8]/32
+shuffle partitions, sweeps local[32]/200).
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ TABLES = [
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "0.01"
     master = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
+    shuffle_partitions = sys.argv[3] if len(sys.argv) > 3 else None
     sf_dir = f"/root/testdata/sf{sf}"
 
     import duckdb
@@ -40,6 +51,8 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
 
     import __spark_entry__ as e
 
@@ -74,8 +87,9 @@ def main() -> int:
             print(f"ERROR {slug}: {type(exc).__name__}: {exc}", flush=True)
             traceback.print_exc()
 
-    print(json.dumps({"sf": sf, "master": master, "ok": n_ok,
-                      "total": len(qs), "fails": fails}))
+    print(json.dumps({"sf": sf, "master": master,
+                      "shuffle_partitions": shuffle_partitions,
+                      "ok": n_ok, "total": len(qs), "fails": fails}))
     return 1 if fails else 0
 
 
