@@ -377,9 +377,22 @@ def snk_object_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # store) while still exercising every action type at every SF.
 # ---------------------------------------------------------------------------
 
+# mirrors sources/delta_sync.py:row_content_hash — each column is
+# length-prefixed and NULL-sentineled (<len>:<value> | '<NULL>') so
+# the serialization is injective: NULLs can't shift later columns
+# into earlier slots and separators inside values can't re-segment
+# the row
+_DS_COL = (
+    "COALESCE(length(CAST({c} AS VARCHAR)) || ':' || CAST({c} AS VARCHAR),"
+    " '<NULL>')"
+)
 _DS_HASH = (
-    "CAST(concat('0x', substr(md5(concat_ws('|', o_orderkey, o_custkey, "
-    "o_orderstatus, o_orderpriority)), 1, 15)) AS BIGINT)"
+    "CAST(concat('0x', substr(md5(concat_ws('|', "
+    + ", ".join(
+        _DS_COL.format(c=c)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+    + ")), 1, 15)) AS BIGINT)"
 )
 _DS_MANIFEST = (
     "SELECT k AS sync_key, COUNT(*) AS n_rows, "

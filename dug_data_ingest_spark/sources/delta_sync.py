@@ -80,9 +80,32 @@ ACTIONS_SCHEMA = T.StructType(
 
 
 def row_content_hash(*cols: Column | str) -> Column:
-    """Cross-engine 60-bit row fingerprint: md5 of the '|'-joined
-    columns, first 15 hex chars parsed base-16."""
-    joined = F.concat_ws("|", *cols)
+    """Cross-engine 60-bit row fingerprint: md5 of a TOTAL row
+    serialization, first 15 hex chars parsed base-16.
+
+    The serialization is injective, not just a '|'-join: each column
+    renders as ``<length>:<value>`` with NULL as a bare sentinel, so
+    (a) a NULL can never shift later columns into earlier positions
+    (Spark's concat_ws silently skips NULL args — ('x', NULL) and
+    (NULL, 'x') would both join to 'x'), and (b) a separator INSIDE a
+    value can never re-segment the row (('x|y', 'z') vs ('x', 'y|z')
+    — the length prefix pins each field's extent). Without both, a
+    real content change could fingerprint identically and diff as
+    'keep', silently never syncing. DuckDB mirror:
+    ``COALESCE(length(CAST(c AS VARCHAR)) || ':' || CAST(c AS
+    VARCHAR), '<NULL>')`` joined with '|'."""
+    rendered = [
+        F.coalesce(
+            F.concat(
+                F.length(F.col(c).cast("string") if isinstance(c, str) else c.cast("string")),
+                F.lit(":"),
+                F.col(c).cast("string") if isinstance(c, str) else c.cast("string"),
+            ),
+            F.lit("<NULL>"),
+        )
+        for c in cols
+    ]
+    joined = F.concat_ws("|", *rendered)
     return F.conv(F.substring(F.md5(joined), 1, _HASH_HEX_CHARS), 16, 10).cast(
         "bigint"
     )
@@ -197,6 +220,13 @@ _SAFE_KEY = re.compile(r"^[A-Za-z0-9._-]+$")
 
 
 def _checked_key(key: str) -> str:
+    if key is None:
+        raise ValueError(
+            "delta-sync key is NULL; a sync key is an object name — "
+            "filter or coalesce NULL keys before syncing (NULL never "
+            "equals NULL in the manifest join, so a NULL key could "
+            "not even be tracked as unchanged)"
+        )
     if not _SAFE_KEY.match(key):
         raise ValueError(
             f"delta-sync key {key!r} contains characters Spark would "
@@ -234,12 +264,25 @@ def delta_sync_write(
     convergent, never silently missing work. The commit hook fires
     after the manifest, so a published version always reflects a fully
     applied sync.
+
+    ``df`` is scanned exactly twice: once to fingerprint (the
+    "checksum everything" pass rclone also pays) and once to write
+    the changed partitions. The current manifest is COLLECTED from
+    the fingerprint pass (key-cardinality bounded, same as the action
+    plan) and the stored manifest is written back from those collected
+    rows — never recomputed from ``df`` — so the manifest on disk
+    always records exactly the fingerprints the diff saw, even if
+    ``df`` is non-deterministic or its source changed mid-sync.
     """
     spark = df.sparkSession
     data_path = os.path.join(path, "data")
     manifest_path = os.path.join(path, "_sync_manifest")
 
-    curr = build_manifest(df, key_col, content_cols)
+    curr_rows = build_manifest(df, key_col, content_cols).collect()
+    for r in curr_rows:
+        if r.sync_key is None:
+            _checked_key(None)  # descriptive ValueError
+    curr = spark.createDataFrame(curr_rows, MANIFEST_SCHEMA)
     if os.path.exists(manifest_path):
         prev = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
     else:
@@ -273,38 +316,41 @@ def delta_sync_write(
             os.rename(src, dst)
     for row in actions:
         if row.action == "delete":
-            shutil.rmtree(
-                _partition_dir(data_path, key_col, row.sync_key),
-                ignore_errors=True,
-            )
+            # only a MISSING dir is tolerable (a prior partial run
+            # already applied this delete — the crash-rerun case). Any
+            # other failure must abort BEFORE the manifest write:
+            # swallowing it would record the key as gone while its
+            # data still serves, divergence no later diff can see.
+            try:
+                shutil.rmtree(_partition_dir(data_path, key_col, row.sync_key))
+            except FileNotFoundError:
+                pass
     to_write = [r.sync_key for r in actions if r.action == "upload"]
     if to_write:
         # dynamic overwrite: only the partitions present in the
         # filtered frame are replaced; everything else is untouched.
+        # Per-writer option, not the session conf — mutating the
+        # global conf would race any concurrent write on the session.
         # Repartition by the sync key first: an unshuffled partitioned
         # write emits up to (input tasks × keys) files — file-count
         # rot that compounds across weekly syncs at scale; keyed
         # repartition bounds it at one file per partition dir (cap a
         # hot key's file size with spark.sql.files.maxRecordsPerFile).
-        mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            staged = df
-            if len(to_write) < len(actions):
-                staged = staged.filter(
-                    F.col(key_col).cast("string").isin(to_write)
-                )
-            # else: every key uploads (e.g. the initial publish into an
-            # empty store) — the membership filter would pass all rows,
-            # so skip evaluating it
-            (
-                staged.repartition(F.col(key_col))
-                .write.mode("overwrite")
-                .partitionBy(key_col)
-                .parquet(data_path)
+        staged = df
+        if len(to_write) < len(actions):
+            staged = staged.filter(
+                F.col(key_col).cast("string").isin(to_write)
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+        # else: every key uploads (e.g. the initial publish into an
+        # empty store) — the membership filter would pass all rows,
+        # so skip evaluating it
+        (
+            staged.repartition(F.col(key_col))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key_col)
+            .parquet(data_path)
+        )
 
     curr.write.mode("overwrite").parquet(manifest_path)
     if commit_hook is not None:

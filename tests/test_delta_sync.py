@@ -163,6 +163,70 @@ def test_unsafe_keys_fail_loudly_before_any_mutation(spark, commits):
     assert not os.path.exists(os.path.join(path, "data"))
 
 
+def test_null_key_fails_loudly_before_any_mutation(spark, commits):
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-nullkey")
+    df = _orders(spark).withColumn(
+        "k", F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("k"))
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        delta_sync_write(df, path, "k", CONTENT, commit_hook=hook)
+    assert calls == []
+    assert not os.path.exists(os.path.join(path, "data"))
+
+
+def test_row_hash_serialization_is_injective(spark):
+    # concat_ws alone would collide ('x', NULL) with (NULL, 'x') —
+    # Spark skips NULL args — and ('x|y', 'z') with ('x', 'y|z');
+    # the length-prefixed, NULL-sentineled rendering keeps every
+    # distinct row pair distinct, so a content change can never
+    # fingerprint as 'keep'
+    from dug_data_ingest_spark.sources.delta_sync import row_content_hash
+
+    rows = [("x", None), (None, "x"), ("x|y", "z"), ("x", "y|z"),
+            ("", None), (None, ""), ("2:a", "b"), ("a", "b")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    hashes = [r.h for r in df.select(row_content_hash("a", "b").alias("h")).collect()]
+    assert len(set(hashes)) == len(rows), hashes
+
+
+def test_failed_delete_aborts_before_manifest_write(spark, commits, monkeypatch):
+    # a delete that fails for any reason other than already-gone must
+    # abort the sync BEFORE the manifest records the key as absent —
+    # otherwise the stale partition serves forever and no later diff
+    # can see it
+    import dug_data_ingest_spark.sources.delta_sync as ds
+
+    orig_rmtree = ds.shutil.rmtree
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-faildel")
+    df = _orders(spark)
+    delta_sync_write(df, path, "k", CONTENT)
+    manifest_before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(path, "_sync_manifest")).collect())
+    )
+
+    gone = df.filter(F.col("k") != F.lit("1995-06"))  # one delete action
+
+    def deny(p, *a, **kw):
+        raise OSError(f"simulated EBUSY: {p}")
+
+    monkeypatch.setattr(ds.shutil, "rmtree", deny)
+    with pytest.raises(OSError, match="EBUSY"):
+        delta_sync_write(gone, path, "k", CONTENT, commit_hook=hook)
+    monkeypatch.setattr(ds.shutil, "rmtree", orig_rmtree)
+
+    # manifest untouched, hook never fired: the re-run still sees the
+    # key and re-applies the delete
+    manifest_after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(path, "_sync_manifest")).collect())
+    )
+    assert manifest_after == manifest_before
+    assert calls == []
+    stats, _ = delta_sync_write(gone, path, "k", CONTENT)
+    assert stats["delete"] == 1
+
+
 # --- whole-store invariant: after syncing gen1 then gen2, the store
 # --- IS gen2 — for ANY interleaving of adds/changes/renames/deletes
 from hypothesis import HealthCheck, given, settings  # noqa: E402
