@@ -13,15 +13,25 @@ Reference behavior mirrored:
 - ``error_temp`` (server-side session timeout) on ``cwd`` →
   disconnect, reconnect, retry — bounded, not unbounded (ref
   :104-120: "Sometimes we've timed out on the FTP server by this
-  point. So let's disconnect and reconnect.")
+  point. So let's disconnect and reconnect.") ``EOFError`` — what
+  ftplib raises when the server silently drops the control
+  connection — is treated as the same condition: it is neither an
+  ``OSError`` nor an ``ftplib.Error``, so an except tuple without it
+  lets a dropped connection crash the executor task instead of
+  reconnecting.
 - ``nlst`` listing + substring filename filter (``data_dict`` /
   ``GapExchange``, ref :85-87, :121-124)
-- ``retrbinary`` download (ref :126-128). The reference found
+- ``retrbinary`` download (ref :126-128). A transfer that dies with a
+  session-timeout-shaped failure (``error_temp`` / ``EOFError``) gets
+  ONE reconnect + re-cwd + retry — the same remedy the reference
+  applies to cwd — BEFORE any fallback, so a mid-directory timeout
+  doesn't silently reroute the remaining files. The reference found
   retrbinary flaky for the data-dict files and hard-switched those to
   the HTTPS mirror of the same tree (ref :92-104); here retrbinary is
-  the primary and a PER-FILE failure falls back to the mirror URL when
-  one is configured — the superset of both reference paths, and the
-  same primary→mirror contract as ``fallback_download_fetcher``.
+  the primary and a file whose transfer still fails after the retry
+  falls back to the mirror URL when one is configured — the superset
+  of both reference paths, and the same primary→mirror contract as
+  ``fallback_download_fetcher``.
 
 The FTP class is injectable (``ftp_factory``) so tests — and the
 fixture-replayed ``src-ftp-walk`` query — replay the whole walk,
@@ -29,10 +39,13 @@ including error_temp reconnects and retrbinary failures, against an
 in-process double (sources/ftp_fixture.py); no live network.
 
 At cluster scale the walk runs INSIDE executors via the standard
-``fetch_batch`` shape (``ftp_tree_fetcher``): one FTP connection per
-Arrow batch, file payloads are rows from the moment they download, and
-the study→executor fan-out is Spark's partitioning of the key column —
-the driver never holds file bytes.
+``fetch_batch`` shape (``ftp_tree_fetcher``): ONE FTP connection per
+Arrow batch (``FtpWalker`` owns it — hundreds of keys share one
+login/PASV handshake instead of one handshake per key, the
+connection-churn pattern real servers throttle), file payloads are
+rows from the moment they download, and the study→executor fan-out is
+Spark's partitioning of the key column — the driver never holds file
+bytes.
 """
 
 from __future__ import annotations
@@ -45,6 +58,11 @@ import pandas as pd
 
 DEFAULT_FTP_TIMEOUT = 60  # reference: FTP_TIMEOUT (get_dbgap_data_dicts.py)
 DEFAULT_RECONNECTS = 1
+
+# the "session died under us" conditions a reconnect can cure:
+# server-side timeout (421/426) or a silently dropped control
+# connection (ftplib raises bare EOFError for that)
+_RECONNECTABLE = (error_temp, EOFError)
 
 
 def _connect(host: str, timeout: float, ftp_factory):
@@ -62,24 +80,141 @@ def _quit_quietly(ftp) -> None:
         pass
 
 
-def _cwd_with_reconnect(
-    ftp, host, timeout, ftp_factory, dir_path, max_reconnects
-):
-    """cwd that survives server-side session timeouts: on error_temp,
-    reconnect and retry up to ``max_reconnects`` times (ref :104-120).
-    error_perm propagates — that's a missing directory, not a timeout.
-    Returns the (possibly new) connection."""
-    reconnects = 0
-    while True:
+class FtpWalker:
+    """One FTP control connection with bounded reconnect-on-timeout.
+
+    The walker OWNS the connection: reconnects swap the internal
+    handle, and ``close()`` always quits the CURRENT one — so a cwd
+    that reconnects and then fails can never leak the fresh socket
+    (the bug shape of holding the pre-reconnect handle in a caller's
+    finally). Connection setup is lazy; the reconnect budget is per
+    operation, not per walker lifetime.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        *,
+        ftp_factory=ftplib.FTP,
+        timeout: float = DEFAULT_FTP_TIMEOUT,
+        max_reconnects: int = DEFAULT_RECONNECTS,
+    ) -> None:
+        self.host = host
+        self.ftp_factory = ftp_factory
+        self.timeout = timeout
+        self.max_reconnects = max_reconnects
+        self._ftp = None
+
+    def _conn(self):
+        if self._ftp is None:
+            self._ftp = _connect(self.host, self.timeout, self.ftp_factory)
+        return self._ftp
+
+    def _reconnect(self):
+        if self._ftp is not None:
+            _quit_quietly(self._ftp)
+            self._ftp = None
+        return self._conn()
+
+    def close(self) -> None:
+        if self._ftp is not None:
+            _quit_quietly(self._ftp)
+            self._ftp = None
+
+    def cwd(self, dir_path: str) -> None:
+        """cwd that survives server-side session timeouts: on
+        error_temp/EOFError, reconnect and retry up to
+        ``max_reconnects`` times (ref :104-120). error_perm propagates
+        — that's a missing directory, not a timeout."""
+        reconnects = 0
+        while True:
+            try:
+                self._conn().cwd(dir_path)
+                return
+            except _RECONNECTABLE:
+                if reconnects >= self.max_reconnects:
+                    raise
+                reconnects += 1
+                self._reconnect()
+
+    def _retr(self, name: str) -> bytes:
+        chunks: list[bytes] = []
+        self._conn().retrbinary(f"RETR {name}", chunks.append)
+        return b"".join(chunks)
+
+    def _retr_with_reconnect(self, name: str, dir_path: str) -> bytes:
+        """retrbinary with the cwd treatment: a session-timeout-shaped
+        failure gets one reconnect + re-cwd + retry before the caller
+        decides on fallback. Permanent failures (error_perm) and plain
+        socket errors propagate immediately."""
         try:
-            ftp.cwd(dir_path)
-            return ftp
-        except error_temp:
-            if reconnects >= max_reconnects:
+            return self._retr(name)
+        except _RECONNECTABLE:
+            if self.max_reconnects < 1:
                 raise
-            reconnects += 1
-            _quit_quietly(ftp)
-            ftp = _connect(host, timeout, ftp_factory)
+            self._reconnect()
+            self.cwd(dir_path)
+            return self._retr(name)
+
+    def fetch_dir(
+        self,
+        dir_path: str,
+        name_filter: str,
+        *,
+        mirror_template: str | None = None,
+        http_get_fn=None,
+    ) -> list[dict]:
+        """Walk ONE FTP directory and download every file whose name
+        contains ``name_filter``. Returns
+        ``[{filename, source, content}]`` with source ``"ftp"`` or
+        ``"mirror"``.
+
+        cwd and transfers survive session timeouts via bounded
+        reconnect; a file whose transfer STILL fails falls back to
+        ``mirror_template.format(dir_path=..., filename=...)`` when
+        given (the reference's HTTPS-mirror path, ref :92-104), else
+        propagates.
+        """
+        self.cwd(dir_path)
+        # servers differ on NLST output: bare names, "./name", or full
+        # paths — normalize to basenames so the filter and RETR always
+        # see the same form
+        names = sorted(
+            {
+                n.rsplit("/", 1)[-1]
+                for n in self._conn().nlst(".")
+                if name_filter in n.rsplit("/", 1)[-1]
+            }
+        )
+        out: list[dict] = []
+        for name in names:
+            try:
+                content = self._retr_with_reconnect(name, dir_path)
+                out.append(
+                    {"filename": name, "source": "ftp", "content": content}
+                )
+            except (OSError, EOFError, ftplib.Error):
+                if mirror_template is None:
+                    raise
+                if http_get_fn is None:
+                    from dug_data_ingest_spark.sources.http_client import (
+                        http_get,
+                    )
+
+                    http_get_fn = http_get
+                resp = http_get_fn(
+                    mirror_template.format(
+                        dir_path=dir_path.strip("/"), filename=name
+                    )
+                )
+                out.append(
+                    {
+                        "filename": name,
+                        "source": "mirror",
+                        "content": resp.content,
+                    }
+                )
+        return out
 
 
 def probe_study(
@@ -122,64 +257,23 @@ def fetch_ftp_dir(
     mirror_template: str | None = None,
     http_get_fn=None,
 ) -> list[dict]:
-    """Walk ONE FTP directory and download every file whose name
-    contains ``name_filter``. Returns ``[{filename, source, content}]``
-    with source ``"ftp"`` or ``"mirror"``.
-
-    cwd survives error_temp via reconnect; a per-file retrbinary
-    failure falls back to ``mirror_template.format(dir_path=...,
-    filename=...)`` when given (the reference's HTTPS-mirror path,
-    ref :92-104), else propagates.
-    """
-    ftp = _connect(host, timeout, ftp_factory)
+    """One-shot directory walk: a fresh ``FtpWalker`` per call, closed
+    on every path. See ``FtpWalker.fetch_dir``."""
+    walker = FtpWalker(
+        host,
+        ftp_factory=ftp_factory,
+        timeout=timeout,
+        max_reconnects=max_reconnects,
+    )
     try:
-        ftp = _cwd_with_reconnect(
-            ftp, host, timeout, ftp_factory, dir_path, max_reconnects
+        return walker.fetch_dir(
+            dir_path,
+            name_filter,
+            mirror_template=mirror_template,
+            http_get_fn=http_get_fn,
         )
-        # servers differ on NLST output: bare names, "./name", or full
-        # paths — normalize to basenames so the filter and RETR always
-        # see the same form
-        names = sorted(
-            {
-                n.rsplit("/", 1)[-1]
-                for n in ftp.nlst(".")
-                if name_filter in n.rsplit("/", 1)[-1]
-            }
-        )
-        out: list[dict] = []
-        for name in names:
-            chunks: list[bytes] = []
-            try:
-                ftp.retrbinary(f"RETR {name}", chunks.append)
-                out.append(
-                    {
-                        "filename": name,
-                        "source": "ftp",
-                        "content": b"".join(chunks),
-                    }
-                )
-            except (OSError, ftplib.Error):
-                if mirror_template is None:
-                    raise
-                if http_get_fn is None:
-                    from dug_data_ingest_spark.sources.http_client import http_get
-
-                    http_get_fn = http_get
-                resp = http_get_fn(
-                    mirror_template.format(
-                        dir_path=dir_path.strip("/"), filename=name
-                    )
-                )
-                out.append(
-                    {
-                        "filename": name,
-                        "source": "mirror",
-                        "content": resp.content,
-                    }
-                )
-        return out
     finally:
-        _quit_quietly(ftp)
+        walker.close()
 
 
 def ftp_tree_fetcher(
@@ -195,30 +289,36 @@ def ftp_tree_fetcher(
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """``fetch_batch`` callable (the rest.py stage shape) walking
     ``dir_template.format(key=key)`` per key: one FTP connection per
-    Arrow batch, one output row per downloaded file —
+    Arrow batch (one ``FtpWalker`` shared by every key in the batch),
+    one output row per downloaded file —
     ``(key, filename, source, n_bytes, content)``."""
 
     def fetch(batch: pd.DataFrame) -> pd.DataFrame:
         records = []
-        for key in batch[key_col]:
-            for f in fetch_ftp_dir(
-                host,
-                dir_template.format(key=key),
-                name_filter,
-                ftp_factory=ftp_factory,
-                timeout=timeout,
-                max_reconnects=max_reconnects,
-                mirror_template=mirror_template,
-            ):
-                records.append(
-                    {
-                        key_col: key,
-                        "filename": f["filename"],
-                        "source": f["source"],
-                        "n_bytes": len(f["content"]),
-                        "content": f["content"],
-                    }
-                )
+        walker = FtpWalker(
+            host,
+            ftp_factory=ftp_factory,
+            timeout=timeout,
+            max_reconnects=max_reconnects,
+        )
+        try:
+            for key in batch[key_col]:
+                for f in walker.fetch_dir(
+                    dir_template.format(key=key),
+                    name_filter,
+                    mirror_template=mirror_template,
+                ):
+                    records.append(
+                        {
+                            key_col: key,
+                            "filename": f["filename"],
+                            "source": f["source"],
+                            "n_bytes": len(f["content"]),
+                            "content": f["content"],
+                        }
+                    )
+        finally:
+            walker.close()
         return pd.DataFrame(
             records,
             columns=[key_col, "filename", "source", "n_bytes", "content"],

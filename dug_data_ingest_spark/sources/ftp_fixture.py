@@ -28,6 +28,12 @@ from ftplib import error_perm, error_temp
 _TREE_CACHE: dict[str, dict] = {}
 # processes in which the one simulated session timeout already fired
 _TIMEOUT_FIRED: set[str] = set()
+# (parquet_path, filename) whose one simulated mid-transfer timeout
+# already fired in this process
+_RETR_FIRED: set[tuple[str, str]] = set()
+# parquet paths whose one simulated control-connection drop (bare
+# EOFError from ftplib) already fired in this process
+_EOF_FIRED: set[str] = set()
 
 
 def study_dir(suppkey: int) -> str:
@@ -66,10 +72,16 @@ class ParquetFTPDouble:
     """Just enough ftplib.FTP surface for sources/ftp.py, over the
     virtual tree. ``empty_studies`` are cwd-able at the study level
     but have no pheno_variable_summaries (probe → "empty");
-    ``flaky_files`` make retrbinary raise error_temp (→ the mirror
-    fallback); ``timeout_first_cwd`` raises ONE error_temp per python
-    process on the first cwd (→ the reconnect path), matching the
-    server-side session timeout the reference reconnects around."""
+    ``flaky_files`` make retrbinary raise error_temp EVERY time (→ the
+    mirror fallback); ``flaky_once_files`` raise ONE error_temp per
+    (tree, file) per process then transfer normally (→ the
+    reconnect-and-retry path must recover on FTP, never rerouting to
+    the mirror); ``timeout_first_cwd`` raises ONE error_temp per
+    python process on the first cwd (→ the reconnect path), matching
+    the server-side session timeout the reference reconnects around;
+    ``eof_first_cwd`` raises ONE bare EOFError per process on the
+    first cwd — what real ftplib raises when the server silently
+    drops the control connection."""
 
     def __init__(
         self,
@@ -79,14 +91,18 @@ class ParquetFTPDouble:
         parquet_path: str,
         empty_studies: frozenset = frozenset(),
         flaky_files: frozenset = frozenset(),
+        flaky_once_files: frozenset = frozenset(),
         timeout_first_cwd: bool = False,
+        eof_first_cwd: bool = False,
     ) -> None:
         self.host = host
         self.timeout = timeout
         self._parquet_path = parquet_path
         self._empty = empty_studies
         self._flaky = flaky_files
+        self._flaky_once = flaky_once_files
         self._timeout_first_cwd = timeout_first_cwd
+        self._eof_first_cwd = eof_first_cwd
         self._cwd: str | None = None
         self._alive = True
 
@@ -102,6 +118,10 @@ class ParquetFTPDouble:
             _TIMEOUT_FIRED.add(self._parquet_path)
             self._alive = False
             raise error_temp("421 service not available, closing control connection")
+        if self._eof_first_cwd and self._parquet_path not in _EOF_FIRED:
+            _EOF_FIRED.add(self._parquet_path)
+            self._alive = False
+            raise EOFError
         if not self._alive:
             raise error_temp("421 connection closed")
         if path in _tree_for(self._parquet_path):
@@ -134,6 +154,15 @@ class ParquetFTPDouble:
         name = cmd.split(" ", 1)[1]
         if name in self._flaky:
             raise error_temp("426 connection closed; transfer aborted")
+        if (
+            name in self._flaky_once
+            and (self._parquet_path, name) not in _RETR_FIRED
+        ):
+            _RETR_FIRED.add((self._parquet_path, name))
+            self._alive = False
+            raise error_temp("426 connection closed; transfer aborted")
+        if not self._alive:
+            raise error_temp("421 connection closed")
         files = _tree_for(self._parquet_path).get(self._cwd, {})
         if name not in files:
             raise error_perm(f"550 {name}: no such file")
@@ -153,7 +182,9 @@ def parquet_ftp_factory(
     *,
     empty_studies: frozenset = frozenset(),
     flaky_files: frozenset = frozenset(),
+    flaky_once_files: frozenset = frozenset(),
     timeout_first_cwd: bool = False,
+    eof_first_cwd: bool = False,
 ):
     """ftp_factory for sources/ftp.py bound to a supplier parquet —
     picklable (functools.partial over a module-level class), so it
@@ -163,5 +194,7 @@ def parquet_ftp_factory(
         parquet_path=parquet_path,
         empty_studies=empty_studies,
         flaky_files=flaky_files,
+        flaky_once_files=flaky_once_files,
         timeout_first_cwd=timeout_first_cwd,
+        eof_first_cwd=eof_first_cwd,
     )

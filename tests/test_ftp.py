@@ -159,3 +159,64 @@ def test_tree_fetcher_batch_shape():
         assert row["content"] == dict_content(
             row["s_suppkey"], names[row["s_suppkey"]]
         )
+
+
+def test_transfer_timeout_reconnects_and_stays_on_ftp():
+    # a mid-directory session timeout during retrbinary must get the
+    # same reconnect treatment as cwd — recovering ON FTP, not
+    # rerouting the file (and every file after it) to the mirror
+    names = _names()
+    k, s_name = next(iter(names.items()))
+    flaky_once = dict_filename(k)
+    ftp_fixture._RETR_FIRED.discard((SUPPLIER, flaky_once))
+
+    def must_not_call(url):
+        raise AssertionError(f"mirror consulted for a recoverable timeout: {url}")
+
+    factory = parquet_ftp_factory(
+        SUPPLIER, flaky_once_files=frozenset({flaky_once})
+    )
+    files = fetch_ftp_dir(
+        HOST,
+        study_dir(k),
+        "data_dict",
+        ftp_factory=factory,
+        mirror_template="https://mirror.test/{dir_path}/{filename}",
+        http_get_fn=must_not_call,
+    )
+    assert files[0]["source"] == "ftp"
+    assert files[0]["content"] == dict_content(k, s_name)
+
+
+def test_eof_on_dropped_control_connection_reconnects():
+    # ftplib raises bare EOFError (not OSError, not ftplib.Error) when
+    # the server silently closes the control connection — it must take
+    # the reconnect path, not crash the task
+    k = next(iter(_names()))
+    ftp_fixture._EOF_FIRED.discard(SUPPLIER)
+    factory = parquet_ftp_factory(SUPPLIER, eof_first_cwd=True)
+    files = fetch_ftp_dir(HOST, study_dir(k), "data_dict", ftp_factory=factory)
+    assert len(files) == 1
+
+
+def test_tree_fetcher_uses_one_connection_per_batch():
+    # the documented contract: hundreds of keys share one login/PASV
+    # handshake per Arrow batch, not one per key
+    names = _names(3)
+    base = parquet_ftp_factory(SUPPLIER)
+    connects = []
+
+    def counting_factory(host, timeout=60):
+        connects.append(host)
+        return base(host, timeout=timeout)
+
+    fetch = ftp_tree_fetcher(
+        HOST,
+        "/studies/phs{key:06d}/pheno_variable_summaries",
+        "s_suppkey",
+        "data_dict",
+        ftp_factory=counting_factory,
+    )
+    out = fetch(pd.DataFrame({"s_suppkey": list(names)}))
+    assert len(out) == len(names)
+    assert len(connects) == 1, connects
