@@ -18,12 +18,44 @@ in tests/test_xml_roundtrip.py.
 
 from __future__ import annotations
 
+import logging
+import re
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+log = logging.getLogger(__name__)
+
+# everything before the root element: XML declaration, processing
+# instructions (xml-stylesheet), comments, whitespace. ET.fromstring
+# parses THROUGH a prolog natively but ET.tostring never re-emits it,
+# so an edit-and-reserialize must carry it explicitly or every
+# modified document silently loses its stylesheet declaration.
+_PROLOG = re.compile(r"(?:\s*<\?.*?\?>\s*|\s*<!--.*?-->\s*)*", re.S)
+
+
+def _parse_doc(xml: str | None):
+    """ET root for a document string, or None for null/malformed input
+    (the tolerant-reader contract). Prologs are handled by expat."""
+    if xml is None or (isinstance(xml, float) and pd.isna(xml)):
+        return None
+    try:
+        return ET.fromstring(xml)
+    except ET.ParseError:
+        return None
+
+
+def _log_dropped(fn_name: str, dropped: list) -> None:
+    if dropped:
+        log.warning(
+            "%s dropped %d null/malformed document(s) from the output "
+            "(first ids: %s); anti-join the parse result against the "
+            "input to quarantine the originals",
+            fn_name, len(dropped), dropped[:5],
+        )
 
 # Canonical flat variable row (FIXTURES.md §B5 shape).
 VARIABLE_SCHEMA = T.StructType(
@@ -96,17 +128,26 @@ def parse_data_tables(docs: DataFrame) -> DataFrame:
 
     Tolerant reader: unknown child tags are ignored, missing children
     become null (the reference raised ValueError on unknown tags at
-    generate_lakefs_dbgap_xml_index.py:163; we quarantine instead of
-    aborting a 100 TB job — SURVEY §7 principles).
+    generate_lakefs_dbgap_xml_index.py:163; one bad document must not
+    abort a 100 TB job — SURVEY §7 principles). Null or malformed xml
+    drops the document FROM THIS OUTPUT with a per-batch warning
+    naming the dropped ids; callers needing reconciliation quarantine
+    the originals by anti-joining this result against the input.
+
+    Round-trip note: ``values = []`` and ``values = NULL`` both render
+    with no ``<value>`` children (XML has no distinct representation),
+    so both parse back as NULL — parse(render(df)) coalesces empty
+    arrays to NULL, tested in tests/test_xml_roundtrip.py.
     """
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {k: [] for k in ("study_id", "dd_id", "var_id", "name", "description", "type", "values")}
+            dropped = []
             for row in batch.itertuples(index=False):
-                try:
-                    root = ET.fromstring(row.xml)
-                except ET.ParseError:
+                root = _parse_doc(row.xml)
+                if root is None:
+                    dropped.append(row.dd_id)
                     continue
                 study_id = root.get("study_id")
                 dd_id = root.get("id")
@@ -122,6 +163,7 @@ def parse_data_tables(docs: DataFrame) -> DataFrame:
                         for v in var.findall("value")
                     ]
                     out["values"].append(vals if vals else None)
+            _log_dropped("parse_data_tables", dropped)
             # object dtype so empty batches still carry the right
             # Arrow type for the nested values column
             yield pd.DataFrame(
@@ -208,19 +250,25 @@ def modify_gap_exchange_study_name(
     new_study_name) dim — broadcast-joined onto the (study_id, xml)
     corpus so the rewrite never shuffles the documents — and the edit
     is parse → set text → re-serialize per row. Rows with no rename,
-    or docs missing the element, pass through unchanged with
-    ``modified = false`` (the reference's False path).
+    or docs missing the element, null/malformed docs, pass through
+    unchanged with ``modified = false`` (the reference's False path).
+    A document prolog (XML declaration / xml-stylesheet PI / comments)
+    is preserved through the rewrite — ET parses through it but never
+    re-emits it, so it is captured and re-prepended explicitly.
+    ``renames`` is deduplicated to one row per study_id (min name,
+    deterministic) first: a duplicate-keyed dim would fan the left
+    join out and emit two copies of the same document.
     """
     from pyspark.sql import functions as F
 
     # No underscore prefix on the temp column: pandas itertuples
     # renames private-looking fields positionally.
+    one_per_study = (
+        renames.groupBy("study_id")
+        .agg(F.min(name_col).alias("renamed_to"))
+    )
     joined = docs.join(
-        F.broadcast(
-            renames.select("study_id", F.col(name_col).alias("renamed_to"))
-        ),
-        "study_id",
-        "left",
+        F.broadcast(one_per_study), "study_id", "left"
     ).select("study_id", "xml", "renamed_to")
 
     def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,10 +280,7 @@ def modify_gap_exchange_study_name(
                 if new_name is not None and not (
                     isinstance(new_name, float) and pd.isna(new_name)
                 ):
-                    try:
-                        root = ET.fromstring(xml.split("?>\n")[-1])
-                    except ET.ParseError:
-                        root = None
+                    root = _parse_doc(xml)
                     if root is not None:
                         for study in root.findall(".//Study"):
                             config = study.find("Configuration")
@@ -244,7 +289,10 @@ def modify_gap_exchange_study_name(
                             el = config.find("StudyNameEntrez")
                             if el is not None:
                                 el.text = str(new_name)
-                                xml = ET.tostring(root, encoding="unicode")
+                                prolog = _PROLOG.match(xml).group(0)
+                                xml = prolog + ET.tostring(
+                                    root, encoding="unicode"
+                                )
                                 modified = True
                                 break
                 out["study_id"].append(row.study_id)
@@ -274,10 +322,14 @@ def parse_gap_exchange(
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {k.name: [] for k in out_schema.fields}
+            dropped = []
             for row in batch.itertuples(index=False):
-                try:
-                    root = ET.fromstring(row.xml.split("?>\n")[-1])
-                except ET.ParseError:
+                # expat parses through any prolog (declaration /
+                # stylesheet PI); no string surgery — a '?>' inside
+                # document content must never truncate the doc
+                root = _parse_doc(row.xml)
+                if root is None:
+                    dropped.append(row.study_id)
                     continue
                 study = root.find("Studies/Study")
                 conf = study.find("Configuration") if study is not None else None
@@ -293,6 +345,7 @@ def parse_gap_exchange(
                 out["program"].append(text("StudyTypes"))
                 for c in keep_cols:
                     out[c].append(getattr(row, c))
+            _log_dropped("parse_gap_exchange", dropped)
             yield pd.DataFrame({k: pd.Series(v, dtype="object") for k, v in out.items()})
 
     return docs.mapInPandas(parse, out_schema)

@@ -112,3 +112,139 @@ def test_modify_gap_exchange_missing_element_is_false(spark):
     renames = spark.createDataFrame([("phs9", "X")], ["study_id", "new_study_name"])
     row = modify_gap_exchange_study_name(docs, renames).first()
     assert row.modified is False and row.xml == bare
+
+
+def test_modify_preserves_stylesheet_prolog(spark):
+    # ET parses THROUGH a prolog but never re-emits it: the rewrite
+    # must carry the xml-stylesheet PI explicitly, or exactly the
+    # renamed rows lose it and the published corpus is inconsistently
+    # formatted
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        modify_gap_exchange_study_name,
+        parse_gap_exchange,
+        render_gap_exchange,
+    )
+    from dug_data_ingest_spark.queries.sources import _customer_as_studies
+
+    studies = _customer_as_studies(spark, TEST_SF_DIR).limit(4)
+    docs = render_gap_exchange(studies, add_stylesheet=True)
+    one = docs.select("study_id").limit(1).collect()[0].study_id
+    renames = spark.createDataFrame(
+        [(one, "Renamed Study")], "study_id string, new_study_name string"
+    )
+    out = modify_gap_exchange_study_name(docs, renames).collect()
+    by_id = {r.study_id: r for r in out}
+    assert by_id[one].modified
+    for r in out:
+        assert r.xml.startswith("<?xml-stylesheet"), (r.study_id, r.xml[:60])
+    # and the renamed doc still parses with the new name
+    parsed = {
+        r.study_id: r.study_name
+        for r in parse_gap_exchange(
+            spark.createDataFrame(
+                [(r.study_id, r.xml) for r in out], "study_id string, xml string"
+            )
+        ).collect()
+    }
+    assert parsed[one] == "Renamed Study"
+
+
+def test_null_and_malformed_docs_do_not_crash(spark):
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        modify_gap_exchange_study_name,
+        parse_data_tables,
+        parse_gap_exchange,
+    )
+
+    docs = spark.createDataFrame(
+        [("s1", None), ("s2", "<not xml"), ("s3", "<GaPExchange><Studies>"
+          '<Study accession="a"><Configuration>'
+          "<StudyNameEntrez>N</StudyNameEntrez></Configuration>"
+          "</Study></Studies></GaPExchange>")],
+        "study_id string, xml string",
+    )
+    parsed = parse_gap_exchange(docs).collect()
+    assert [r.study_id for r in parsed] == ["s3"]  # bad docs dropped, job alive
+
+    renames = spark.createDataFrame(
+        [("s1", "X"), ("s3", "Y")], "study_id string, new_study_name string"
+    )
+    out = {r.study_id: r for r in modify_gap_exchange_study_name(docs, renames).collect()}
+    assert out["s1"].xml is None and not out["s1"].modified  # passthrough
+    assert out["s3"].modified
+
+    dt = spark.createDataFrame(
+        [("s1", "d1", None), ("s2", "d2", "<data_table")],
+        "study_id string, dd_id string, xml string",
+    )
+    assert parse_data_tables(dt).collect() == []
+
+
+def test_duplicate_renames_do_not_duplicate_docs(spark):
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        modify_gap_exchange_study_name,
+        render_gap_exchange,
+    )
+    from dug_data_ingest_spark.queries.sources import _customer_as_studies
+
+    studies = _customer_as_studies(spark, TEST_SF_DIR).limit(3)
+    docs = render_gap_exchange(studies)
+    n = docs.count()
+    one = docs.select("study_id").limit(1).collect()[0].study_id
+    renames = spark.createDataFrame(
+        [(one, "B name"), (one, "A name")],
+        "study_id string, new_study_name string",
+    )
+    out = modify_gap_exchange_study_name(docs, renames).collect()
+    assert len(out) == n  # duplicate-keyed dim must not fan the join out
+    # deterministic pick: min of the candidate names
+    from dug_data_ingest_spark.sources.xml_dbgap import parse_gap_exchange
+
+    parsed = {
+        r.study_id: r.study_name
+        for r in parse_gap_exchange(
+            spark.createDataFrame(
+                [(r.study_id, r.xml) for r in out], "study_id string, xml string"
+            )
+        ).collect()
+    }
+    assert parsed[one] == "A name"
+
+
+def test_empty_values_coalesce_to_null_through_roundtrip(spark):
+    # XML has no representation distinguishing values=[] from
+    # values=NULL (both render with no <value> children), so the
+    # round-trip coalesces [] -> NULL — documented in parse_data_tables
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        parse_data_tables,
+        render_data_tables,
+    )
+
+    rows = [
+        ("s1", "d1", "v1", "n1", None, "string", []),
+        ("s1", "d1", "v2", "n2", None, "string", None),
+        ("s1", "d1", "v3", "n3", None, "enum", [("1", "yes")]),
+    ]
+    from dug_data_ingest_spark.sources.xml_dbgap import VARIABLE_SCHEMA
+
+    df = spark.createDataFrame(rows, VARIABLE_SCHEMA)
+    back = {r.var_id: r.values for r in parse_data_tables(render_data_tables(df)).collect()}
+    assert back["v1"] is None and back["v2"] is None
+    assert [tuple(v) for v in back["v3"]] == [("1", "yes")]
+
+
+def test_content_containing_pi_close_is_not_truncated(spark):
+    # '?>' + newline inside a text node must never truncate the doc
+    # (no string surgery on the prolog — expat owns the parse)
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        parse_gap_exchange,
+        render_gap_exchange,
+    )
+
+    studies = spark.createDataFrame(
+        [("s1", "acc1", "Name", "weird ?>\n description", "P")],
+        "study_id string, accession string, study_name string, "
+        "description string, program string",
+    )
+    parsed = parse_gap_exchange(render_gap_exchange(studies, add_stylesheet=True)).collect()
+    assert parsed[0].description == "weird ?>\n description"
