@@ -83,6 +83,16 @@ def http_get(
     raise RuntimeError(f"Could not download {url}: {last_err}")
 
 
+def _url_key(key) -> str:
+    """Percent-encode a key for interpolation into a URL path segment:
+    the key_col contract is generic, so a key containing ' ', '#',
+    '?', '&', or '/' must not truncate or re-route the request (quote
+    is a no-op for the phs-id shaped keys the reference uses)."""
+    from urllib.parse import quote
+
+    return quote(str(key), safe="")
+
+
 def _page_url(base_url: str, limit, offset) -> str:
     """Append pagination params with '&' or '?' as the base requires.
     (The reference demands a base 'ending with arguments or at least a
@@ -168,7 +178,7 @@ def keyed_item_fetcher(
         ses = _worker_session(state)
         records = []
         for key in batch[key_col]:
-            url = url_template.format(key=key)
+            url = url_template.format(key=_url_key(key))
             item = http_get(
                 url,
                 session=ses,
@@ -188,7 +198,8 @@ def fallback_download_fetcher(
     key_col: str,
     *,
     timeout: float = DEFAULT_TIMEOUT,
-    max_retries: int = 0,
+    primary_retries: int = 1,
+    mirror_retries: int = DEFAULT_RETRIES,
     backoff: float = 0.5,
 ) -> Callable[[pd.DataFrame], pd.DataFrame]:
     """``fetch_batch`` callable downloading one file per key, trying
@@ -196,6 +207,15 @@ def fallback_download_fetcher(
     FTP→HTTPS-mirror fallback (get_dbgap_data_dicts.py:92-104) as a
     pure-HTTP shape. Primary failures of ANY kind fall through to the
     mirror; only a mirror failure kills the task.
+
+    The two legs carry separate retry budgets: the primary retries
+    once (a single transient blip must not mislabel provenance as
+    'mirror', but a struggling primary should fail over fast), while
+    the mirror — the LAST line of defense before the task dies — gets
+    the full retry budget, because one transient mirror 503 must not
+    kill a 100 TB job. 4xx responses never retry on either leg
+    (http_get fails fast on permanent client errors), so a genuinely
+    missing primary file still fails over immediately.
 
     Output columns: (key, source 'primary'|'mirror', n_bytes,
     content binary).
@@ -208,19 +228,19 @@ def fallback_download_fetcher(
         for key in batch[key_col]:
             try:
                 resp = http_get(
-                    primary_template.format(key=key),
+                    primary_template.format(key=_url_key(key)),
                     session=ses,
                     timeout=timeout,
-                    max_retries=max_retries,
+                    max_retries=primary_retries,
                     backoff=backoff,
                 )
                 source = "primary"
             except RuntimeError:
                 resp = http_get(
-                    mirror_template.format(key=key),
+                    mirror_template.format(key=_url_key(key)),
                     session=ses,
                     timeout=timeout,
-                    max_retries=max_retries,
+                    max_retries=mirror_retries,
                     backoff=backoff,
                 )
                 source = "mirror"

@@ -72,13 +72,9 @@ def paginated_fetch(
     # to the parallelism cap.
     n_parts = max(1, min(int(spark.sparkContext.defaultParallelism), (total + limit - 1) // limit))
     offsets = offsets.repartition(n_parts)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            if len(batch):
-                yield fetch_page(batch)
-
-    return offsets.mapInPandas(run, schema=schema)
+    # the page work-list IS a key frame: same one-session-per-batch
+    # mapInPandas stage
+    return keyed_fetch(offsets, fetch_page, schema)
 
 
 def keyed_fetch(
@@ -113,7 +109,11 @@ def incremental_fetch(
     schema: T.StructType,
 ) -> DataFrame:
     """Idempotent bulk download: anti-join the full listing against the
-    already-ingested manifest, fetch only the remainder, union back.
+    already-ingested manifest and fetch ONLY the remainder. Returns
+    just the newly fetched rows — the caller decides whether to union
+    them with the manifest's rows (whose schema usually differs from
+    the fetch output) or write them alongside; see
+    queries/sources.py:src-ftp-files for the union-back shape.
 
     Reference: skip-if-already-downloaded
     (scripts/bdc/get_dbgap_data_dicts.py:230-235) plus the FTP
@@ -123,11 +123,4 @@ def incremental_fetch(
     1000-executor cluster where local disk proves nothing.
     """
     todo = listing.join(F.broadcast(manifest.select(key)), key, "left_anti")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            if len(batch):
-                yield fetch_batch(batch)
-
-    fetched = todo.mapInPandas(run, schema=schema)
-    return fetched
+    return keyed_fetch(todo, fetch_batch, schema)

@@ -199,3 +199,48 @@ def test_incremental_fetch_only_pulls_missing_keys(spark, base, server):
     got = sorted(r.study_id for r in out.collect())
     assert got == sorted(s["study_id"] for s in STUDIES[6:10])
     assert sum(h.startswith("/meta/") for h in server.hits) == 4  # only missing
+
+
+def test_fallback_mirror_retries_transient_503(spark, base, server):
+    # the mirror is the LAST line of defense: one transient 503 there
+    # must be retried away, not kill the task
+    server.fail_next["/mirror/broken_dict.xml"] = 1
+    files = spark.createDataFrame([("broken_dict.xml",)], ["fname"])
+    fetch = fallback_download_fetcher(
+        base + "/primary/{key}", base + "/mirror/{key}", "fname",
+        backoff=0.01,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("fname", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    out = keyed_fetch(files, fetch, schema).collect()
+    assert out[0].source == "mirror"
+    assert bytes(out[0].content) == b"mirror-bytes:broken_dict.xml"
+
+
+def test_keys_are_url_escaped(spark, base, server):
+    # generic key_col contract: a key containing '?', '#', '&', ' ',
+    # or '/' must reach the server as ONE percent-encoded path segment
+    keys = spark.createDataFrame([("we ird?id#1/x",)], ["study_id"])
+    fetch = keyed_item_fetcher(
+        base + "/meta/{key}", "study_id", ["study_id", "name"]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("study_id", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    # the fixture server only serves numeric ids — the point here is
+    # the REQUEST LINE: the encoded key must arrive as one path
+    # segment (unescaped, '?' and '#' would truncate it into a query/
+    # fragment and the server would log a bare '/meta/we ird')
+    with pytest.raises(Exception):
+        keyed_fetch(keys, fetch, schema).collect()
+    hit = [h for h in server.hits if h.startswith("/meta/")][-1]
+    assert hit == "/meta/we%20ird%3Fid%231%2Fx"
