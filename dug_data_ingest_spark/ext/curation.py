@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dug_data_ingest_spark.ext.dedup import _md5_hash64, doc_shingles
 from dug_data_ingest_spark.functions.text import n_words, normalized_words
@@ -138,7 +139,18 @@ def pack_sequences(
     only (group, id, n_tok) triples through Arrow, never the text).
     """
     sized = with_token_counts(docs, text_col).select(group_col, id_col, "n_tok")
-    schema = f"{group_col} string, {id_col} bigint, n_tok int, chunk int"
+    # derive the group/id field types from the input — both columns
+    # are caller-configurable (string accessions are as valid as long
+    # doc ids) and a hardcoded bigint would fail Arrow conversion at
+    # runtime for any non-long id
+    out_schema = T.StructType(
+        [
+            sized.schema[group_col],
+            sized.schema[id_col],
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("chunk", T.IntegerType()),
+        ]
+    )
 
     def _pack(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -153,7 +165,7 @@ def pack_sequences(
         pdf["chunk"] = chunks
         return pdf
 
-    return sized.groupBy(group_col).applyInPandas(_pack, schema=schema)
+    return sized.groupBy(group_col).applyInPandas(_pack, schema=out_schema)
 
 
 def vocab_topk(
@@ -177,8 +189,12 @@ def vocab_topk(
     return (
         tokens.groupBy("token")
         .agg(
-            F.count_distinct(id_col).cast("int").alias("n_docs"),
-            F.count("*").cast("int").alias("n_total"),
+            # counts stay bigint: a ubiquitous token tops 2^31
+            # occurrences well below this module's target corpus
+            # scale, and an int cast would throw under ANSI mode (or
+            # silently wrap the most frequent tokens negative without)
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_total"),
         )
         .orderBy(F.desc("n_total"), F.asc("token"))
         .limit(n)

@@ -191,7 +191,18 @@ def minhash_band_keys(
     """(id, band, band_key) straight from the wide signature: each
     band key is md5 over its seed-ordered signature values, computed
     row-locally (explode of a k/r-element literal-struct array) — the
-    whole LSH sketch costs exactly one shuffle end-to-end."""
+    whole LSH sketch costs exactly one shuffle end-to-end.
+
+    ``rows_per_band`` must divide ``num_hashes`` — silently dropping
+    the trailing hashes would lose recall the caller believes they
+    paid for (and diverge from minhash_bands, which would build a
+    shorter, far-more-collision-prone partial band from the same
+    signatures)."""
+    if num_hashes % rows_per_band:
+        raise ValueError(
+            "minhash_band_keys: rows_per_band must divide num_hashes "
+            f"({rows_per_band} does not divide {num_hashes})"
+        )
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -220,7 +231,10 @@ def minhash_bands(
 ) -> DataFrame:
     """(id, band, band_key) from a tall (id, seed, min_hash) frame.
     Kept for composition with externally-built signatures; the fused
-    path is minhash_band_keys(minhash_signatures_wide(...))."""
+    path is minhash_band_keys(minhash_signatures_wide(...)). A
+    partial trailing band (seeds not divisible by rows_per_band)
+    would collide far more easily than the full bands — the fused
+    path rejects that shape, and composed callers should too."""
     banded = signatures.withColumn(
         "band", (F.col("seed") / rows_per_band).cast("int")
     )
@@ -531,11 +545,20 @@ def simhash_near_pairs(
     Candidates come from a per-lane equality join on the 4 × 16-bit
     lanes — bucket-local, never all-pairs — which by pigeonhole finds
     EVERY pair within Hamming distance 3 (4 lanes, ≤3 differing bits
-    → ≥1 identical lane). Exact distance is then xor + bit_count over
-    the lanes. Both sides' lanes ride along the banded rows, so no
-    join-back to the code table; duplicate candidates (pairs sharing
-    several lanes) collapse in the same groupBy that carries the
-    lanes."""
+    → ≥1 identical lane). Beyond 3 the guarantee breaks (a distance-4
+    pair can differ in every lane), so asking for more is a silent-
+    recall bug, not a parameter choice — rejected loudly below. Exact
+    distance is then xor + bit_count over the lanes. Both sides'
+    lanes ride along the banded rows, so no join-back to the code
+    table; duplicate candidates (pairs sharing several lanes)
+    collapse in the same groupBy that carries the lanes."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_pairs: the 4-lane pigeonhole blocking only "
+            f"guarantees recall for max_hamming <= 3 (got {max_hamming}); "
+            "pairs at distance 4+ can differ in every lane and would be "
+            "silently missed — use more/narrower lanes for a wider radius"
+        )
     lane_rows = F.array(
         *[
             F.struct(F.lit(l).alias("lane"), F.col(f"band{l}").alias("key"))
@@ -679,14 +702,23 @@ def ngram_containment_pairs(
     Candidate generation, the df cap, and the scale argument are
     exactly ``ngram_jaccard_pairs``: one shared-shingle equi-join,
     hot shingles (> max_doc_freq docs) broadcast-anti-joined away
-    first, set sizes riding the exploded rows. The only differences
-    are the a ≠ b filter (both directions are meaningful) and the
-    |Sa| denominator.
+    first, set sizes riding the exploded rows — including the
+    uncapped fast path (``max_doc_freq=None`` computes ``n``
+    row-locally from the pre-explode set, no doc-keyed window
+    shuffle). The only differences are the a ≠ b filter (both
+    directions are meaningful) and the |Sa| denominator.
     """
-    ex = capped_shingles_with_sizes(
-        docs, text_col, id_col, k, max_doc_freq,
-        caller="ngram_containment_pairs",
-    )
+    if max_doc_freq is None:
+        ex = doc_shingle_sets(docs, text_col, id_col, k).select(
+            F.col(id_col),
+            F.size("sh").alias("n"),
+            F.explode_outer("sh").alias("shingle"),
+        ).filter(F.col("shingle").isNotNull())
+    else:
+        ex = capped_shingles_with_sizes(
+            docs, text_col, id_col, k, max_doc_freq,
+            caller="ngram_containment_pairs",
+        )
     a = ex.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
     b = ex.select(F.col(id_col).alias("b"), "shingle")
     return (

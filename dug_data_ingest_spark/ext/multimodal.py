@@ -95,17 +95,26 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     _check_dims(width, height)
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
-    pos += 1  # whitespace byte terminating the maxval token
-    need = width * height * 3
-    # External writers may separate maxval from the raster with CRLF or
-    # extra whitespace; consume it, but never eat into the raster itself
-    # (raster bytes can be whitespace-valued, so stop once exactly one
-    # raster's worth of bytes remains).
-    while len(payload) - pos > need and payload[pos : pos + 1].isspace():
+    # Per the netpbm spec EXACTLY ONE whitespace byte terminates the
+    # maxval token; the raster starts immediately after. The only
+    # writer quirk tolerated is a CRLF terminator (consume the LF that
+    # follows a CR). Anything laxer is wrong: raster bytes can be
+    # whitespace-VALUED (gray 0x20, 0x0a, ...), so "skip whitespace
+    # until the raster fits" decodes shifted pixels on any payload
+    # with trailing bytes — silent corruption, not robustness.
+    terminator = payload[pos : pos + 1]
+    pos += 1
+    if terminator == b"\r" and payload[pos : pos + 1] == b"\n":
         pos += 1
+    need = width * height * 3
     pixels = payload[pos : pos + need]
     if len(pixels) != need:
         raise ValueError("truncated PPM raster")
+    if len(payload) - pos > need:
+        raise ValueError(
+            f"{len(payload) - pos - need} trailing byte(s) after the "
+            "PPM raster; refusing to guess where the raster starts"
+        )
     return width, height, pixels
 
 
@@ -370,7 +379,12 @@ def resize(media: DataFrame, width: int, height: int,
     with extract_features/frame_sample; at scale this is the classic
     map-heavy stage you'd run after a size-class repartition so one
     4K video doesn't straggle a partition of thumbnails. Malformed
-    payloads are quarantined by omission (see extract_features)."""
+    payloads are quarantined by omission (see extract_features) —
+    but CALLER-parameter errors are not data errors: the target
+    dimensions are validated once here, loudly, so resize(df, 0, 5)
+    raises instead of 'quarantining' every row and returning an
+    empty frame from a successful job."""
+    _check_dims(width, height)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -183,14 +183,40 @@ def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _dim_checked(vec: Column, dim: int, caller: str) -> Column:
+    """Fail LOUDLY on an embedding/hyperplane dim mismatch: zip_with
+    null-pads the shorter side, which nulls the dot product, which
+    would otherwise quietly resolve every sign bit to 0 — every row in
+    bucket 0 and the 'bucket-local' self-join degenerating to a full
+    cross product. Wrong results at test scale, an OOM at corpus
+    scale, and nothing to catch it; better one raise_error row than
+    that."""
+    return F.when(F.size(vec) == F.lit(dim), vec).otherwise(
+        F.raise_error(
+            F.printf(
+                F.lit(
+                    f"{caller}: embedding has %s dims but the "
+                    f"hyperplanes were built for {dim}; pass dim=<real "
+                    "width> to the LSH entry point"
+                ),
+                F.size(vec),
+            )
+        )
+    )
+
+
 def rp_lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-projection LSH bucket id: one sign bit per hyperplane,
     packed to an int. Vectors with high cosine similarity agree on
-    most signs, so near-duplicates collide with high probability."""
+    most signs, so near-duplicates collide with high probability.
+    Dim mismatches raise (see _dim_checked)."""
+    guarded = _dim_checked(
+        vec, len(planes[0]) if planes else 0, "rp_lsh_bucket"
+    )
     bit = F.lit(0)
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(x) for x in plane])
-        bit = bit + F.when(dot(vec, p) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bit = bit + F.when(dot(guarded, p) > 0, F.lit(2**j)).otherwise(F.lit(0))
     return bit
 
 
@@ -266,7 +292,7 @@ def lsh_banded_pairs(
         raise ValueError("lsh_banded_pairs: band_size must divide n_planes")
     planes = random_hyperplanes(n_planes, dim)
     n_bands = n_planes // band_size
-    v = as_double(F.col(vec_col))
+    v = _dim_checked(as_double(F.col(vec_col)), dim, "lsh_banded_pairs")
     bits = [
         F.when(dot(v, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1)).otherwise(
             F.lit(0)
@@ -367,17 +393,8 @@ def kmeans_centroids(
     )
     cents = None
     for _ in range(n_iters):
-        pos = assigned.select(
-            "cluster", F.posexplode(as_double(F.col(vec_col))).alias("pos", "x")
-        )
-        means = pos.groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
-        ordered = F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("m").alias("v")))
-            ),
-            lambda s: s.getField("v"),
-        )
-        cents = means.groupBy("cluster").agg(ordered.alias("centroid"))
+        # the update step IS label_centroids with cluster as the label
+        cents = label_centroids(assigned, "cluster", vec_col)
         assigned = _assign(embeddings, cents, id_col, vec_col)
     pops = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
     if with_centroids and cents is not None:

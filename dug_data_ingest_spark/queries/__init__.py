@@ -114,6 +114,8 @@ _REGRADE_BEFORE_ROUND = {
     "text-pii-redact": 5,
     "mm-decode-features": 5,
     "mm-resize": 5,
+    # r7: count columns widened int -> bigint (ANSI overflow safety)
+    "text-vocab-topk": 7,
 }
 
 

@@ -223,8 +223,8 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH words AS (SELECT doc_id, unnest({_WORDS}) AS token FROM documents),
     counts AS (
-      SELECT token, CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
-             CAST(count(*) AS INT) AS n_total
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_total
       FROM words WHERE token IS NOT NULL AND token != '' GROUP BY token
     )
     SELECT token, n_docs, n_total FROM counts

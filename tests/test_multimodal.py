@@ -312,3 +312,44 @@ def test_audio_stats_replays_synth_formula():
             1 for i in range(1, n) if (s[i - 1] >= 0) != (s[i] >= 0)
         )
         assert peak == max(abs(x) for x in s)
+
+
+def test_ppm_whitespace_valued_raster_byte_decodes_exactly():
+    # gray 0x20 (ASCII space) as the FIRST raster byte: the decoder
+    # must take it as pixel data, not header whitespace
+    from dug_data_ingest_spark.ext.multimodal import decode_ppm
+
+    payload = b"P6\n1 1\n255\n" + bytes([0x20, 40, 50])
+    assert decode_ppm(payload) == (1, 1, bytes([0x20, 40, 50]))
+
+
+def test_ppm_trailing_bytes_raise_instead_of_shifting_raster():
+    # with trailing junk, the old whitespace-consume loop ate the
+    # 0x20 raster byte and returned shifted pixels — silent
+    # corruption; now it refuses loudly
+    import pytest
+
+    from dug_data_ingest_spark.ext.multimodal import decode_ppm
+
+    payload = b"P6\n1 1\n255\n" + bytes([0x20, 40, 50]) + b"X"
+    with pytest.raises(ValueError, match="trailing"):
+        decode_ppm(payload)
+
+
+def test_ppm_crlf_terminator_tolerated():
+    from dug_data_ingest_spark.ext.multimodal import decode_ppm
+
+    payload = b"P6\n1 1\n255\r\n" + bytes([10, 20, 30])
+    assert decode_ppm(payload) == (1, 1, bytes([10, 20, 30]))
+
+
+def test_resize_rejects_invalid_target_dims_loudly(spark):
+    # caller-parameter errors are not data errors: resize(df, 0, 5)
+    # must raise at stage build, not quarantine 100% of rows into a
+    # successful empty job
+    import pytest
+
+    from dug_data_ingest_spark.ext.multimodal import resize
+
+    with pytest.raises(ValueError, match="dimensions"):
+        resize(spark.range(0), 0, 5)

@@ -412,3 +412,59 @@ def test_fan_out_leaves_wide_file_scans_alone(spark):
         # narrow local fixture: fan_out may repartition; the plan must
         # not error and row counts must be preserved either way
         assert fan_out(docs).count() == docs.count()
+
+
+def test_lsh_raises_on_embedding_dim_mismatch(spark):
+    # zip_with null-pads a dim mismatch, nulling every dot product —
+    # every row would land in bucket 0 and the bucket-local join
+    # degenerate to a cross product; the guard must raise instead
+    import pytest
+
+    from dug_data_ingest_spark.ext.similarity import lsh_dup_pairs
+
+    emb = spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet")
+    real_dim = len(emb.select("embedding").first()[0])
+    with pytest.raises(Exception, match="dims"):
+        lsh_dup_pairs(emb, 0.9, dim=real_dim + 1).collect()
+
+
+def test_simhash_rejects_radius_beyond_pigeonhole_guarantee(spark):
+    import pytest
+
+    from dug_data_ingest_spark.ext.dedup import simhash64, simhash_near_pairs
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").limit(10)
+    codes = simhash64(docs)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(codes, max_hamming=5)
+
+
+def test_minhash_band_keys_rejects_nondividing_rows_per_band(spark):
+    import pytest
+
+    from dug_data_ingest_spark.ext.dedup import (
+        doc_shingles,
+        minhash_band_keys,
+        minhash_signatures_wide,
+    )
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").limit(5)
+    wide = minhash_signatures_wide(doc_shingles(docs), num_hashes=18)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_band_keys(wide, num_hashes=18, rows_per_band=4)
+
+
+def test_containment_uncapped_path_has_no_window(spark):
+    # max_doc_freq=None computes set sizes row-locally (F.size before
+    # the explode) — no doc-keyed window shuffle; and the results
+    # agree with the capped path when no shingle exceeds the cap
+    from dug_data_ingest_spark.ext.dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").limit(200)
+    uncapped = ngram_containment_pairs(docs, 0.5, max_doc_freq=None)
+    plan = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    capped = ngram_containment_pairs(docs, 0.5, max_doc_freq=10**6)
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
