@@ -54,6 +54,11 @@ def detect_lang(text: Column, default: str = "und") -> Column:
 
 
 def word_tokens(text: Column) -> Column:
+    """Whitespace tokens. CONVENTION: an empty/whitespace-only string
+    yields [''] (one empty token), matching SQL string_split in the
+    DuckDB oracles — every registered query's length/ratio math is
+    value-checked against that shared convention, so do not "fix" it
+    one-sided. NULL text yields NULL (size -1 → callers coalesce)."""
     return F.split(F.trim(text), r"\s+")
 
 

@@ -29,5 +29,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two (pre-cast-to-double) vectors."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity of two (pre-cast-to-double) vectors.
+
+    ``try_divide``: cosine against a zero (or empty) vector is
+    undefined — it yields NULL, which every caller's threshold / topk
+    comparison then excludes. A bare ``/`` would throw DIVIDE_BY_ZERO
+    under ANSI mode (the default on Spark 4, and this engine never
+    disables it): one all-zero embedding row aborting a corpus-scale
+    similarity job is the wrong failure mode for one bad row."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

@@ -89,11 +89,18 @@ def regex_id_extract(
 def anti_membership(df: DataFrame, col: str, skip: Iterable) -> DataFrame:
     """Drop rows whose ``col`` is in the literal ``skip`` set.
 
+    NULL-faithful to the reference: Python's ``id not in skip`` keeps
+    a None id, while SQL ``NOT IN`` evaluates to NULL for a NULL
+    column and the filter would silently drop the row — the explicit
+    isNull disjunct keeps NULL rows flowing (quarantine them
+    downstream if they're invalid; don't vanish them here).
+
     Reference: ``dbgap_ids_to_skip``
     (scripts/bdc/get_dbgap_data_dicts.py:168, 226-228). For a large
     skip set use a broadcast anti-join instead (see joins.anti_join).
     """
-    return df.filter(~F.col(col).isin(list(skip)))
+    c = F.col(col)
+    return df.filter(c.isNull() | ~c.isin(list(skip)))
 
 
 def key_equality(df: DataFrame, col: str, value) -> DataFrame:
@@ -130,7 +137,12 @@ def grep(df: DataFrame, col: str, *needles: str) -> DataFrame:
 def grep_v(df: DataFrame, cond: Column) -> DataFrame:
     """Remove rows matching ``cond`` (grep -v).
 
+    NULL-faithful to grep: a line with missing fields doesn't MATCH
+    the pattern, so grep -v keeps it — but SQL ``NOT cond`` is NULL
+    when ``cond`` is NULL and the filter would silently drop the row.
+    The coalesce keeps condition-indeterminate rows, like grep does.
+
     Reference: drop CDE placeholder rows ``grep -v '^\\tCDE\\t$'``
     (scripts/dug/get_dug_data_dictionaries.sh:18).
     """
-    return df.filter(~cond)
+    return df.filter(F.coalesce(~cond, F.lit(True)))

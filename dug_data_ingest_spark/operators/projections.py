@@ -89,8 +89,15 @@ def safe_text(col: Column, default: str = "") -> Column:
 def tag_first(tags: Column, field: str = "name", default: str | None = None) -> Column:
     """First tag's ``name`` (program inference).
 
+    ``F.get`` (not ``getItem``): an EMPTY tags array is exactly the
+    case the reference answers with the default, but under ANSI mode
+    (Spark 4's default) ``getItem(0)`` on an empty array throws
+    INVALID_ARRAY_INDEX and the default could never apply; ``get``
+    returns NULL out-of-bounds, which the coalesce then fills.
+
     Reference: ``get_program``
     (scripts/bdc/get_bdc_studies_from_gen3.py:172-178).
     """
-    v = tags.getItem(0).getField(field) if field else tags.getItem(0)
+    first = F.get(tags, 0)
+    v = first.getField(field) if field else first
     return F.coalesce(v, F.lit(default)) if default is not None else v

@@ -27,10 +27,17 @@ def union_append(*dfs: DataFrame) -> DataFrame:
 def except_ids(left: DataFrame, right: DataFrame) -> DataFrame:
     """Distinct set difference.
 
+    ``left.distinct()`` FIRST: ``exceptAll`` is multiset subtraction
+    (removes one right occurrence per left occurrence), so on an
+    undeduplicated left a value appearing twice on the left and once
+    on the right would survive — not a set difference, and not SQL
+    EXCEPT. Distinct-then-exceptAll is exact set semantics whatever
+    the input multiplicities.
+
     Reference: ``set(metadata_ids) - set(datadict_ids)``
     (scripts/heal/get_heal_platform_mds_data_dicts.py:106, 229).
     """
-    return left.exceptAll(right.distinct()).distinct()
+    return left.distinct().exceptAll(right.distinct())
 
 
 def intersect_ids(left: DataFrame, right: DataFrame) -> DataFrame:

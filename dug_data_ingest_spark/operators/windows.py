@@ -40,13 +40,37 @@ def uniquify_ids(
     reference's suffix numbering depends on iteration order across all
     dds in a file; here the order is an explicit column so output is
     stable across partitionings (SURVEY §7 hard-part 3).
+
+    Collision guard: the reference's sequential seen-set would dodge
+    an input that ALREADY contains a generated-looking name (['a',
+    'a', 'a_1'] → its walk emits a_1_1 for the literal a_1); a
+    one-pass window cannot, so rather than silently emitting
+    duplicate "unique" ids, a second window over the OUTPUT raises on
+    any residual collision with the offending id in the message.
+    Costs one extra out_col-keyed window on id-cardinality data —
+    loud beats wrong for the column whose entire job is uniqueness.
     """
     w = W.partitionBy(name_col).orderBy(*order)
     rn = F.row_number().over(w)
-    return df.withColumn(
+    candidate = F.when(
+        rn > 1, F.concat(F.col(name_col), F.lit("_"), (rn - 1).cast("string"))
+    ).otherwise(F.col(name_col))
+    out = df.withColumn(out_col, candidate)
+    n_out = F.count(F.lit(1)).over(W.partitionBy(out_col))
+    return out.withColumn(
         out_col,
-        F.when(rn > 1, F.concat(F.col(name_col), F.lit("_"), (rn - 1).cast("string")))
-        .otherwise(F.col(name_col)),
+        F.when(n_out == 1, F.col(out_col)).otherwise(
+            F.raise_error(
+                F.printf(
+                    F.lit(
+                        "uniquify_ids: suffixed id '%s' still collides "
+                        "(the input already contained a name of that "
+                        "shape); rename the conflicting input ids"
+                    ),
+                    F.col(out_col),
+                )
+            )
+        ),
     )
 
 

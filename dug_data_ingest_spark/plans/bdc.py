@@ -103,10 +103,15 @@ def generate_xml(studies_valid: DataFrame, variables_clean: DataFrame) -> DataFr
         F.when(
             F.col("is_categorical"),
             F.transform(
-                F.from_json(
-                    F.regexp_replace(F.col("values"), "'", '"'),
-                    "array<string>",
-                ),
+                # plain from_json: Spark's JSON reader accepts
+                # single-quoted strings (allowSingleQuotes default),
+                # so it parses every Python-repr quoting form the
+                # reference's eval() saw — ['Yes'], ["Don't know"],
+                # mixed lists, embedded double quotes. The previous
+                # regexp_replace(' -> ") corrupted any label
+                # containing an apostrophe into invalid JSON and
+                # silently nulled the whole values array.
+                F.from_json(F.col("values"), "array<string>"),
                 lambda v: F.struct(v.alias("code"), v.alias("label")),
             ),
         ).alias("values"),
@@ -128,8 +133,14 @@ def summarize(
     var_counts = variables_clean.groupBy("study_id").agg(
         F.count("*").alias("n_vars")
     )
+    # studies ⟕ broadcast(var_counts), NOT a right join broadcasting
+    # the study side: Spark cannot build the hash table on the
+    # PRESERVED side of an outer join, so that hint would be silently
+    # dropped and both sides shuffled. The per-study count table is
+    # study-cardinality (small by construction) — the broadcastable
+    # side of this join.
     scored = enrich_left_broadcast(
-        var_counts, studies_valid, "study_id", how="right"
+        studies_valid, var_counts, "study_id", how="left"
     ).select(
         "study_id",
         F.col("Accession").alias("accession_id"),

@@ -78,8 +78,13 @@ def normalize_fields(fields: DataFrame) -> DataFrame:
         [F.col("ord")],
         "unique_name_study",
     ).withColumn(
+        # try_element_at: a field row whose name AND property are both
+        # NULL yields a slash-less name_study (concat_ws skips NULLs),
+        # so the split has one element — plain element_at(.., 2) would
+        # abort the whole pipeline under ANSI mode; try_element_at
+        # yields NULL and the row flows on (quarantine-not-abort)
         "unique_name",
-        F.element_at(F.split("unique_name_study", "/", 2), 2),
+        F.try_element_at(F.split("unique_name_study", "/", 2), F.lit(2)),
     ).drop("name_study", "unique_name_study")
 
 

@@ -116,6 +116,11 @@ _REGRADE_BEFORE_ROUND = {
     "mm-resize": 5,
     # r7: count columns widened int -> bigint (ANSI overflow safety)
     "text-vocab-topk": 7,
+    # r7 close: oracles rewritten for NULL-faithful `not in` / grep -v
+    # semantics (IS NULL disjunct / COALESCE TRUE); values identical on
+    # the driver data but the graded pair changed — regrade next window
+    "filter-membership": 8,
+    "filter-grep-v": 8,
 }
 
 

@@ -133,7 +133,13 @@ def filter_regex_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filter-membership",
-    oracle="SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey NOT IN (1, 2, 3)",
+    # IS NULL disjunct: the operator is NULL-faithful to the
+    # reference's Python `not in` (keeps NULL keys), so the oracle
+    # must not drop them via SQL NOT-IN three-valued logic
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IS NULL OR s_suppkey NOT IN (1, 2, 3)
+    """,
 )
 def filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = flt.anti_membership(load(spark, sf_dir, "supplier"), "s_suppkey", [1, 2, 3])
@@ -175,9 +181,11 @@ def filter_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filter-grep-v",
+    # COALESCE(..., TRUE): grep -v keeps lines the pattern can't
+    # match, so condition-indeterminate (NULL) rows are kept
     oracle="""
     SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
-    WHERE NOT (c_mktsegment = 'HOUSEHOLD' AND c_acctbal < 2000)
+    WHERE COALESCE(NOT (c_mktsegment = 'HOUSEHOLD' AND c_acctbal < 2000), TRUE)
     """,
 )
 def filter_grep_v(spark: SparkSession, sf_dir: str) -> DataFrame:

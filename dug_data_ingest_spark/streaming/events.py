@@ -92,6 +92,30 @@ def first_event_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def _attribution_pair_base(events: DataFrame, delay: str, lookback: str):
+    """The shared (purchases, clicks, join condition) triple behind
+    purchase_click_attribution and unattributed_purchases — ONE
+    definition of the attribution window so the inner and left-outer
+    reports can never silently diverge on its boundary semantics."""
+    base = with_watermark_if_streaming(events, delay)
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return purchases, clicks, cond
+
+
 def purchase_click_attribution(
     events: DataFrame, lookback: str = "30 minutes", delay: str = "1 hour",
     keep_click_ts: bool = False,
@@ -114,22 +138,7 @@ def purchase_click_attribution(
     At 100 TB/day the join shuffles both sides on user_id; the range
     predicate evaluates inside each co-partitioned user group, never as
     a cross product (same shape as join-range-events)."""
-    base = with_watermark_if_streaming(events, delay)
-    purchases = base.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_uid"),
-        F.col("ts").alias("p_ts"),
-    )
-    clicks = base.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_uid"),
-        F.col("ts").alias("c_ts"),
-    )
-    cond = (
-        (F.col("p_uid") == F.col("c_uid"))
-        & (F.col("c_ts") < F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
-    )
+    purchases, clicks, cond = _attribution_pair_base(events, delay, lookback)
     # microsecond-exact lag, floored to whole seconds with integer
     # arithmetic (unix_timestamp would floor each operand separately —
     # off by one whenever the click's sub-second part exceeds the
@@ -247,22 +256,7 @@ def unattributed_purchases(
     that: stream ⊆ batch, equality on the watermark-closed prefix.
     State stays O(rate × (delay + lookback)) per side, as for the
     inner join."""
-    base = with_watermark_if_streaming(events, delay)
-    purchases = base.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_uid"),
-        F.col("ts").alias("p_ts"),
-    )
-    clicks = base.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_uid"),
-        F.col("ts").alias("c_ts"),
-    )
-    cond = (
-        (F.col("p_uid") == F.col("c_uid"))
-        & (F.col("c_ts") < F.col("p_ts"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
-    )
+    purchases, clicks, cond = _attribution_pair_base(events, delay, lookback)
     return (
         purchases.join(clicks, cond, "left_outer")
         .filter(F.col("click_id").isNull())

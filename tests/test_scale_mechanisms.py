@@ -468,3 +468,92 @@ def test_containment_uncapped_path_has_no_window(spark):
     assert sorted(map(tuple, uncapped.collect())) == sorted(
         map(tuple, capped.collect())
     )
+
+
+def test_uniquify_raises_on_residual_collision(spark):
+    # ['a','a','a_1']: the one-pass window would emit a_1 twice — the
+    # reference's seen-set walk would have dodged it; loud beats wrong
+    import pytest
+
+    from dug_data_ingest_spark.operators.windows import uniquify_ids
+
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a_1")], ["ord", "name"]
+    )
+    with pytest.raises(Exception, match="collides"):
+        uniquify_ids(df, "name", [F.col("ord")], "uname").collect()
+
+
+def test_cosine_zero_vector_yields_null_not_abort(spark):
+    # ANSI mode is on by default: a bare division would throw
+    # DIVIDE_BY_ZERO on one all-zero embedding and abort the job
+    from dug_data_ingest_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0].c is None
+    assert abs(got[1].c - 1.0) < 1e-12
+
+
+def test_tag_first_empty_array_falls_to_default(spark):
+    from dug_data_ingest_spark.operators.projections import tag_first
+
+    df = spark.createDataFrame(
+        [([],), ([{"name": "topmed"}],)],
+        "tags array<struct<name string>>",
+    )
+    got = [r.p for r in df.select(
+        tag_first(F.col("tags"), default="unknown").alias("p")
+    ).collect()]
+    assert got == ["unknown", "topmed"]
+
+
+def test_except_ids_is_set_difference_on_multisets(spark):
+    from dug_data_ingest_spark.operators.setops import except_ids
+
+    left = spark.createDataFrame([(1,), (1,), (2,)], ["id"])
+    right = spark.createDataFrame([(1,)], ["id"])
+    assert [r.id for r in except_ids(left, right).collect()] == [2]
+
+
+def test_null_rows_survive_anti_membership_and_grep_v(spark):
+    # python `not in` / grep -v keep rows the condition can't judge;
+    # SQL three-valued logic would silently drop them
+    from dug_data_ingest_spark.operators.filters import anti_membership, grep_v
+
+    df = spark.createDataFrame(
+        [("phs1",), (None,), ("phs2",)], ["id"]
+    )
+    kept = {r.id for r in anti_membership(df, "id", ["phs2"]).collect()}
+    assert kept == {"phs1", None}
+    kept = {r.id for r in grep_v(df, F.col("id") == "phs2").collect()}
+    assert kept == {"phs1", None}
+
+
+def test_bdc_values_parse_survives_apostrophes(spark):
+    # Python-repr quoting: labels with apostrophes arrive double-
+    # quoted; the old '->"' replace corrupted them into a null array
+    from dug_data_ingest_spark.plans.bdc import generate_xml
+    from dug_data_ingest_spark.sources.xml_dbgap import parse_data_tables
+
+    studies = spark.createDataFrame(
+        [("phs000001", "phs000001.v1.p1", "prog")],
+        "study_id string, Accession string, program_dir string",
+    )
+    variables = spark.createDataFrame(
+        [
+            ("phs000001", "dt1", "v1", "var1", None, "d", None, True,
+             '["Don\'t know", \'Refused\']'),
+        ],
+        "study_id string, dtId string, varId string,"
+        " columnmeta_name string, derived_var_name string,"
+        " columnmeta_description string, description string,"
+        " is_categorical boolean, values string",
+    )
+    docs = generate_xml(studies, variables)
+    parsed = parse_data_tables(docs).collect()
+    codes = [tuple(v) for v in parsed[0].values]
+    assert codes == [("Don't know", "Don't know"), ("Refused", "Refused")]
