@@ -340,7 +340,8 @@ def _arm_cap_signal(
         def wait() -> None:
             try:
                 n = obs.get.get("n_hot", 0)
-            except Exception:  # noqa: BLE001 — signal must never raise
+            except Exception as exc:  # noqa: BLE001 — signal must never raise
+                log.debug("ngram df-cap observation unavailable: %s", exc)
                 return
             if n:
                 log.warning(

@@ -118,9 +118,11 @@ _REGRADE_BEFORE_ROUND = {
     "text-vocab-topk": 7,
     # r7 close: oracles rewritten for NULL-faithful `not in` / grep -v
     # semantics (IS NULL disjunct / COALESCE TRUE); values identical on
-    # the driver data but the graded pair changed — regrade next window
-    "filter-membership": 8,
-    "filter-grep-v": 8,
+    # the driver data but the graded pair changed — rows before r7
+    # graded the old pair (the marker equals the round that first
+    # grades the new code, so its own fresh row counts)
+    "filter-membership": 7,
+    "filter-grep-v": 7,
 }
 
 

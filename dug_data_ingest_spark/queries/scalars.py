@@ -179,14 +179,17 @@ def math_count_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def arr_parse_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse a stringified Python list safely — the reference used
     ``eval(str(row['values']))`` (scripts/bdc/xml_generator.py:146-156);
-    we quote-normalize then from_json (SURVEY §7 hard-part 2).
+    we from_json directly (SURVEY §7 hard-part 2): Spark's JSON reader
+    accepts single-quoted strings (allowSingleQuotes default), so no
+    quote-normalization pass — a regexp ' -> " swap would corrupt any
+    element containing an apostrophe (same lesson as plans/bdc.py
+    generate_xml).
     """
     df = load(spark, sf_dir, "documents")
     values_str = F.concat(
         F.lit("['"), F.col("lang"), F.lit("', '"), F.col("source"), F.lit("']")
     )
-    normalized = F.regexp_replace(values_str, "'", '"')
-    arr = F.from_json(normalized, T.ArrayType(T.StringType()))
+    arr = F.from_json(values_str, T.ArrayType(T.StringType()))
     return df.select(
         "doc_id",
         values_str.alias("values_str"),
