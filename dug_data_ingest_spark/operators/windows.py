@@ -81,3 +81,51 @@ def latest_by(df: DataFrame, order: Sequence[Column]) -> DataFrame:
     (scripts/bdc/ingest.sh:49, 59).
     """
     return df.orderBy(*[c.desc() for c in order]).limit(1)
+
+
+def global_row_number(
+    df: DataFrame, order: Sequence[Column], out_col: str,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global ``row_number`` over ``order`` WITHOUT the
+    single-partition window (an unpartitioned ``Window.orderBy`` makes
+    WindowExec move EVERY row to one partition — the one plan shape
+    that cannot survive a fact-grain input at scale).
+
+    Classic distributed ranking instead: range-repartition on the
+    order key (each partition holds one contiguous key slice), count
+    rows per slice (a P-bounded map-side-combined aggregate), prefix-
+    sum the slice sizes driver-side (P integers, never data), then
+    ``row_number`` WITHIN each slice (a partitioned window whose
+    groups are partition-sized) plus the slice's broadcast offset.
+    Two data shuffles total — range, then hash on the slice id — and
+    every operator is bounded by a partition, never the table.
+
+    ``order`` must be a total order (add a unique tiebreak column) or
+    ranks of tied rows are partition-order-dependent. Returns
+    ``(df_with_out_col, total_row_count)`` — the count rides the
+    slice-size pass, so callers get N for percent_rank / cume_dist /
+    ntile arithmetic without a second scan. The lazy localCheckpoint
+    keeps the range shuffle from being recomputed by the second job
+    (same idiom as ext/dedup.py's label propagation).
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sliced = (
+        df.repartitionByRange(p, *order)
+        .withColumn("__slice", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sizes = sliced.groupBy("__slice").count().collect()
+    offsets, acc = [], 0
+    for row in sorted(sizes, key=lambda r: r["__slice"]):
+        offsets.append((row["__slice"], acc))
+        acc += row["count"]
+    off = spark.createDataFrame(offsets, "__slice int, __off bigint")
+    rn = F.row_number().over(W.partitionBy("__slice").orderBy(*order))
+    out = (
+        sliced.join(F.broadcast(off), "__slice")
+        .withColumn(out_col, (F.col("__off") + rn).cast("bigint"))
+        .drop("__slice", "__off")
+    )
+    return out, acc

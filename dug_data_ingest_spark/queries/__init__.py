@@ -123,6 +123,10 @@ _REGRADE_BEFORE_ROUND = {
     # grades the new code, so its own fresh row counts)
     "filter-membership": 7,
     "filter-grep-v": 7,
+    # r7 close: global ranking moved off the single-partition window
+    # onto the range-partitioned two-pass form (same exact values)
+    "win-percent-rank": 7,
+    "win-ntile-quartiles": 7,
 }
 
 

@@ -1942,10 +1942,14 @@ def events_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Spend quartiles (ntile): customers bucketed into 4 equal-frequency
 # tiers by total spend — the segmentation primitive. One orders
-# shuffle for the per-customer rollup; the ntile window then runs
-# over the ≤|customer| aggregate, never the fact. Decimal-rounded
-# spend keeps tier boundaries engine-exact (ntile ties resolve by
-# the total order on (spend desc, custkey)).
+# shuffle for the per-customer rollup; the ranking then runs through
+# global_row_number (range-partitioned two-pass — the per-customer
+# aggregate is itself customer-grain, which scales with the data, so
+# an unpartitioned ntile window would still funnel it through one
+# partition). ntile is closed-form in (rn, N): with q, r = divmod(N,
+# 4), the first r buckets take q+1 rows — exactly the sizes both
+# engines' ntile assigns under the unique (spend desc, custkey)
+# order. Decimal-rounded spend keeps tier boundaries engine-exact.
 # ---------------------------------------------------------------------------
 
 _NTILE_ORACLE = """
@@ -1968,16 +1972,30 @@ GROUP BY q
 
 @query("win-ntile-quartiles", oracle=_NTILE_ORACLE)
 def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.operators.windows import global_row_number
+
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
         .cast("double")
         .alias("total_spend")
     )
-    w = W.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    ranked, n = global_row_number(
+        spend, [F.desc("total_spend"), F.asc("o_custkey")], "__rn"
+    )
+    q, r = divmod(n, 4)
+    rn = F.col("__rn")
+    if q == 0:  # fewer rows than buckets: ntile gives row i bucket i
+        bucket = rn
+    else:
+        # first r buckets have q+1 rows; floor on double is exact for
+        # any realistic N (rn < 2^53)
+        head = F.floor((rn - 1) / F.lit(q + 1)) + 1
+        tail = F.lit(r) + F.floor((rn - F.lit(r * (q + 1)) - 1) / F.lit(q)) + 1
+        bucket = F.when(rn <= r * (q + 1), head).otherwise(tail)
     return (
-        spend.select(
-            "o_custkey", "total_spend", F.ntile(4).over(w).cast("int").alias("quartile")
+        ranked.select(
+            "o_custkey", "total_spend", bucket.cast("int").alias("quartile")
         )
         .groupBy("quartile")
         .agg(
@@ -2277,14 +2295,15 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by account balance with their exact percentile position. Both
 # functions are exact rationals of ranks ((rank-1)/(n-1), rank/n), so
 # the 6dp values and the 0.95 cut are engine-identical by
-# construction — no float-boundary hazard. The window is global —
-# Spark plans an unpartitioned Window as ONE partition, acceptable
-# only because it runs over the dim (≤|customer| rows after pruning),
-# never a fact table. If the ranked relation itself reaches fact
-# scale, swap to the two-pass range-partitioned form: sortWithin
-# a rangepartition, per-partition local ranks + a tiny broadcast of
-# per-partition counts, global rank = local + offset — same exact
-# rationals, no single-partition bottleneck.
+# construction — no float-boundary hazard. The ranking runs through
+# operators/windows.global_row_number — the two-pass range-partitioned
+# form (range shuffle, per-slice local ranks, P-bounded offset
+# broadcast) — NEVER an unpartitioned Window, whose WindowExec would
+# move every row to one partition. percent_rank/cume_dist become
+# plain arithmetic on the global row number: the order carries a
+# unique tiebreak, so rank == row_number, pr = (rn-1)/(N-1) and
+# cd = rn/N — the exact rationals both engines' window functions
+# compute, at any grain.
 # ---------------------------------------------------------------------------
 
 _PERCENT_RANK_ORACLE = """
@@ -2302,19 +2321,30 @@ WHERE pr >= 0.95
 
 @query("win-percent-rank", oracle=_PERCENT_RANK_ORACLE)
 def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.operators.windows import global_row_number
+
     customer = load(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    ranked = customer.select(
-        "c_custkey",
-        "c_acctbal",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
-    ).filter(F.col("pr") >= 0.95)
-    return ranked.select(
-        "c_custkey",
-        F.round("c_acctbal", 2).alias("acctbal"),
-        F.round("pr", 6).alias("pct_rank"),
-        F.round("cd", 6).alias("cume"),
+    ranked, n = global_row_number(
+        customer.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        "__rn",
+    )
+    # unique total order (custkey tiebreak) → rank == row_number, so
+    # percent_rank and cume_dist are closed-form in rn and N
+    pr = (
+        (F.col("__rn") - 1) / F.lit(n - 1) if n > 1 else F.lit(0.0)
+    )
+    cd = F.col("__rn") / F.lit(n)
+    return (
+        ranked.withColumn("pr", pr)
+        .withColumn("cd", cd)
+        .filter(F.col("pr") >= 0.95)
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume"),
+        )
     )
 
 

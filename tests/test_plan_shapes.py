@@ -787,3 +787,19 @@ def test_triangle_count_builds_edges_once(queries, spark):
     final = plan.split("+- == Initial Plan ==")[0]
     assert final.count("lineitem.parquet") == 1, final
     assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+
+
+@pytest.mark.parametrize("slug", ["win-percent-rank", "win-ntile-quartiles"])
+def test_global_ranking_never_single_partition(queries, spark, slug):
+    # global_row_number replaces the unpartitioned ranking window: the
+    # executed plan must show the Window keyed by the range slice and
+    # NO Exchange SinglePartition anywhere — the shape that would
+    # funnel the whole (customer-grain, data-scaled) relation through
+    # one task. The offsets side stays broadcast.
+    df = queries[slug](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "SinglePartition" not in plan, plan
+    win = [l for l in plan.splitlines() if "Window [" in l]
+    assert win and all("__slice" in l for l in win), plan
+    assert "BroadcastHashJoin" in plan, plan

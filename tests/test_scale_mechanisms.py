@@ -557,3 +557,20 @@ def test_bdc_values_parse_survives_apostrophes(spark):
     parsed = parse_data_tables(docs).collect()
     codes = [tuple(v) for v in parsed[0].values]
     assert codes == [("Don't know", "Don't know"), ("Refused", "Refused")]
+
+
+def test_global_row_number_matches_sequential_rank(spark):
+    # exact global ranks from the range-partitioned two-pass form,
+    # checked against a driver-side sort; deliberately more partitions
+    # than rows so empty slices and offset bookkeeping are exercised
+    from dug_data_ingest_spark.operators.windows import global_row_number
+
+    rows = [(i * 37 % 101, f"k{i}") for i in range(101)]
+    df = spark.createDataFrame(rows, ["v", "k"]).repartition(13)
+    ranked, n = global_row_number(
+        df, [F.col("v").desc(), F.col("k")], "rn", num_partitions=17
+    )
+    assert n == 101
+    got = {(r.v, r.k): r.rn for r in ranked.collect()}
+    expected = sorted(rows, key=lambda t: (-t[0], t[1]))
+    assert got == {vk: i + 1 for i, vk in enumerate(expected)}
