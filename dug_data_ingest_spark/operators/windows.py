@@ -92,40 +92,51 @@ def global_row_number(
     WindowExec move EVERY row to one partition — the one plan shape
     that cannot survive a fact-grain input at scale).
 
-    Classic distributed ranking instead: range-repartition on the
-    order key (each partition holds one contiguous key slice), count
-    rows per slice (a P-bounded map-side-combined aggregate), prefix-
-    sum the slice sizes driver-side (P integers, never data), then
-    ``row_number`` WITHIN each slice (a partitioned window whose
-    groups are partition-sized) plus the slice's broadcast offset.
-    Two data shuffles total — range, then hash on the slice id — and
-    every operator is bounded by a partition, never the table.
+    Classic distributed ranking instead — ONE data shuffle, no window:
+    range-repartition on the order key (each partition holds one
+    contiguous key slice), sort within each slice, then read the
+    in-slice position straight off ``monotonically_increasing_id``
+    (slice index in the upper bits, the materialized-order row number
+    in the lower 33 — and the materialized order IS the sort order).
+    Slice sizes are a P-bounded map-side-combined aggregate,
+    prefix-summed driver-side (P integers, never data); the per-slice
+    offset joins back as a broadcast. Every operator is bounded by a
+    partition, never the table.
 
     ``order`` must be a total order (add a unique tiebreak column) or
     ranks of tied rows are partition-order-dependent. Returns
     ``(df_with_out_col, total_row_count)`` — the count rides the
     slice-size pass, so callers get N for percent_rank / cume_dist /
     ntile arithmetic without a second scan. The lazy localCheckpoint
-    keeps the range shuffle from being recomputed by the second job
-    (same idiom as ext/dedup.py's label propagation).
+    freezes the id assignment so the size pass and the ranked output
+    read the same materialization (same idiom as ext/dedup.py's label
+    propagation).
     """
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    mid = F.monotonically_increasing_id()
     sliced = (
         df.repartitionByRange(p, *order)
-        .withColumn("__slice", F.spark_partition_id())
+        .sortWithinPartitions(*order)
+        .select("*", F.shiftrightunsigned(mid, 33).alias("__slice"),
+                (mid % F.lit(1 << 33)).alias("__pos"))
         .localCheckpoint(eager=False)
     )
     sizes = sliced.groupBy("__slice").count().collect()
     offsets, acc = [], 0
     for row in sorted(sizes, key=lambda r: r["__slice"]):
+        if row["count"] >= 1 << 33:
+            raise ValueError(
+                "global_row_number: a range slice holds ≥ 2^33 rows, "
+                "overflowing the per-partition id field; raise "
+                "num_partitions"
+            )
         offsets.append((row["__slice"], acc))
         acc += row["count"]
-    off = spark.createDataFrame(offsets, "__slice int, __off bigint")
-    rn = F.row_number().over(W.partitionBy("__slice").orderBy(*order))
+    off = spark.createDataFrame(offsets, "__slice bigint, __off bigint")
     out = (
         sliced.join(F.broadcast(off), "__slice")
-        .withColumn(out_col, (F.col("__off") + rn).cast("bigint"))
-        .drop("__slice", "__off")
+        .withColumn(out_col, (F.col("__off") + F.col("__pos") + 1).cast("bigint"))
+        .drop("__slice", "__pos", "__off")
     )
     return out, acc

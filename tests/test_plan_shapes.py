@@ -791,15 +791,14 @@ def test_triangle_count_builds_edges_once(queries, spark):
 
 @pytest.mark.parametrize("slug", ["win-percent-rank", "win-ntile-quartiles"])
 def test_global_ranking_never_single_partition(queries, spark, slug):
-    # global_row_number replaces the unpartitioned ranking window: the
-    # executed plan must show the Window keyed by the range slice and
-    # NO Exchange SinglePartition anywhere — the shape that would
-    # funnel the whole (customer-grain, data-scaled) relation through
-    # one task. The offsets side stays broadcast.
+    # global_row_number replaces the unpartitioned ranking window with
+    # the range-partition + in-slice-position form: the executed plan
+    # must contain NO WindowExec and NO Exchange SinglePartition — the
+    # shape that would funnel the whole (customer-grain, data-scaled)
+    # relation through one task. The offsets side stays broadcast.
     df = queries[slug](spark, SF_DIR)
     df.collect()
     plan = _plan(df)
     assert "SinglePartition" not in plan, plan
-    win = [l for l in plan.splitlines() if "Window [" in l]
-    assert win and all("__slice" in l for l in win), plan
+    assert "Window [" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
