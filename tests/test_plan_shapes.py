@@ -466,14 +466,18 @@ def test_heavy_hitters_approx_sketch_is_broadcast(queries, spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_ntile_windows_over_rollup_not_fact(queries, spark):
-    # The ntile window input is the per-customer aggregate: the plan
-    # has the orders groupBy exchange, then a single-partition window
-    # (global order) over at most |customer| rows.
+def test_ntile_is_closed_form_over_rollup(queries, spark):
+    # ntile itself never appears: the bucket is the closed-form
+    # CASE/FLOOR expression in the global row number. The per-customer
+    # spend rollup sits BEHIND global_row_number's checkpoint (the
+    # ranked relation scans as ExistingRDD), so the only live shuffle
+    # is the final quartile aggregate — the ranking adds no WindowExec
+    # (pinned by test_global_ranking_never_single_partition).
     plan = _plan(queries["win-ntile-quartiles"](spark, SF_DIR))
-    assert "ntile" in plan.lower(), plan
-    ex = re.findall(r"Exchange hashpartitioning\(o_custkey", plan)
-    assert len(ex) <= 1, plan
+    assert "ntile" not in plan.lower(), plan
+    assert "CASE WHEN" in plan and "FLOOR" in plan, plan
+    assert _shuffles(plan) == 1, plan
+    assert re.search(r"Exchange hashpartitioning\(quartile", plan), plan
 
 
 def test_topn_per_group_aggregates_before_ranking(queries, spark):
@@ -542,12 +546,13 @@ def test_mode_per_group_is_two_aggs_no_window(queries, spark):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2, plan
 
 
-def test_percent_rank_runs_once_over_the_dim(queries, spark):
-    # One global (single-partition) window over the customer dim; the
-    # plan must not add extra exchanges beyond the SinglePartition one.
+def test_percent_rank_is_closed_form_no_window(queries, spark):
+    # percent_rank/cume_dist never appear as window functions: both are
+    # closed-form in (rn, N) over global_row_number's output (the
+    # no-WindowExec / no-SinglePartition shape is pinned by
+    # test_global_ranking_never_single_partition).
     plan = _plan(queries["win-percent-rank"](spark, SF_DIR))
-    assert "percent_rank" in plan and "cume_dist" in plan, plan
-    assert "SinglePartition" in plan, plan
+    assert "percent_rank(" not in plan and "cume_dist(" not in plan, plan
 
 
 def _shuffles(plan: str) -> int:
