@@ -15,18 +15,31 @@ half as a content-hash manifest diff:
   — a bit_xor + modular sum of per-row 60-bit md5 hashes, no per-key
   sort, no collect_list — so the manifest build is one map-side-
   combined groupBy whatever the corpus size.
-- ``diff_manifests`` full-outer-joins previous vs current manifest and
-  classifies every key: ``keep`` (identical), ``upload`` (new or
-  changed), ``delete`` (gone), ``rename`` (a deleted key whose exact
-  content fingerprint reappears under an added key — rclone's
-  --track-renames; ranked pairing keeps the match deterministic when
-  several keys share a fingerprint).
+- ``diff_manifest_rows`` classifies every key across two manifests:
+  ``keep`` (identical), ``upload`` (new or changed), ``delete``
+  (gone), ``rename`` (a deleted key whose exact content fingerprint
+  reappears under an added key — rclone's --track-renames; ranked
+  pairing keeps the match deterministic when several keys share a
+  fingerprint). The diff runs DRIVER-SIDE in plain Python: the
+  manifest is the rclone file list, key-cardinality bounded and
+  already collected for the apply loop — running it as Spark jobs
+  would spend four shuffles on a list that fits in a dict.
+  ``diff_manifests`` is the same classification as a DataFrame plan,
+  for diffing two STORED manifests that never need to reach the
+  driver (manifest-vs-manifest analytics); both implementations are
+  pinned to one reference model in
+  tests/test_delta_sync_properties.py.
 - ``delta_sync_write`` applies the plan: rewrites ONLY the changed/new
   partition directories (dynamic partition overwrite), renames moved
   directories in place (no data bytes rewritten — the server-side-move
   analogue), deletes vanished ones, refreshes the stored manifest, and
   fires the LakeFS commit hook ONLY when something changed — a re-run
   on unchanged input touches zero objects and publishes no version.
+  The stored manifest is read/written with pyarrow on the driver (it
+  is driver-resident either way); the layout stays a Spark-readable
+  parquet directory, so existing stores and external readers are
+  unaffected. The ONLY Spark jobs in a sync are the two data-sized
+  passes: the fingerprint scan and the changed-partition write.
 
 Manifest cardinality = number of sync keys (objects), the same list
 rclone holds in memory; the one driver-side ``collect()`` here is
@@ -49,6 +62,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+from collections import namedtuple
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -76,6 +90,14 @@ ACTIONS_SCHEMA = T.StructType(
         T.StructField("rename_to", T.StringType(), True),
         T.StructField("n_rows", T.LongType(), True),
     ]
+)
+
+# one row of the action plan / the stored manifest, attribute-compatible
+# with the Rows a DataFrame collect() would yield and accepted
+# positionally by createDataFrame(…, ACTIONS_SCHEMA)
+Action = namedtuple("Action", ["sync_key", "action", "rename_to", "n_rows"])
+ManifestRow = namedtuple(
+    "ManifestRow", ["sync_key", "n_rows", "content_hash", "content_sum"]
 )
 
 
@@ -209,6 +231,97 @@ def diff_manifests(prev: DataFrame, curr: DataFrame) -> DataFrame:
     return out
 
 
+def diff_manifest_rows(prev_rows, curr_rows) -> list[Action]:
+    """Driver-side twin of ``diff_manifests``: same classification and
+    ranked rename pairing, as plain Python over the in-memory manifest
+    (the rclone file list — key-cardinality bounded by construction).
+    Rows need ``sync_key / n_rows / content_hash / content_sum``
+    attributes; output is sorted by sync_key so the plan is
+    deterministic without a Spark sort. Both implementations are held
+    to one reference model in tests/test_delta_sync_properties.py."""
+    prev = {r.sync_key: (r.n_rows, r.content_hash, r.content_sum) for r in prev_rows}
+    curr = {r.sync_key: (r.n_rows, r.content_hash, r.content_sum) for r in curr_rows}
+
+    adds = sorted(k for k in curr if k not in prev)
+    dels = sorted(k for k in prev if k not in curr)
+    # rank pairing: the i-th deleted key (key order) of a fingerprint
+    # pairs with the i-th added key of the SAME full fingerprint
+    adds_by_fp: dict[tuple, list[str]] = {}
+    for k in adds:
+        adds_by_fp.setdefault(curr[k], []).append(k)
+    rename_to: dict[str, str] = {}
+    for k in dels:
+        bucket = adds_by_fp.get(prev[k])
+        if bucket:
+            rename_to[k] = bucket.pop(0)
+    consumed = set(rename_to.values())
+
+    out: list[Action] = []
+    for k in sorted(set(prev) | set(curr)):
+        if k in consumed:
+            continue  # rename target vanishes from the plan
+        n_rows = curr[k][0] if k in curr else prev[k][0]
+        if k in rename_to:
+            out.append(Action(k, "rename", rename_to[k], n_rows))
+        elif k not in curr:
+            out.append(Action(k, "delete", None, n_rows))
+        elif k not in prev or prev[k] != curr[k]:
+            out.append(Action(k, "upload", None, n_rows))
+        else:
+            out.append(Action(k, "keep", None, n_rows))
+    return out
+
+
+def _read_manifest_rows(manifest_path: str) -> list[ManifestRow]:
+    """Stored manifest → driver rows, no Spark job. pyarrow's dataset
+    reader skips ``_``/``.``-prefixed files by default, so both the
+    legacy Spark-written directory (with its _SUCCESS marker) and the
+    pyarrow-written one read identically."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(manifest_path, columns=[f.name for f in MANIFEST_SCHEMA])
+    return [ManifestRow(**d) for d in tbl.to_pylist()]
+
+
+def _write_manifest_rows(rows, manifest_path: str) -> None:
+    """Replace the stored manifest with ``rows`` (driver-side pyarrow
+    write, Spark-readable parquet directory). Staged into a sibling
+    temp dir first so a crash mid-write leaves either the old manifest
+    or none — never a torn one (a missing manifest re-uploads
+    everything on the next run: wasteful but convergent, the same
+    failure envelope as an overwrite-mode Spark write)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pylist(
+        [
+            {
+                "sync_key": r.sync_key,
+                "n_rows": r.n_rows,
+                "content_hash": r.content_hash,
+                "content_sum": r.content_sum,
+            }
+            for r in rows
+        ],
+        schema=pa.schema(
+            [
+                pa.field("sync_key", pa.string(), nullable=False),
+                pa.field("n_rows", pa.int64(), nullable=False),
+                pa.field("content_hash", pa.int64(), nullable=False),
+                pa.field("content_sum", pa.int64(), nullable=False),
+            ]
+        ),
+    )
+    tmp = manifest_path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+    if os.path.exists(manifest_path):
+        shutil.rmtree(manifest_path)
+    os.rename(tmp, manifest_path)
+
+
 # Spark URL-escapes partition values containing special characters
 # ("a b" → "a%20b") when writing <col>=<value> directories; the
 # rename/delete paths below address directories by RAW key and would
@@ -267,14 +380,15 @@ def delta_sync_write(
 
     ``df`` is scanned exactly twice: once to fingerprint (the
     "checksum everything" pass rclone also pays) and once to write
-    the changed partitions. The current manifest is COLLECTED from
-    the fingerprint pass (key-cardinality bounded, same as the action
-    plan) and the stored manifest is written back from those collected
-    rows — never recomputed from ``df`` — so the manifest on disk
-    always records exactly the fingerprints the diff saw, even if
-    ``df`` is non-deterministic or its source changed mid-sync.
+    the changed partitions — the only Spark jobs in a sync. The
+    current manifest is COLLECTED from the fingerprint pass
+    (key-cardinality bounded, same as the action plan); the diff runs
+    driver-side on that in-memory list, and the stored manifest is
+    written back from those collected rows — never recomputed from
+    ``df`` — so the manifest on disk always records exactly the
+    fingerprints the diff saw, even if ``df`` is non-deterministic or
+    its source changed mid-sync.
     """
-    spark = df.sparkSession
     data_path = os.path.join(path, "data")
     manifest_path = os.path.join(path, "_sync_manifest")
 
@@ -282,13 +396,12 @@ def delta_sync_write(
     for r in curr_rows:
         if r.sync_key is None:
             _checked_key(None)  # descriptive ValueError
-    curr = spark.createDataFrame(curr_rows, MANIFEST_SCHEMA)
     if os.path.exists(manifest_path):
-        prev = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
+        prev_rows = _read_manifest_rows(manifest_path)
     else:
-        prev = spark.createDataFrame([], MANIFEST_SCHEMA)
+        prev_rows = []
 
-    actions = diff_manifests(prev, curr).collect()
+    actions = diff_manifest_rows(prev_rows, curr_rows)
     # validate EVERY key before any mutation: a partial apply that
     # stops at the first bad key would leave store and manifest
     # disagreeing
@@ -352,7 +465,7 @@ def delta_sync_write(
             .parquet(data_path)
         )
 
-    curr.write.mode("overwrite").parquet(manifest_path)
+    _write_manifest_rows(curr_rows, manifest_path)
     if commit_hook is not None:
         commit_hook(path, stats)
     return stats, actions

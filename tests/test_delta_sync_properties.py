@@ -19,6 +19,8 @@ from hypothesis import strategies as st
 
 from dug_data_ingest_spark.sources.delta_sync import (
     MANIFEST_SCHEMA,
+    ManifestRow,
+    diff_manifest_rows,
     diff_manifests,
 )
 
@@ -95,5 +97,28 @@ def test_diff_matches_reference_model(spark, prev, curr):
         for r in diff_manifests(
             _to_df(spark, prev), _to_df(spark, curr)
         ).collect()
+    }
+    assert got == _model_diff(prev, curr)
+
+
+def _to_rows(manifest: dict) -> list[ManifestRow]:
+    return [ManifestRow(k, *fp) for k, fp in manifest.items()]
+
+
+@given(prev=_manifest, curr=_manifest)
+@example(prev={}, curr={"k0": _FPS[0]})
+@example(prev={"k0": _FPS[0]}, curr={})
+@example(
+    prev={"k0": _FPS[0], "k1": _FPS[0]},
+    curr={"k2": _FPS[0], "k3": _FPS[0]},
+)
+@example(prev={"k0": _FPS[0]}, curr={"k1": _FPS[1]})
+@settings(max_examples=300, deadline=None)
+def test_driver_side_diff_matches_reference_model(prev, curr):
+    # the driver-side twin delta_sync_write actually runs — same model,
+    # no Spark session, so the search budget can be 10x larger
+    got = {
+        (r.sync_key, r.action, r.rename_to, r.n_rows)
+        for r in diff_manifest_rows(_to_rows(prev), _to_rows(curr))
     }
     assert got == _model_diff(prev, curr)
