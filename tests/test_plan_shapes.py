@@ -621,12 +621,19 @@ def test_audio_features_is_arrow_staged_single_scan(queries, spark):
     # Audio decode rides the same Arrow-batched mapInPandas shape as
     # the image path: one scan of the id source, python only at the
     # two staged boundaries (synth fixture + decode), no shuffle of
-    # payloads and no row-at-a-time BatchEvalPython.
+    # payloads and no row-at-a-time BatchEvalPython. The single
+    # allowed exchange is the id fan-out BELOW the synth stage
+    # (8-byte ids, a fixture-parallelism no-op at scale); root-first
+    # explain prints deeper nodes later, so the exchange must appear
+    # after the last MapInPandas — an exchange printed before it
+    # would be a payload shuffle.
     plan = _plan(queries["mm-audio-features"](spark, SF_DIR))
     assert plan.count("FileScan") == 1, plan
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
-    assert _shuffles(plan) == 0, plan
+    assert _shuffles(plan) <= 1, plan
+    if "Exchange" in plan:
+        assert plan.rindex("MapInPandas") < plan.index("Exchange"), plan
 
 
 def test_waiting_suppliers_has_no_self_join(queries, spark):
