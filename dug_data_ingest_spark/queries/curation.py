@@ -657,21 +657,47 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     text) — extension surface for the LLM-pipeline tier, feeding
     pipeline-pack-sequences (Q/curation.py) downstream."""
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return chunk_with_overlap(docs)
+
+
+def chunk_with_overlap(
+    docs: DataFrame,
+    chunk_len: int = _CHUNK,
+    stride: int = _STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The text-chunk-overlap transformation on an arbitrary frame
+    (the graded query binds the corpus defaults). Kept separate so the
+    coverage/reconstruction invariants — every character lands in a
+    chunk, stitching the chunks back yields the original text — are
+    property-testable on hypothesis-generated strings
+    (tests/test_properties.py), which the oracle cannot check: it
+    mirrors the same fan-out arithmetic, so an off-by-one would agree
+    on both sides."""
+    if stride <= 0 or chunk_len < stride:
+        raise ValueError(
+            f"chunk_with_overlap: need 0 < stride <= chunk_len "
+            f"(got chunk_len={chunk_len}, stride={stride}); a stride "
+            "above the window would silently skip spans"
+        )
     last = F.ceil(
-        (F.greatest(F.length("text"), F.lit(_CHUNK)) - _CHUNK)
-        / F.lit(float(_STRIDE))
+        (F.greatest(F.length(text_col), F.lit(chunk_len)) - chunk_len)
+        / F.lit(float(stride))
     ).cast("bigint")
     fanned = docs.select(
-        "doc_id",
-        "text",
+        id_col,
+        text_col,
         F.explode(F.sequence(F.lit(0).cast("bigint"), last)).alias("i"),
     )
-    chunk = F.expr(f"substring(text, CAST(i * {_STRIDE} + 1 AS INT), {_CHUNK})")
+    piece = F.expr(
+        f"substring({text_col}, CAST(i * {stride} + 1 AS INT), {chunk_len})"
+    )
     return fanned.select(
-        "doc_id",
+        id_col,
         F.col("i").cast("int").alias("chunk_idx"),
-        chunk.alias("chunk"),
-        F.length(chunk).cast("int").alias("chunk_len"),
+        piece.alias("chunk"),
+        F.length(piece).cast("int").alias("chunk_len"),
     )
 
 

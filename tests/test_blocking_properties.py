@@ -1,0 +1,130 @@
+"""Model-based property tests for recall/coverage invariants the
+DuckDB oracles structurally CANNOT check, because the oracle mirrors
+the same blocking/fan-out arithmetic and would agree with an
+off-by-one on both sides:
+
+- simhash 4-lane pigeonhole blocking: the per-lane equality join must
+  find EVERY pair within Hamming distance 3 with its exact distance —
+  checked against a brute-force popcount model on hypothesis-built
+  codes (random bases + forced <=3-bit flips, since random 64-bit
+  pairs are essentially never near).
+- overlapping chunking: every chunk placed back at chunk_idx*stride
+  must stitch to exactly the original text (full coverage, correct
+  overlap, no empty tail chunk) for arbitrary unicode strings and
+  several (chunk, stride) geometries.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from dug_data_ingest_spark.ext.dedup import simhash_near_pairs
+from dug_data_ingest_spark.queries.curation import chunk_with_overlap
+
+# --- simhash pigeonhole ----------------------------------------------------
+
+# (base code, bits to flip for the partner code): each tuple plants one
+# pair at a known Hamming distance <= 3; sets of <=1 flip also produce
+# distance-0 duplicates, and independent bases give far-apart pairs
+_planted = st.tuples(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.lists(st.integers(min_value=0, max_value=63), max_size=3, unique=True),
+)
+
+
+def _lanes(code: int) -> tuple[int, int, int, int]:
+    return tuple((code >> (16 * l)) & 0xFFFF for l in range(4))
+
+
+@given(planted=st.lists(_planted, min_size=1, max_size=4))
+@example(planted=[(0, [0, 1, 2])])          # distance exactly 3
+@example(planted=[(0, []), ((1 << 64) - 1, [])])  # identical + antipodal
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_simhash_lane_join_finds_every_pair_within_hamming_3(spark, planted):
+    codes: list[int] = []
+    for base, flips in planted:
+        partner = base
+        for bit in flips:
+            partner ^= 1 << bit
+        codes.extend([base, partner])
+
+    rows = [(i, *_lanes(c)) for i, c in enumerate(codes)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, band0 int, band1 int, band2 int, band3 int"
+    )
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in simhash_near_pairs(df, max_hamming=3, id_col="doc_id").collect()
+    }
+    want = {
+        (i, j, (codes[i] ^ codes[j]).bit_count())
+        for i in range(len(codes))
+        for j in range(i + 1, len(codes))
+        if (codes[i] ^ codes[j]).bit_count() <= 3
+    }
+    assert got == want
+
+
+# --- chunk coverage / reconstruction ---------------------------------------
+
+_text = st.text(
+    alphabet=st.sampled_from("ab |.€漢\n'\"<&"),  # multibyte + XML-hostile
+    max_size=60,
+)
+
+
+@given(
+    texts=st.lists(_text, min_size=1, max_size=5),
+    geometry=st.sampled_from([(5, 3), (5, 5), (7, 2), (200, 150)]),
+)
+@example(texts=[""], geometry=(5, 3))
+@example(texts=["abcde"], geometry=(5, 3))   # exactly one full window
+@example(texts=["abcdef"], geometry=(5, 3))  # one char past the window
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunks_stitch_back_to_the_original_text(spark, texts, geometry):
+    chunk_len, stride = geometry
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    out = chunk_with_overlap(
+        docs, chunk_len=chunk_len, stride=stride
+    ).collect()
+
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in out:
+        assert r.chunk_len == len(r.chunk)
+        assert len(r.chunk) <= chunk_len
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk
+
+    import math
+
+    for doc_id, text in enumerate(texts):
+        chunks = by_doc[doc_id]
+        n_expect = 1 + math.ceil(max(0, len(text) - chunk_len) / stride)
+        assert sorted(chunks) == list(range(n_expect))
+        # stitch: each chunk pasted at its stride offset reproduces
+        # the text exactly — full coverage AND correct overlap
+        rec: list[str] = []
+        for idx in range(n_expect):
+            start = idx * stride
+            piece = chunks[idx]
+            assert text[start : start + chunk_len] == piece
+            rec[start:] = piece
+        assert "".join(rec) == text
+
+
+def test_chunk_geometry_guard_rejects_gapping_stride(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_with_overlap(docs, chunk_len=3, stride=4)
