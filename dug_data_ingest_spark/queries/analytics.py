@@ -2615,7 +2615,15 @@ GROUP BY prev_type, next_type
 
 @query("events-path-transitions", oracle=_PATH_TRANSITIONS_ORACLE)
 def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events")
+    return path_transitions(load(spark, sf_dir, "events"))
+
+
+def path_transitions(events: DataFrame) -> DataFrame:
+    """Markov transition counts over each user's (ts, event_id)-ordered
+    event stream. The tiebreak matters: same-timestamp events order by
+    event_id, so the bigram counts are a pure function of the data —
+    property-tested against a sorted-walk model under adversarial ties
+    and partitionings (tests/test_blocking_properties.py)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")

@@ -607,6 +607,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cat").alias("u"), "v")
         .distinct()
     )
+    return count_triangles(edges)
+
+
+def count_triangles(edges: DataFrame) -> DataFrame:
+    """One-row (n_edges, n_triangles) over an oriented edge set
+    (u < v, distinct). The two-join wedge-close counts each triangle
+    exactly once BECAUSE of the orientation: a triangle {a<b<c}
+    matches only as e1=(a,b), e2=(b,c), e3=(a,c). Factored from the
+    graded query so the exactly-once property is checkable against a
+    brute-force model on arbitrary small graphs
+    (tests/test_blocking_properties.py) — the oracle mirrors the same
+    join shape and could not catch a double-count both sides share."""
     e1 = edges
     e2 = edges.select(F.col("u").alias("v2u"), F.col("v").alias("w"))
     e3 = edges.select(F.col("u").alias("cu"), F.col("v").alias("cw"))
