@@ -610,15 +610,46 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return count_triangles(edges)
 
 
-def count_triangles(edges: DataFrame) -> DataFrame:
+def count_triangles(edges: DataFrame, orient_by_degree: bool = False) -> DataFrame:
     """One-row (n_edges, n_triangles) over an oriented edge set
     (u < v, distinct). The two-join wedge-close counts each triangle
-    exactly once BECAUSE of the orientation: a triangle {a<b<c}
-    matches only as e1=(a,b), e2=(b,c), e3=(a,c). Factored from the
-    graded query so the exactly-once property is checkable against a
-    brute-force model on arbitrary small graphs
+    exactly once BECAUSE the orientation is acyclic: under any total
+    order on nodes, a triangle has exactly one source node with two
+    out-edges, so it matches only as e1=(a,b), e2=(b,c), e3=(a,c).
+    Factored from the graded query so the exactly-once property is
+    checkable against a brute-force model on arbitrary small graphs
     (tests/test_blocking_properties.py) — the oracle mirrors the same
-    join shape and could not catch a double-count both sides share."""
+    join shape and could not catch a double-count both sides share.
+
+    ``orient_by_degree=True`` is the at-scale refinement the id
+    orientation's docprose promises: re-orient every edge from its
+    lower-(degree, id) endpoint to the higher, which bounds each
+    node's out-degree — and therefore every wedge list the first join
+    materializes — by O(sqrt(edges)) (graph arboricity), instead of
+    letting one low-id hub own a quadratic wedge set. Exactly-once
+    counting is orientation-independent (any total order is acyclic),
+    property-tested by comparing both orientations to the same model.
+    Costs two node-keyed joins to attach degrees; the join pattern
+    afterwards is identical."""
+    if orient_by_degree:
+        deg = (
+            edges.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        withdeg = (
+            edges.join(deg.withColumnRenamed("node", "u"), "u")
+            .withColumnRenamed("deg", "du")
+            .join(deg.withColumnRenamed("node", "v"), "v")
+            .withColumnRenamed("deg", "dv")
+        )
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        edges = withdeg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("v"),
+        )
     e1 = edges
     e2 = edges.select(F.col("u").alias("v2u"), F.col("v").alias("w"))
     e3 = edges.select(F.col("u").alias("cu"), F.col("v").alias("cw"))

@@ -166,6 +166,12 @@ def test_wedge_close_counts_each_triangle_exactly_once(spark, raw):
     row = count_triangles(df).collect()[0]
     assert row.n_edges == len(oriented)
     assert row.n_triangles == want
+    # the at-scale degree orientation must agree: exactly-once holds
+    # for ANY acyclic orientation, and re-orienting must not create
+    # or lose edges
+    row_deg = count_triangles(df, orient_by_degree=True).collect()[0]
+    assert row_deg.n_edges == len(oriented)
+    assert row_deg.n_triangles == want
 
 
 # --- path transitions under timestamp ties -----------------------------------
