@@ -430,3 +430,193 @@ def cosine_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 100-TB ANN memory answer. IVF prunes
+# WHICH vectors a query scans; PQ shrinks WHAT is scanned — each
+# d-dim float vector becomes m small codes (one per d/m-dim subspace,
+# each quantized to its own k-centroid codebook), a 32x-64x
+# compression, and query scoring becomes m table lookups per vector
+# (asymmetric distance, ADC) instead of d multiplies. Spark shape:
+# training is Lloyd over the (id x subspace) exploded frame — ONE
+# assign shuffle per iteration for ALL subspaces together, corpus
+# scanned never shuffled; codebooks are m*k rows and always
+# broadcast; encoded scoring is a row-local expression over a
+# literal distance table, so top-k plans as TakeOrderedAndProject.
+# Exact arithmetic is pinned to a numpy reference model in
+# tests/test_pq_properties.py (float sums differ across engines in
+# low-order bits, so this stays library surface rather than a
+# hash-gated oracle slug — same caveat kmeans_centroids documents).
+# ---------------------------------------------------------------------------
+
+
+def _pq_subvectors(
+    embeddings: DataFrame, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, subspace, subvec): the vector split into m contiguous
+    d/m-dim slices, exploded — the frame PQ trains and encodes on."""
+    if dim % m:
+        raise ValueError(
+            f"pq: m={m} must divide the vector dimension {dim}; ragged "
+            "subspaces would silently misalign codes against codebooks"
+        )
+    d = dim // m
+    slices = F.array(
+        *[as_double(F.slice(F.col(vec_col), s * d + 1, d)) for s in range(m)]
+    )
+    return embeddings.select(
+        F.col(id_col), F.posexplode(slices).alias("subspace", "subvec")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Learn PQ codebooks: (subspace, cluster, centroid[d/m]).
+
+    Deterministic Lloyd, all m subspaces in one pipeline: init
+    cluster = id % k (the kmeans_centroids convention — replayable,
+    no RNG), then per iteration ONE (subspace, cluster, pos) mean
+    shuffle and ONE broadcast-join argmin re-assignment. The corpus
+    is scanned per iteration, never shuffled; the codebook table is
+    m*k rows at any corpus size."""
+    sub = _pq_subvectors(embeddings, m, dim, id_col, vec_col)
+    assigned = sub.withColumn("cluster", (F.col(id_col) % k).cast("int"))
+    cents = None
+    for _ in range(n_iters):
+        pos = assigned.select(
+            "subspace", "cluster", F.posexplode("subvec").alias("pos", "x")
+        )
+        means = pos.groupBy("subspace", "cluster", "pos").agg(
+            F.avg("x").alias("mval")
+        )
+        ordered = F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("mval").alias("v")))
+            ),
+            lambda s: s.getField("v"),
+        )
+        cents = means.groupBy("subspace", "cluster").agg(ordered.alias("centroid"))
+        assigned = _pq_assign(sub, cents, id_col)
+    return cents
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codebook entry per (id, subspace) — broadcast join +
+    groupBy-min argmin, deterministic tie-break on cluster id (the
+    _assign idiom, keyed by subspace)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("subvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(cents), "subspace").select(
+        F.col(id_col), "subspace", "subvec", "cluster", d2.alias("d2")
+    )
+    best = F.min(F.struct(F.col("d2"), F.col("cluster"))).alias("best")
+    return (
+        scored.groupBy(id_col, "subspace")
+        .agg(best, F.first("subvec").alias("subvec"))
+        .select(
+            F.col(id_col),
+            "subspace",
+            "subvec",
+            F.col("best.cluster").alias("cluster"),
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes[m]): each vector reduced to its per-subspace nearest
+    codebook ids, ordered by subspace. At rest this is the compressed
+    index a 100-TB corpus stores instead of raw floats."""
+    assigned = _pq_assign(
+        _pq_subvectors(embeddings, m, dim, id_col, vec_col), codebooks, id_col
+    )
+    codes = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("subspace"), F.col("cluster").alias("c")))
+        ),
+        lambda s: s.getField("c"),
+    )
+    return assigned.groupBy(id_col).agg(codes.alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook_rows: list,
+    query_vec: list,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays a full
+    float vector, each candidate contributes m table lookups.
+
+    ``codebook_rows`` is the COLLECTED codebook (m*k rows — bounded by
+    construction, the PQ analogue of broadcasting IVF centroids). The
+    per-(subspace, cluster) squared distance to the query folds into a
+    literal nested-array table, so scoring is a row-local expression
+    over the codes column — no join, no shuffle; ``orderBy.limit``
+    plans as TakeOrderedAndProject."""
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"pq_adc_topk: m={m} must divide query dim {dim}")
+    d = dim // m
+    table: dict[int, dict[int, float]] = {}
+    n_clusters = 0
+    for row in codebook_rows:
+        q_sub = query_vec[row.subspace * d : (row.subspace + 1) * d]
+        dist2 = sum((float(q) - float(c)) ** 2 for q, c in zip(q_sub, row.centroid))
+        table.setdefault(row.subspace, {})[row.cluster] = dist2
+        n_clusters = max(n_clusters, row.cluster + 1)
+    if sorted(table) != list(range(m)):
+        raise ValueError(
+            f"pq_adc_topk: codebook covers subspaces {sorted(table)}, "
+            f"expected 0..{m - 1} — codebook and m disagree"
+        )
+    # Lloyd can leave a cluster id empty; score it +inf so a stale
+    # code pointing at it can never win silently.
+    lit_table = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(table[s].get(c, float("inf")))
+                    for c in range(n_clusters)
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.element_at(
+                F.element_at(lit_table, s + F.lit(1)), code + F.lit(1)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes.select(F.col(id_col), score.alias("adc_dist2"))
+        .orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

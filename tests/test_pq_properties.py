@@ -1,0 +1,156 @@
+"""Model-based tests for product quantization (ext/similarity.py):
+pq_train / pq_encode / pq_adc_topk pinned to a pure-Python reference
+model that replays the exact deterministic spec (init cluster = id%k,
+Lloyd means, argmin with lowest-cluster tie-break, ADC table lookups).
+
+Vectors are INTEGER-valued by construction: integer sums are exact in
+IEEE doubles regardless of aggregation order, so Spark's partial
+aggregation and the model's left-to-right walk produce bit-identical
+centroids and the comparison can be exact equality — the float
+caveat that keeps kmeans/PQ off the hash-gated oracle surface
+(documented on kmeans_centroids) does not bite here.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dug_data_ingest_spark.ext.similarity import pq_adc_topk, pq_encode, pq_train
+
+DIM, M, K, ITERS = 8, 4, 3, 2
+D = DIM // M
+
+_vec = st.lists(
+    st.integers(min_value=-8, max_value=8), min_size=DIM, max_size=DIM
+)
+_corpus = st.lists(_vec, min_size=3, max_size=8)
+
+
+def _model_train(vecs: list[list[int]]):
+    """codebooks: {(subspace, cluster): centroid list} after ITERS
+    rounds of the exact spec."""
+    sub = {
+        (i, s): [float(x) for x in v[s * D : (s + 1) * D]]
+        for i, v in enumerate(vecs)
+        for s in range(M)
+    }
+    assign = {(i, s): i % K for (i, s) in sub}
+    cents: dict[tuple[int, int], list[float]] = {}
+    for _ in range(ITERS):
+        # means over current members (empty clusters vanish)
+        sums: dict[tuple[int, int], list[float]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for (i, s), c in assign.items():
+            key = (s, c)
+            acc = sums.setdefault(key, [0.0] * D)
+            for p in range(D):
+                acc[p] += sub[(i, s)][p]
+            counts[key] = counts.get(key, 0) + 1
+        cents = {
+            key: [acc[p] / counts[key] for p in range(D)]
+            for key, acc in sums.items()
+        }
+        # re-assign: argmin d2, tie-break lowest cluster id
+        for (i, s) in sub:
+            best = None
+            for c in sorted(c for (s2, c) in cents if s2 == s):
+                d2 = 0.0
+                for p in range(D):
+                    diff = sub[(i, s)][p] - cents[(s, c)][p]
+                    d2 += diff * diff
+                if best is None or d2 < best[0]:
+                    best = (d2, c)
+            assign[(i, s)] = best[1]
+    return cents, assign
+
+
+@given(vecs=_corpus)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pq_train_encode_match_reference_model(spark, vecs):
+    cents, assign = _model_train(vecs)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    books = pq_train(df, m=M, k=K, n_iters=ITERS, dim=DIM)
+    got_books = {
+        (r.subspace, r.cluster): list(r.centroid) for r in books.collect()
+    }
+    assert got_books == cents
+
+    got_codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df, books, m=M, dim=DIM).collect()
+    }
+    want_codes = {
+        i: [assign[(i, s)] for s in range(M)] for i in range(len(vecs))
+    }
+    assert got_codes == want_codes
+
+
+@given(vecs=_corpus, query=_vec)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pq_adc_scores_match_table_walk(spark, vecs, query):
+    cents, assign = _model_train(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    books = pq_train(df, m=M, k=K, n_iters=ITERS, dim=DIM)
+    codes = pq_encode(df, books, m=M, dim=DIM)
+    top = pq_adc_topk(
+        codes, books.collect(), [float(x) for x in query], k=len(vecs), m=M
+    ).collect()
+
+    def model_score(i: int) -> float:
+        total = 0.0
+        for s in range(M):
+            c = assign[(i, s)]
+            d2 = 0.0
+            for p in range(D):
+                diff = float(query[s * D + p]) - cents[(s, c)][p]
+                d2 += diff * diff
+            total += d2
+        return total
+
+    got = {r.vec_id: r.adc_dist2 for r in top}
+    assert got == {i: model_score(i) for i in range(len(vecs))}
+    # ranking is (score, id) ascending — deterministic under ties
+    ranked = [(r.adc_dist2, r.vec_id) for r in top]
+    assert ranked == sorted(ranked)
+
+
+def test_pq_compression_finds_the_planted_neighbor(spark):
+    # end-to-end sanity on separated clusters: a query next to one
+    # cluster's member must rank that cluster's members first, from
+    # codes alone (no raw vectors at query time)
+    base = [0.0] * DIM
+    far = [100.0] * DIM
+    rows = [(i, [b + i * 0.01 for b in base]) for i in range(4)] + [
+        (10 + i, [f + i * 0.01 for f in far]) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_train(df, m=M, k=2, n_iters=2, dim=DIM)
+    codes = pq_encode(df, books, m=M, dim=DIM)
+    top = pq_adc_topk(codes, books.collect(), [0.02] * DIM, k=4, m=M).collect()
+    assert {r.vec_id for r in top} == {0, 1, 2, 3}
+
+
+def test_pq_rejects_ragged_subspaces(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 10)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        pq_train(df, m=4, k=2, n_iters=1, dim=10)
