@@ -620,3 +620,45 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pq_topk_reranked(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    codebook_rows: list,
+    query_vec: list,
+    k: int = 10,
+    shortlist: int = 100,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ as deployed: ADC over the compressed codes produces a
+    ``shortlist`` of candidates, then ONLY those ids are re-scored
+    with exact L2 against their raw vectors — the standard
+    two-stage trade (quantization error never decides the final
+    ranking, and the expensive exact pass touches shortlist rows,
+    not the corpus). The shortlist is id-cardinality bounded, so the
+    join back to raw vectors broadcasts; at 100 TB the corpus side
+    is scanned once and never shuffled."""
+    if shortlist < k:
+        raise ValueError(
+            f"pq_topk_reranked: shortlist={shortlist} must be >= k={k} "
+            "(a shortlist smaller than the answer set guarantees "
+            "missing results)"
+        )
+    cand = pq_adc_topk(
+        codes, codebook_rows, query_vec, k=shortlist, m=m, id_col=id_col
+    ).select(id_col)
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(as_double(F.col(vec_col)), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        embeddings.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), d2.alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

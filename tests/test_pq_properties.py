@@ -154,3 +154,53 @@ def test_pq_rejects_ragged_subspaces(spark):
     )
     with pytest.raises(ValueError, match="divide"):
         pq_train(df, m=4, k=2, n_iters=1, dim=10)
+
+
+def test_pq_rerank_recovers_exact_topk_when_shortlist_covers(spark):
+    # with shortlist = corpus size the ADC stage cannot exclude the
+    # true neighbors, so the re-ranked result IS the exact top-k —
+    # quantization error never decides the final ranking
+    from dug_data_ingest_spark.ext.similarity import pq_topk_reranked
+    import pyspark.sql.functions as F
+    from dug_data_ingest_spark.functions.vectors import as_double
+
+    rows = [(i, [float((7 * i + p) % 11 - 5) for p in range(DIM)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_train(df, m=M, k=K, n_iters=ITERS, dim=DIM)
+    codes = pq_encode(df, books, m=M, dim=DIM)
+    query = [0.5] * DIM
+
+    got = [
+        (r.vec_id, r.dist2)
+        for r in pq_topk_reranked(
+            df, codes, books.collect(), query, k=4, shortlist=len(rows), m=M
+        ).collect()
+    ]
+    q = F.lit(query).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(as_double(F.col("embedding")), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    want = [
+        (r.vec_id, r.d)
+        for r in df.select("vec_id", d2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(4)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_pq_rerank_rejects_shortlist_below_k(spark):
+    import pytest
+
+    from dug_data_ingest_spark.ext.similarity import pq_topk_reranked
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * DIM)], "vec_id int, embedding array<double>"
+    )
+    books = pq_train(df, m=M, k=1, n_iters=1, dim=DIM)
+    codes = pq_encode(df, books, m=M, dim=DIM)
+    with pytest.raises(ValueError, match="shortlist"):
+        pq_topk_reranked(df, codes, books.collect(), [0.0] * DIM, k=5, shortlist=3, m=M)
