@@ -1,0 +1,151 @@
+"""Scale-headroom smoke: run the heavy operator families on a Kx
+inflated corpus and report how wall time scales with data volume.
+
+    python tools/scale_smoke.py [K] [sf_dir] [mode]
+
+Two inflation modes, two different stresses:
+
+- ``disjoint`` (default): every WORD is tagged with the copy index,
+  so copies share no shingles — per-copy near-dup structure is
+  preserved while volume grows Kx, and a scale-safe plan should grow
+  roughly Kx in wall time and output size. Superlinear growth flags
+  candidate generation or shuffle volume that is quadratic in corpus
+  size. The +1-order-of-magnitude empirical check behind SCALE.md's
+  100-TB arguments.
+- ``clique``: only a short PREFIX is prepended, which leaves the K
+  copies of each document mutual near-duplicates (Jaccard ~0.99) —
+  every doc becomes a K-clique, so TRUE output grows ~K^2/2. This is
+  the duplicate-heavy-corpus stress (a crawl with mirrored sites):
+  the engine must absorb quadratic OUTPUT without quadratic
+  intermediate blowup beyond it.
+
+Prints one JSON line: {"k": K, "mode": ..., "timings": {op: sec},
+"outputs": {op: rows}}. Compare against a K=1 run of the same build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from dug_data_ingest_spark.session import get_spark  # noqa: E402
+
+
+def inflate_documents(spark, sf_dir: str, k: int, mode: str):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = []
+    for i in range(k):
+        if mode == "clique":
+            text = F.concat(F.lit(f"copy{i} "), F.col("text"))
+        else:  # disjoint: tag every word so copies share no shingles
+            text = F.regexp_replace("text", r"(\S+)", f"c{i}$1")
+        copies.append(
+            base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+                text.alias("text"),
+                "source",
+                "lang",
+                "n_chars",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def inflate_embeddings(spark, sf_dir: str, k: int):
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000_000)).alias("vec_id"),
+            # shift one coordinate per copy so copies are not exact
+            # duplicates in embedding space either
+            F.transform(
+                "embedding", lambda x, p: x + F.lit(0.001 * i) * (p == 0).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(k)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    mode = sys.argv[3] if len(sys.argv) > 3 else "disjoint"
+    if mode not in ("disjoint", "clique"):
+        raise SystemExit(f"unknown mode {mode!r}: use disjoint|clique")
+    spark = get_spark("scale-smoke")
+
+    from dug_data_ingest_spark.ext.dedup import (
+        duplicate_clusters,
+        exact_dedup_groups,
+        minhash_band_keys,
+        minhash_candidate_pairs,
+        minhash_signatures_wide,
+        ngram_jaccard_pairs,
+        simhash64,
+    )
+    from dug_data_ingest_spark.ext.similarity import topk_bruteforce
+
+    docs = inflate_documents(spark, sf_dir, k, mode).localCheckpoint()
+    embs = inflate_embeddings(spark, sf_dir, k).localCheckpoint()
+    n_docs, n_embs = docs.count(), embs.count()
+
+    ops = {
+        "dedup-exact": lambda: exact_dedup_groups(docs).count(),
+        "dedup-minhash": lambda: minhash_candidate_pairs(
+            minhash_band_keys(minhash_signatures_wide(
+                # the fused sketch path the graded query uses
+                __import__(
+                    "dug_data_ingest_spark.ext.dedup", fromlist=["doc_shingles"]
+                ).doc_shingles(docs)
+            ))
+        ).count(),
+        "dedup-ngram-jaccard": lambda: ngram_jaccard_pairs(
+            docs, threshold=0.8, max_doc_freq=1000
+        ).count(),
+        "dedup-cluster": lambda: duplicate_clusters(
+            ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=1000)
+        ).count(),
+        "dedup-simhash": lambda: simhash64(docs).count(),
+        "sim-topk-bruteforce": lambda: topk_bruteforce(
+            embs, [0.1] * 64, k=10
+        ).count(),
+    }
+
+    timings, outputs = {}, {}
+    for name, fn in ops.items():
+        fn()  # warm plan/codegen
+        t0 = time.perf_counter()
+        outputs[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "mode": mode,
+                "n_docs": n_docs,
+                "n_embeddings": n_embs,
+                "timings": timings,
+                "outputs": outputs,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
