@@ -169,3 +169,128 @@ def marker_sessions_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+
+
+def _session_row(user_id, start_us, n, n_term) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [
+                pd.Timestamp(start_us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+            ],
+            "n_events": [n],
+            "n_terminal": [n_term],
+        }
+    )
+
+
+def make_marker_session_processor(gap: str = "4 hours", terminal: str = "purchase"):
+    """Build the StatefulProcessor behind ``marker_sessions_tws``.
+
+    Module-level factory (not a closure inside the operator) so the
+    processor's session-walk SEMANTICS are unit-testable against the
+    batch twin with a fake state handle — necessary because executing
+    transformWithStateInPandas requires protobuf (Spark's TWS
+    state-server wire protocol), which not every runtime ships; the
+    semantics tests run everywhere, the wire-protocol equivalence
+    test gates on the import (tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_us = _gap_seconds(gap) * 1_000_000
+
+    class _MarkerSessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState(
+                "open_session",
+                "start_us long, last_us long, n long, n_terminal long",
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            (user_id,) = key
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            if self._open.exists():
+                start_us, last_us, n, n_term = self._open.get()
+            else:
+                start_us = last_us = n = n_term = None
+            out = []
+            for row in pdf.itertuples(index=False):
+                ts_us = int(row.ts.value // 1000)  # pandas ns -> us
+                # gap rule: SECOND-BOUNDARY crossings (batch-twin and
+                # oracle semantics — see marker_sessions_stream)
+                if (
+                    start_us is not None
+                    and ts_us // 1_000_000 - last_us // 1_000_000
+                    > gap_us // 1_000_000
+                ):
+                    out.append(_session_row(user_id, start_us, n, n_term))
+                    start_us = None
+                if start_us is None:
+                    start_us, n, n_term = ts_us, 0, 0
+                last_us = ts_us
+                n += 1
+                if row.event_type == terminal:
+                    n_term += 1
+                    out.append(_session_row(user_id, start_us, n, n_term))
+                    start_us = None
+            # at most one live timer per user: drop stale ones before
+            # arming the trailing-session timeout
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            if start_us is not None:
+                self._open.update((start_us, last_us, n, n_term))
+                self._handle.registerTimer(last_us // 1000 + gap_us // 1000)
+            else:
+                self._open.clear()
+            if out:
+                yield pd.concat(out)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            if self._open.exists():
+                start_us, _last, n, n_term = self._open.get()
+                self._open.clear()
+                (user_id,) = key
+                yield _session_row(user_id, start_us, n, n_term)
+
+        def close(self) -> None:
+            pass
+
+    return _MarkerSessionProcessor()
+
+
+def marker_sessions_tws(
+    events: DataFrame, gap: str = "4 hours", terminal: str = "purchase"
+) -> DataFrame:
+    """Same semantics on ``transformWithStateInPandas`` — Spark 4's
+    StatefulProcessor API (the successor to applyInPandasWithState:
+    named state variables, explicit event-time timers, initial-state
+    support). Kept alongside the classic implementation so both
+    stateful-operator surfaces stay exercised; both are held to the
+    same ``marker_sessions`` batch ground truth.
+
+    State is one ValueState row per open session (bounded by active
+    users); a timer at last_event + gap closes the trailing session
+    when the watermark passes it. Runtime note: executing this
+    operator needs the ``protobuf`` package (the TWS state-server
+    wire protocol) — plan construction does not.
+    """
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_marker_session_processor(gap, terminal),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -258,3 +258,158 @@ def test_marker_sessionize_gap_boundary_is_truncated_seconds(spark):
         (r.session_start, r.n_events) for r in marker_sessions(ev).collect()
     )
     assert got == [("2024-01-01 00:00:00", 2), ("2024-01-01 09:00:00", 1)]
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.state
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+def test_tws_processor_semantics_match_batch(spark):
+    """The StatefulProcessor behind marker_sessions_tws, driven
+    directly with a fake state handle (executing the real operator
+    needs protobuf — Spark's TWS wire protocol — absent here): feed
+    each user's events in timestamp order, fire the trailing timer,
+    and the emitted sessions must equal the batch twin's EXACTLY,
+    including the trailing open session the timer closes."""
+    import pandas as pd
+
+    from dug_data_ingest_spark.streaming.sessionize import (
+        make_marker_session_processor,
+        marker_sessions,
+    )
+
+    events = load(spark, TEST_SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pdf = events.toPandas()
+
+    got = {}
+    for user_id, rows in pdf.groupby("user_id"):
+        proc = make_marker_session_processor()
+        handle = _FakeHandle()
+        proc.init(handle)
+        outs = list(proc.handleInputRows((user_id,), iter([rows]), None))
+        outs.extend(proc.handleExpiredTimer((user_id,), None, None))
+        for out in outs:
+            for r in out.itertuples(index=False):
+                got[(r.user_id, r.session_start)] = (r.n_events, r.n_terminal)
+        # state cleared after the timer; at most one timer was live
+        assert not handle.state.exists()
+        assert len(handle.timers) <= 1
+
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.n_terminal)
+        for r in marker_sessions(events).collect()
+    }
+    assert got == want
+
+
+def test_tws_processor_resumes_from_carried_state(spark):
+    """Split each user's stream across two micro-batches at an
+    arbitrary boundary: the ValueState carried between
+    handleInputRows calls must stitch sessions identically to the
+    single-batch walk."""
+    from dug_data_ingest_spark.streaming.sessionize import (
+        make_marker_session_processor,
+        marker_sessions,
+    )
+
+    events = load(spark, TEST_SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pdf = events.toPandas()
+
+    got = {}
+    for user_id, rows in pdf.groupby("user_id"):
+        rows = rows.sort_values(["ts", "event_id"])
+        cut = len(rows) // 2
+        proc = make_marker_session_processor()
+        handle = _FakeHandle()
+        proc.init(handle)
+        outs = []
+        for batch in (rows.iloc[:cut], rows.iloc[cut:]):
+            if len(batch):
+                outs.extend(proc.handleInputRows((user_id,), iter([batch]), None))
+        outs.extend(proc.handleExpiredTimer((user_id,), None, None))
+        for out in outs:
+            for r in out.itertuples(index=False):
+                got[(r.user_id, r.session_start)] = (r.n_events, r.n_terminal)
+
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.n_terminal)
+        for r in marker_sessions(events).collect()
+    }
+    assert got == want
+
+
+def test_marker_sessionize_tws_matches_batch_closed_sessions(spark):
+    """Wire-protocol equivalence: the real transformWithStateInPandas
+    stream against the batch twin. Needs protobuf (the TWS
+    state-server protocol), so it self-skips where that isn't
+    shipped — the semantics tests above run everywhere."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas execution needs protobuf",
+    )
+    from dug_data_ingest_spark.streaming.sessionize import (
+        marker_sessions,
+        marker_sessions_tws,
+    )
+
+    stream = read_events_stream(spark, TEST_SF_DIR)
+    q = (
+        marker_sessions_tws(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_tws_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.n_terminal)
+        for r in spark.sql("SELECT * FROM sessions_tws_out").collect()
+    }
+    batch = marker_sessions(load(spark, TEST_SF_DIR, "events")).collect()
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.n_terminal) for r in batch
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert want.get(k) == v, (k, v, want.get(k))
+    missing = set(want) - set(got)
+    users = {u for u, _ in missing}
+    assert len(missing) == len(users), f"non-trailing sessions missing: {missing}"
