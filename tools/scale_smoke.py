@@ -84,9 +84,13 @@ def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     mode = sys.argv[3] if len(sys.argv) > 3 else "disjoint"
-    if mode not in ("disjoint", "clique"):
-        raise SystemExit(f"unknown mode {mode!r}: use disjoint|clique")
+    if mode not in ("disjoint", "clique", "facts"):
+        raise SystemExit(f"unknown mode {mode!r}: use disjoint|clique|facts")
     spark = get_spark("scale-smoke")
+    if mode == "facts":
+        res = run_facts(spark, sf_dir, k)
+        print(json.dumps({"k": k, "mode": mode, **res}))
+        return 0
 
     from dug_data_ingest_spark.ext.dedup import (
         duplicate_clusters,
@@ -145,6 +149,80 @@ def main() -> int:
         )
     )
     return 0
+
+
+
+
+# --- fact-table axis: OLAP/events at Kx fact volume, dims fixed -------------
+
+
+def _facts_dir(spark, sf_dir: str, k: int) -> str:
+    """Materialize a Kx sf-layout directory: fact tables (lineitem,
+    orders, events) key-shifted Kx, dimension tables copied as-is —
+    the realistic scale axis (facts grow, dims do not), letting the
+    REGISTERED queries run unmodified against the inflated dir."""
+    from dug_data_ingest_spark.sources import scratch_dir
+
+    out = scratch_dir(f"scale-smoke-facts-{k}", fresh=False)
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+
+    def copies(df, shifts: dict):
+        parts = []
+        for i in range(k):
+            c = df
+            for col, step in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(c)
+        u = parts[0]
+        for c in parts[1:]:
+            u = u.unionByName(c)
+        return u
+
+    base = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    plans = {
+        "lineitem": copies(base("lineitem"), {"l_orderkey": 1_000_000_000}),
+        "orders": copies(base("orders"), {"o_orderkey": 1_000_000_000}),
+        "events": copies(
+            base("events"),
+            {"event_id": 1_000_000_000, "user_id": 10_000_000},
+        ),
+    }
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        plans[t] = base(t)
+    for t, df in plans.items():
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+    open(marker, "w").close()
+    return out
+
+
+FACT_QUERIES = [
+    "olap-pricing-summary",      # Q1: scan-heavy single agg
+    "olap-revenue-by-nation",    # Q5: broadcast-dim star join
+    "olap-topn-per-group",       # window over rollup
+    "olap-order-priority",       # Q4: fact-fact semi join
+    "agg-groupby-dtid",          # keyed agg on the fact
+    "events-sessionize",         # gaps-and-islands window
+    "win-running-total",         # running window on events
+    "events-retention",          # per-user set aggregation
+]
+
+
+def run_facts(spark, sf_dir: str, k: int) -> dict:
+    from dug_data_ingest_spark.queries import all_queries
+
+    qs = all_queries()
+    d = _facts_dir(spark, sf_dir, k)
+    timings, outputs = {}, {}
+    for name in FACT_QUERIES:
+        fn = qs[name]
+        fn(spark, d).count()  # warm
+        t0 = time.perf_counter()
+        outputs[name] = fn(spark, d).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return {"timings": timings, "outputs": outputs}
 
 
 if __name__ == "__main__":
