@@ -195,9 +195,8 @@ def _dim_checked(vec: Column, dim: int, caller: str) -> Column:
         F.raise_error(
             F.printf(
                 F.lit(
-                    f"{caller}: embedding has %s dims but the "
-                    f"hyperplanes were built for {dim}; pass dim=<real "
-                    "width> to the LSH entry point"
+                    f"{caller}: embedding has %s dims, expected {dim}; "
+                    "pass dim=<real width> to the entry point"
                 ),
                 F.size(vec),
             )
@@ -462,9 +461,11 @@ def _pq_subvectors(
             "subspaces would silently misalign codes against codebooks"
         )
     d = dim // m
-    slices = F.array(
-        *[as_double(F.slice(F.col(vec_col), s * d + 1, d)) for s in range(m)]
-    )
+    # _dim_checked first: slicing an undersized vector would yield
+    # empty subvectors, missing codebook entries, and NULL-padded
+    # zip_with distances downstream — silently, without it
+    vec = _dim_checked(F.col(vec_col), dim, "pq")
+    slices = F.array(*[as_double(F.slice(vec, s * d + 1, d)) for s in range(m)])
     return embeddings.select(
         F.col(id_col), F.posexplode(slices).alias("subspace", "subvec")
     )
@@ -487,6 +488,11 @@ def pq_train(
     shuffle and ONE broadcast-join argmin re-assignment. The corpus
     is scanned per iteration, never shuffled; the codebook table is
     m*k rows at any corpus size."""
+    if n_iters < 1:
+        raise ValueError(
+            f"pq_train: n_iters must be >= 1 (got {n_iters}); no "
+            "codebook exists before the first update step"
+        )
     sub = _pq_subvectors(embeddings, m, dim, id_col, vec_col)
     assigned = sub.withColumn("cluster", (F.col(id_col) % k).cast("int"))
     cents = None
@@ -604,9 +610,24 @@ def pq_adc_topk(
             for s in range(m)
         ]
     )
+    # codes shorter than m would NULL-pad the zip, NULL the score,
+    # and ascending sort is nulls-FIRST — corrupted rows would win
+    # the top-k silently. Validate the length loudly instead (the
+    # _dim_checked posture), and belt-and-braces guard the score.
+    checked = F.when(F.size(F.col("codes")) == F.lit(m), F.col("codes")).otherwise(
+        F.raise_error(
+            F.printf(
+                F.lit(
+                    f"pq_adc_topk: codes array has %s entries, expected "
+                    f"m={m}; codes and codebook disagree"
+                ),
+                F.size(F.col("codes")),
+            )
+        )
+    )
     score = F.aggregate(
         F.zip_with(
-            F.col("codes"),
+            checked,
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda code, s: F.element_at(
                 F.element_at(lit_table, s + F.lit(1)), code + F.lit(1)
@@ -614,6 +635,14 @@ def pq_adc_topk(
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+    score = F.when(score.isNotNull(), score).otherwise(
+        F.raise_error(
+            F.lit(
+                "pq_adc_topk: NULL ADC score (NULL code entry?) — "
+                "refusing to rank it above real candidates"
+            )
+        )
     )
     return (
         codes.select(F.col(id_col), score.alias("adc_dist2"))
@@ -651,8 +680,14 @@ def pq_topk_reranked(
         codes, codebook_rows, query_vec, k=shortlist, m=m, id_col=id_col
     ).select(id_col)
     q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    # _dim_checked: a vector shorter than the query would NULL-pad the
+    # zip, NULL dist2, and rank FIRST under ascending nulls-first
     d2 = F.aggregate(
-        F.zip_with(as_double(F.col(vec_col)), q, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(
+            as_double(_dim_checked(F.col(vec_col), len(query_vec), "pq_topk_reranked")),
+            q,
+            lambda x, y: (x - y) * (x - y),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -104,32 +104,20 @@ def marker_sessions_stream(
         if state.hasTimedOut:
             start_us, _last, n, n_term = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [
-                        pd.Timestamp(start_us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
-                    ],
-                    "n_events": [n],
-                    "n_terminal": [n_term],
-                }
-            )
+            yield _session_row(user_id, start_us, n, n_term)
             return
 
         rows = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
-        out = {"user_id": [], "session_start": [], "n_events": [], "n_terminal": []}
+        # single source of truth for the output row shape: _session_row
+        # (shared with the transformWithStateInPandas twin)
+        out: list[pd.DataFrame] = []
         if state.exists:
             start_us, last_us, n, n_term = state.get
         else:
             start_us = last_us = n = n_term = None
 
         def close():
-            out["user_id"].append(user_id)
-            out["session_start"].append(
-                pd.Timestamp(start_us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
-            )
-            out["n_events"].append(n)
-            out["n_terminal"].append(n_term)
+            out.append(_session_row(user_id, start_us, n, n_term))
 
         for row in rows.itertuples(index=False):
             ts_us = int(row.ts.value // 1000)  # pandas ns → µs
@@ -156,7 +144,8 @@ def marker_sessions_stream(
             state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
         else:
             state.remove()
-        yield pd.DataFrame(out)
+        if out:
+            yield pd.concat(out)
 
     return (
         events.withWatermark("ts", gap)

@@ -3,7 +3,7 @@ inflated corpus and report how wall time scales with data volume.
 
     python tools/scale_smoke.py [K] [sf_dir] [mode]
 
-Two inflation modes, two different stresses:
+Three inflation modes, three different stresses:
 
 - ``disjoint`` (default): every WORD is tagged with the copy index,
   so copies share no shingles — per-copy near-dup structure is
@@ -18,6 +18,10 @@ Two inflation modes, two different stresses:
   the duplicate-heavy-corpus stress (a crawl with mirrored sites):
   the engine must absorb quadratic OUTPUT without quadratic
   intermediate blowup beyond it.
+- ``facts``: fact tables (lineitem/orders/events) key-shifted Kx
+  into a scratch sf-layout directory with dimensions UNchanged (the
+  realistic axis: facts grow, dims don't), then the REGISTERED
+  OLAP/event queries run unmodified against the inflated dir.
 
 Prints one JSON line: {"k": K, "mode": ..., "timings": {op: sec},
 "outputs": {op: rows}}. Compare against a K=1 run of the same build.
@@ -93,6 +97,7 @@ def main() -> int:
         return 0
 
     from dug_data_ingest_spark.ext.dedup import (
+        doc_shingles,
         duplicate_clusters,
         exact_dedup_groups,
         minhash_band_keys,
@@ -110,12 +115,8 @@ def main() -> int:
     ops = {
         "dedup-exact": lambda: exact_dedup_groups(docs).count(),
         "dedup-minhash": lambda: minhash_candidate_pairs(
-            minhash_band_keys(minhash_signatures_wide(
-                # the fused sketch path the graded query uses
-                __import__(
-                    "dug_data_ingest_spark.ext.dedup", fromlist=["doc_shingles"]
-                ).doc_shingles(docs)
-            ))
+            # the fused sketch path the graded query uses
+            minhash_band_keys(minhash_signatures_wide(doc_shingles(docs)))
         ).count(),
         "dedup-ngram-jaccard": lambda: ngram_jaccard_pairs(
             docs, threshold=0.8, max_doc_freq=1000
@@ -163,7 +164,11 @@ def _facts_dir(spark, sf_dir: str, k: int) -> str:
     REGISTERED queries run unmodified against the inflated dir."""
     from dug_data_ingest_spark.sources import scratch_dir
 
-    out = scratch_dir(f"scale-smoke-facts-{k}", fresh=False)
+    # tag the cache dir with the SOURCE sf so a run against a
+    # different scale factor can never reuse the wrong fixture
+    # (the _events_partitioned convention, queries/sources.py)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
+    out = scratch_dir(f"scale-smoke-facts-{tag}-{k}", fresh=False)
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
         return out
