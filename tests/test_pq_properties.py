@@ -204,3 +204,41 @@ def test_pq_rerank_rejects_shortlist_below_k(spark):
     codes = pq_encode(df, books, m=M, dim=DIM)
     with pytest.raises(ValueError, match="shortlist"):
         pq_topk_reranked(df, codes, books.collect(), [0.0] * DIM, k=5, shortlist=3, m=M)
+
+
+def test_pq_adc_rejects_short_codes_instead_of_ranking_them_first(spark):
+    # ascending sort is nulls-first in Spark: a codes array shorter
+    # than m would NULL its ADC score and silently WIN the top-k —
+    # the guard must raise instead
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * DIM) for i in range(3)],
+        "vec_id int, embedding array<double>",
+    )
+    books = pq_train(df, m=M, k=2, n_iters=1, dim=DIM)
+    good = pq_encode(df, books, m=M, dim=DIM)
+    bad = spark.createDataFrame([(99, [0] * (M - 1))], "vec_id int, codes array<int>")
+    with pytest.raises(Exception, match="codes array has"):
+        pq_adc_topk(good.unionByName(bad), books.collect(), [0.0] * DIM, k=3, m=M).collect()
+
+
+def test_pq_rerank_rejects_undersized_vector(spark):
+    import pytest
+
+    from dug_data_ingest_spark.ext.similarity import pq_topk_reranked
+
+    rows = [(1, [0.0] * DIM), (2, [1.0] * (DIM - 2))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    ok = df.filter("vec_id = 1")
+    books = pq_train(ok, m=M, k=1, n_iters=1, dim=DIM)
+    codes = pq_encode(df.selectExpr("vec_id", f"slice(embedding, 1, {DIM}) as embedding")
+                      .filter("vec_id = 1"), books, m=M, dim=DIM)
+    codes = codes.unionByName(
+        spark.createDataFrame([(2, [0] * M)], "vec_id int, codes array<int>")
+    )
+    with pytest.raises(Exception, match="dims"):
+        pq_topk_reranked(
+            df, codes, books.collect(), [0.0] * DIM, k=2, shortlist=2, m=M
+        ).collect()
