@@ -697,3 +697,178 @@ def pq_topk_reranked(
         .orderBy(F.col("dist2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composition production ANN indexes actually ship
+# (FAISS's IVFPQ): a coarse k-means quantizer prunes WHICH cells a
+# query scans (IVF), and PQ codes over the RESIDUAL (vector minus its
+# cell centroid) shrink WHAT is scanned — residuals are centered near
+# zero, so the same codebook budget quantizes them with far less
+# error than raw vectors. Query cost: nprobe cells' worth of rows,
+# each scored by m table lookups against that cell's own distance
+# table (the query residual differs per cell).
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_index(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list, DataFrame, DataFrame]:
+    """Build the index: returns ``(cells, codebooks, coded)`` where
+    cells is the COLLECTED coarse-quantizer table [(cluster,
+    centroid, n_members)] (n_cells rows — the IVF probe list), and
+    coded is (id, cell, codes[m]) — the compressed inverted file.
+    One Lloyd pipeline for the coarse quantizer, one for the m
+    sub-codebooks; the corpus is scanned per iteration, never
+    shuffled except the (cluster, pos) mean updates."""
+    cells_df = kmeans_centroids(
+        embeddings, k=n_cells, n_iters=n_iters, id_col=id_col,
+        vec_col=vec_col, with_centroids=True,
+    )
+    cents = cells_df.select("cluster", "centroid")
+    assigned = _assign(embeddings, cents, id_col, vec_col)
+    residuals = assigned.join(F.broadcast(cents), "cluster").select(
+        F.col(id_col),
+        F.col("cluster").alias("cell"),
+        F.zip_with(
+            as_double(_dim_checked(F.col(vec_col), dim, "ivf_pq_index")),
+            F.col("centroid"),
+            lambda x, c: x - c,
+        ).alias("residual"),
+    )
+    books = pq_train(
+        residuals, m=m, k=k, n_iters=n_iters, dim=dim,
+        id_col=id_col, vec_col="residual",
+    )
+    coded = pq_encode(
+        residuals, books, m=m, dim=dim, id_col=id_col, vec_col="residual"
+    ).join(residuals.select(id_col, "cell"), id_col)
+    return cells_df.collect(), books, coded
+
+
+def ivf_pq_topk(
+    coded: DataFrame,
+    cells: list,
+    codebook_rows: list,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe-bounded ADC top-k over the IVF-PQ index: score only the
+    ``nprobe`` cells whose centroids are nearest the query, each with
+    its OWN distance table built from the query's residual in that
+    cell. The per-cell tables fold into a literal when-chain keyed on
+    the row's cell id, so scoring stays a row-local expression and
+    the cell filter prunes (1 - nprobe/n_cells) of the corpus before
+    any arithmetic; top-k plans as TakeOrderedAndProject."""
+    dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"ivf_pq_topk: m={m} must divide query dim {dim}")
+    d = dim // m
+    by_dist = sorted(
+        cells,
+        key=lambda r: (
+            sum((float(q) - float(c)) ** 2 for q, c in zip(query_vec, r.centroid)),
+            r.cluster,
+        ),
+    )
+    probed = by_dist[: max(1, nprobe)]
+
+    books: dict[int, dict[int, list[float]]] = {}
+    n_clusters = 0
+    for row in codebook_rows:
+        books.setdefault(row.subspace, {})[row.cluster] = [
+            float(c) for c in row.centroid
+        ]
+        n_clusters = max(n_clusters, row.cluster + 1)
+    if sorted(books) != list(range(m)):
+        raise ValueError(
+            f"ivf_pq_topk: codebook covers subspaces {sorted(books)}, "
+            f"expected 0..{m - 1} — codebook and m disagree"
+        )
+
+    def cell_table(cell_row):
+        # residual of the query IN THIS CELL → (m x n_clusters) table
+        resid = [
+            float(q) - float(c) for q, c in zip(query_vec, cell_row.centroid)
+        ]
+        return F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(
+                            sum(
+                                (resid[s * d + p] - books[s][c][p]) ** 2
+                                for p in range(d)
+                            )
+                            if c in books[s]
+                            else float("inf")
+                        )
+                        for c in range(n_clusters)
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+
+    # when-chain keyed on the row's cell id: built from the LAST
+    # probed cell inward so each earlier cell's branch wraps the rest
+    # (the final fallthrough is unreachable — rows outside the probed
+    # cells are filtered below before scoring)
+    table = None
+    for cell_row in reversed(probed):
+        branch = cell_table(cell_row)
+        table = (
+            branch
+            if table is None
+            else F.when(F.col("cell") == F.lit(cell_row.cluster), branch).otherwise(
+                table
+            )
+        )
+
+    checked = F.when(F.size(F.col("codes")) == F.lit(m), F.col("codes")).otherwise(
+        F.raise_error(
+            F.printf(
+                F.lit(
+                    f"ivf_pq_topk: codes array has %s entries, expected "
+                    f"m={m}; codes and codebook disagree"
+                ),
+                F.size(F.col("codes")),
+            )
+        )
+    )
+    score = F.aggregate(
+        F.zip_with(
+            checked,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.element_at(
+                F.element_at(table, s + F.lit(1)), code + F.lit(1)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = F.when(score.isNotNull(), score).otherwise(
+        F.raise_error(
+            F.lit(
+                "ivf_pq_topk: NULL ADC score (NULL code entry?) — "
+                "refusing to rank it above real candidates"
+            )
+        )
+    )
+    probed_ids = [r.cluster for r in probed]
+    return (
+        coded.filter(F.col("cell").isin(probed_ids))
+        .select(F.col(id_col), F.col("cell"), score.alias("adc_dist2"))
+        .orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

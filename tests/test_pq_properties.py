@@ -242,3 +242,96 @@ def test_pq_rerank_rejects_undersized_vector(spark):
         pq_topk_reranked(
             df, codes, books.collect(), [0.0] * DIM, k=2, shortlist=2, m=M
         ).collect()
+
+
+# --- IVF-PQ composition ------------------------------------------------------
+
+
+def _clustered_corpus():
+    # two well-separated clusters of 6, mild within-cluster jitter
+    rows = []
+    for i in range(6):
+        rows.append((i, [0.0 + 0.05 * i + 0.01 * p for p in range(DIM)]))
+    for i in range(6):
+        rows.append((10 + i, [50.0 + 0.05 * i - 0.01 * p for p in range(DIM)]))
+    return rows
+
+
+def test_ivf_pq_scores_only_probed_cells(spark):
+    from dug_data_ingest_spark.ext.similarity import ivf_pq_index, ivf_pq_topk
+
+    df = spark.createDataFrame(
+        _clustered_corpus(), "vec_id int, embedding array<double>"
+    )
+    cells, books, coded = ivf_pq_index(df, n_cells=2, m=M, k=2, n_iters=2, dim=DIM)
+    top = ivf_pq_topk(
+        coded, cells, books.collect(), [0.1] * DIM, k=12, nprobe=1, m=M
+    ).collect()
+    # nprobe=1 near the low cluster: only that cell's members appear,
+    # and all of them do (k covers the cell)
+    assert len(top) > 0
+    cells_hit = {r.cell for r in top}
+    assert len(cells_hit) == 1
+    ids = {r.vec_id for r in top}
+    assert ids == {0, 1, 2, 3, 4, 5} or ids == {10, 11, 12, 13, 14, 15}
+    assert ids == {0, 1, 2, 3, 4, 5}, "query at 0.1 must probe the low cluster"
+
+
+def test_ivf_pq_single_cell_equals_residual_pq(spark):
+    # with n_cells=1 every vector shares one coarse centroid, so
+    # IVF-PQ must rank exactly like plain PQ over the residuals
+    import pyspark.sql.functions as F
+
+    from dug_data_ingest_spark.ext.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = [(i, [float((3 * i + p) % 7) for p in range(DIM)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cells, books, coded = ivf_pq_index(df, n_cells=1, m=M, k=K, n_iters=ITERS, dim=DIM)
+    query = [1.0] * DIM
+    got = [
+        (r.vec_id, r.adc_dist2)
+        for r in ivf_pq_topk(
+            coded, cells, books.collect(), query, k=8, nprobe=1, m=M
+        ).collect()
+    ]
+
+    (cell,) = cells
+    centroid = [float(c) for c in cell.centroid]
+    resid_df = df.select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding"), F.lit(centroid).cast("array<double>"),
+            lambda x, c: x - c,
+        ).alias("embedding"),
+    )
+    books2 = pq_train(resid_df, m=M, k=K, n_iters=ITERS, dim=DIM)
+    codes2 = pq_encode(resid_df, books2, m=M, dim=DIM)
+    q_resid = [q - c for q, c in zip(query, centroid)]
+    want = [
+        (r.vec_id, r.adc_dist2)
+        for r in pq_adc_topk(codes2, books2.collect(), q_resid, k=8, m=M).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_pq_recall_on_planted_clusters(spark):
+    from dug_data_ingest_spark.ext.similarity import ivf_pq_index, ivf_pq_topk
+
+    df = spark.createDataFrame(
+        _clustered_corpus(), "vec_id int, embedding array<double>"
+    )
+    cells, books, coded = ivf_pq_index(df, n_cells=2, m=M, k=4, n_iters=2, dim=DIM)
+    # query beside member 10 of the high cluster: its cellmates must
+    # fill the top-k, nearest-first head includes the true neighbor
+    top = ivf_pq_topk(
+        coded, cells, books.collect(), [50.0 - 0.01 * p for p in range(DIM)],
+        k=3, nprobe=1, m=M,
+    ).collect()
+    assert all(r.vec_id >= 10 for r in top)
+    assert top[0].vec_id == 10
