@@ -106,7 +106,12 @@ def main() -> int:
         ngram_jaccard_pairs,
         simhash64,
     )
-    from dug_data_ingest_spark.ext.similarity import topk_bruteforce
+    from dug_data_ingest_spark.ext.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        topk_bruteforce,
+    )
 
     docs = inflate_documents(spark, sf_dir, k, mode).localCheckpoint()
     embs = inflate_embeddings(spark, sf_dir, k).localCheckpoint()
@@ -128,7 +133,26 @@ def main() -> int:
         "sim-topk-bruteforce": lambda: topk_bruteforce(
             embs, [0.1] * 64, k=10
         ).count(),
+        # PQ corpus-sized work: encode + ADC-score a query against
+        # cached codebooks (codebooks are a build artifact bounded by
+        # m*k — what scales with the corpus is encode and scoring)
+        "pq-encode-query": lambda: pq_adc_topk(
+            pq_encode(embs, _pq_books(), m=8, dim=64),
+            _pq_books().collect(),
+            [0.1] * 64,
+            k=10,
+            m=8,
+        ).count(),
     }
+
+    _books_cache = []
+
+    def _pq_books():
+        if not _books_cache:
+            _books_cache.append(
+                pq_train(embs, m=8, k=16, n_iters=2, dim=64).localCheckpoint()
+            )
+        return _books_cache[0]
 
     timings, outputs = {}, {}
     for name, fn in ops.items():
