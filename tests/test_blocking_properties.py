@@ -223,3 +223,59 @@ def test_path_transitions_match_sorted_walk_under_ties(spark, rows):
         for r in path_transitions(df).collect()
     }
     assert got == model
+
+
+# --- exact jaccard vs a brute-force model -----------------------------------
+
+import re as _re
+
+
+def _model_shingles(text: str, k: int = 3) -> set:
+    words = _re.sub(r"[^a-z0-9 ]", "", text.lower()).strip()
+    toks = [w for w in _re.split(r" +", words) if w] if words else []
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+_doc = st.text(
+    alphabet=st.sampled_from("ab c1.!É"),  # punctuation + accents fold away
+    max_size=40,
+)
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=6))
+@example(texts=["a b c d", "a b c d"])          # identical docs
+@example(texts=["a b c", "x y z"])              # disjoint
+@example(texts=["", "a b", "a b c"])            # below-k docs drop out
+@example(texts=["a b c a b c", "a b c"])        # duplicate shingles dedupe
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_uncapped_jaccard_matches_set_model(spark, texts):
+    """ngram_jaccard_pairs with max_doc_freq=None must equal the
+    literal set definition — every pair sharing >= 1 shingle, Jaccard
+    = |∩|/|∪| rounded to 4dp, threshold 0 so nothing hides — on
+    adversarial tiny documents (empty, below-k, punctuation-only,
+    repeated shingles). The oracle replays the same pipeline shape,
+    so a normalization or dedup slip could agree on both sides; this
+    pins the spec itself."""
+    from dug_data_ingest_spark.ext.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=None).collect()
+    }
+    sets = {i: _model_shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = sets[i] & sets[j]
+            if inter:
+                want[(i, j)] = round(len(inter) / len(sets[i] | sets[j]), 4)
+    assert got == want
