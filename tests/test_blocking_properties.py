@@ -279,3 +279,48 @@ def test_uncapped_jaccard_matches_set_model(spark, texts):
             if inter:
                 want[(i, j)] = round(len(inter) / len(sets[i] | sets[j]), 4)
     assert got == want
+
+
+# --- minhash sketch: bit-exact vs the formula ---------------------------------
+
+import hashlib as _hashlib
+
+
+def _model_md5_hash64(s: str) -> int:
+    return int(_hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=5))
+@example(texts=["a b c d e"])
+@example(texts=["a b c", "a b c"])  # identical docs -> identical signatures
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_signatures_match_formula_exactly(spark, texts):
+    """The 16-permutation sketch is integer arithmetic end to end
+    (md5-prefix base, affine maps mod 2^31-1, min), so a Python walk
+    of the same formula must reproduce every signature BIT-exactly —
+    pinning the spec the oracle merely replays. Docs below k words
+    have no shingles and must drop out of the sketch entirely."""
+    from dug_data_ingest_spark.ext.dedup import (
+        doc_shingles,
+        minhash_signatures_wide,
+    )
+
+    P = 2147483647
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    got = {
+        r.doc_id: [r[f"h{s}"] for s in range(16)]
+        for r in minhash_signatures_wide(doc_shingles(df)).collect()
+    }
+
+    want = {}
+    for i, t in enumerate(texts):
+        sh = _model_shingles(t)
+        if not sh:
+            continue
+        bases = [_model_md5_hash64(s) % P for s in sh]
+        want[i] = [min(((2 * s + 1) * b + s) % P for b in bases) for s in range(16)]
+    assert got == want
