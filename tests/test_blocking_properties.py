@@ -324,3 +324,58 @@ def test_minhash_signatures_match_formula_exactly(spark, texts):
         bases = [_model_md5_hash64(s) % P for s in sh]
         want[i] = [min(((2 * s + 1) * b + s) % P for b in bases) for s in range(16)]
     assert got == want
+
+
+# --- random-projection LSH bucket: bit-exact sign packing --------------------
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-5, 5), min_size=6, max_size=6),
+        min_size=1,
+        max_size=5,
+    )
+)
+@example(vecs=[[0, 0, 0, 0, 0, 0]])  # exact-zero dot: sign must be 0-bit
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rp_lsh_bucket_matches_sign_model(spark, vecs):
+    """The LSH bucket id is a deterministic function of the md5-seeded
+    hyperplanes: a left-to-right float fold of the dot product, strict
+    > 0 sign (a zero projection is a 0-bit), bit j for plane j.
+    Integer-valued vectors keep the fold order-exact, so the Python
+    walk must agree bit-for-bit — including the all-zero vector whose
+    every projection ties at exactly 0."""
+    import pyspark.sql.functions as F
+
+    from dug_data_ingest_spark.ext.similarity import (
+        random_hyperplanes,
+        rp_lsh_bucket,
+    )
+
+    planes = random_hyperplanes(4, 6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.bucket
+        for r in df.select(
+            "vec_id", rp_lsh_bucket(F.col("embedding"), planes).alias("bucket")
+        ).collect()
+    }
+
+    want = {}
+    for i, v in enumerate(vecs):
+        b = 0
+        for j, plane in enumerate(planes):
+            acc = 0.0
+            for x, p in zip(v, plane):
+                acc = acc + float(x) * p
+            if acc > 0:
+                b += 2**j
+        want[i] = b
+    assert got == want
