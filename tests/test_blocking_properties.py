@@ -379,3 +379,40 @@ def test_rp_lsh_bucket_matches_sign_model(spark, vecs):
                 b += 2**j
         want[i] = b
     assert got == want
+
+
+@given(texts=st.lists(_doc, min_size=2, max_size=6))
+@example(texts=["a b c", "a b c d e f"])   # subset doc: containment 1.0
+@example(texts=["a b c d", "a b c d"])     # identical both directions
+@example(texts=["a b c", "x y z"])         # disjoint: no pair at all
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_uncapped_containment_matches_set_model(spark, texts):
+    """Directional twin of the Jaccard model test: C(a->b) =
+    |Sa ∩ Sb| / |Sa| for ORDERED pairs a != b sharing a shingle —
+    the measure that catches a short document embedded verbatim in a
+    long one, pinned to the literal set definition."""
+    from dug_data_ingest_spark.ext.dedup import ngram_containment_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        (r.a, r.b): r.containment
+        for r in ngram_containment_pairs(
+            df, threshold=0.0, max_doc_freq=None
+        ).collect()
+    }
+    sets = {i: _model_shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if i == j:
+                continue
+            inter = sets[i] & sets[j]
+            if inter:
+                want[(i, j)] = round(len(inter) / len(sets[i]), 4)
+    assert got == want
