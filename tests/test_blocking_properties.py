@@ -416,3 +416,50 @@ def test_uncapped_containment_matches_set_model(spark, texts):
             if inter:
                 want[(i, j)] = round(len(inter) / len(sets[i]), 4)
     assert got == want
+
+
+# --- simhash sketch: bit-exact vs the vote model ------------------------------
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=4))
+@example(texts=[""])                 # normalizes to [''] — one empty token votes
+@example(texts=["a a a b"])          # repeated words: occurrences vote, not types
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_simhash64_matches_vote_model(spark, texts):
+    """simhash64's lanes are integer arithmetic end to end: one md5
+    per word OCCURRENCE (duplicates vote again — multiplicity is
+    signal), four 16-bit hex slices, bit j of lane l set iff the
+    strict-majority vote 2*ones > n_words. A Python walk of that spec
+    must reproduce every lane bit-exactly — including the empty
+    document, whose normalized split is [''] and whose single token
+    still votes."""
+    from dug_data_ingest_spark.ext.dedup import simhash64
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    got = {
+        r.doc_id: (r.band0, r.band1, r.band2, r.band3)
+        for r in simhash64(df).collect()
+    }
+
+    want = {}
+    for i, t in enumerate(texts):
+        norm = _re.sub(r"[^a-z0-9 ]", "", t.lower()).strip()
+        words = _re.split(r" +", norm)  # '' -> [''] like F.split
+        n = len(words)
+        lanes = []
+        for lane in range(4):
+            val = 0
+            for j in range(16):
+                ones = 0
+                for w in words:
+                    h = int(_hashlib.md5(w.encode()).hexdigest()[4 * lane : 4 * lane + 4], 16)
+                    ones += (h >> j) & 1
+                if 2 * ones > n:
+                    val += 2**j
+            lanes.append(val)
+        want[i] = tuple(lanes)
+    assert got == want
