@@ -463,3 +463,75 @@ def test_simhash64_matches_vote_model(spark, texts):
             lanes.append(val)
         want[i] = tuple(lanes)
     assert got == want
+
+
+# --- cumulative distinct: the REWRITE pinned to the naive definition ---------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),        # user
+            st.integers(0, 4),        # day offset
+            st.sampled_from("pqrs"),  # event type
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@example(rows=[(0, 0, "p"), (0, 0, "p"), (0, 1, "p"), (0, 1, "q")])
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cume_distinct_rewrite_matches_naive_walk(spark, rows):
+    """win-cume-distinct's firsts->daily->running-sum rewrite avoids
+    COUNT(DISTINCT) OVER, and its DuckDB oracle replays the SAME
+    rewrite — so if the rewrite itself mis-stated the cumulative
+    distinct, both engines would agree and the gate would pass. Pin
+    it to the naive definition: for each user-day with a first-seen
+    type, n_types_cum = |{types seen on any day <= d}|."""
+    import datetime
+
+    from dug_data_ingest_spark.queries import all_queries  # noqa: F401
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    base = datetime.date(2025, 1, 1)
+    data = [
+        (u, datetime.datetime(2025, 1, 1 + off, 12, 0), i, t)
+        for i, (u, off, t) in enumerate(rows)
+    ]
+    events = spark.createDataFrame(
+        data, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    # the registered query's exact transformation, applied to this frame
+    firsts = events.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy("user_id", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    got = {
+        (r.user_id, r.day.isoformat()): (r.n_new_types, r.n_types_cum)
+        for r in daily.select(
+            "user_id", "day", "n_new_types",
+            F.sum("n_new_types").over(w).alias("n_types_cum"),
+        ).collect()
+    }
+
+    # naive definition, no rewrite
+    want = {}
+    for u in {r[0] for r in data}:
+        days = sorted({r[1].date() for r in data if r[0] == u})
+        seen: set = set()
+        for d in days:
+            before = len(seen)
+            seen |= {r[3] for r in data if r[0] == u and r[1].date() <= d}
+            if len(seen) > before:
+                want[(u, d.isoformat())] = (len(seen) - before, len(seen))
+    assert got == want
