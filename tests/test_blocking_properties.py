@@ -535,3 +535,81 @@ def test_cume_distinct_rewrite_matches_naive_walk(spark, rows):
             if len(seen) > before:
                 want[(u, d.isoformat())] = (len(seen) - before, len(seen))
     assert got == want
+
+
+# --- OHLC resample: composite order key pinned to the naive walk --------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from("xy"),                  # event type
+            st.integers(0, 1800),                   # seconds offset (2 buckets)
+            st.integers(0, 999_999),                # microseconds (sub-second)
+            st.integers(-50, 50),                   # value
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@example(rows=[("x", 5, 1, 10), ("x", 5, 999, 20)])  # same second, sub-second apart
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ohlc_bars_match_naive_walk(spark, rows):
+    """ts-resample-ohlc's open/close come from min_by/max_by on the
+    composite key floor(epoch)*1e7 + event_id, and the oracle uses the
+    SAME composite — so a key that mis-encoded the order would agree
+    on both sides. Pin the bars to the naive definition: within each
+    (type, 15-min bucket), open/close are the values of the first/last
+    event by (whole-second ts, event_id) — sub-second differences
+    deliberately do NOT order (both engines truncate), the event_id
+    does."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    base = datetime.datetime(2025, 3, 1)
+    data = [
+        (t, base + datetime.timedelta(seconds=s, microseconds=us), i, float(v))
+        for i, (t, s, us, v) in enumerate(rows)
+    ]
+    events = spark.createDataFrame(
+        data, "event_type string, ts timestamp, event_id int, value double"
+    )
+    epoch = F.unix_timestamp("ts")
+    ordkey = epoch * 10_000_000 + F.col("event_id")
+    got = {
+        (r.event_type, r.bucket_start): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in events.groupBy(
+            "event_type",
+            (F.floor(epoch / 900) * 900).cast("bigint").alias("bucket_start"),
+        )
+        .agg(
+            F.round(F.min_by("value", ordkey), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", ordkey), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    }
+
+    want = {}
+    buckets: dict = {}
+    for t, ts, i, v in data:
+        whole = int(ts.timestamp())  # naive-UTC test data, whole seconds
+        buckets.setdefault((t, whole // 900 * 900), []).append((whole, i, v))
+    for key, evs in buckets.items():
+        evs.sort(key=lambda e: (e[0], e[1]))  # whole-second ts, then event_id
+        vals = [v for _, _, v in evs]
+        want[key] = (
+            round(evs[0][2], 2),
+            round(max(vals), 2),
+            round(min(vals), 2),
+            round(evs[-1][2], 2),
+            len(evs),
+        )
+    assert got == want
