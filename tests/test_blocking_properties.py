@@ -613,3 +613,85 @@ def test_ohlc_bars_match_naive_walk(spark, rows):
             len(evs),
         )
     assert got == want
+
+
+# --- funnel: strict-order conditional mins vs the naive walk -----------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                          # user
+            st.integers(0, 9),                          # ts offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@example(rows=[(0, 1, "view"), (0, 1, "click")])   # simultaneous: NOT ordered
+@example(rows=[(0, 2, "click"), (0, 3, "view")])   # wrong order: no conversion
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_stage_counts_match_naive_walk(spark, rows):
+    """events-funnel counts a conversion only when the FIRST click is
+    strictly after the FIRST view (and first purchase strictly after
+    that click) — first-touch semantics with strict inequalities, so
+    simultaneous stages do not convert. The oracle replays the same
+    conditional-min formulation; this pins it to a per-user walk of
+    the definition."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    base = datetime.datetime(2025, 2, 1)
+    data = [
+        (u, base + datetime.timedelta(minutes=off), i, t)
+        for i, (u, off, t) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "user_id int, ts timestamp, event_id int, event_type string"
+    )
+    stage = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    stages = ev.groupBy("user_id").agg(
+        stage("view").alias("t_view"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    row = stages.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_view_click_purchase"),
+    ).collect()[0]
+
+    n_view = n_vc = n_vcp = 0
+    for u in {r[0] for r in data}:
+        mine = [r for r in data if r[0] == u]
+        first = {
+            t: min((r[1] for r in mine if r[3] == t), default=None)
+            for t in ("view", "click", "purchase")
+        }
+        if first["view"] is not None:
+            n_view += 1
+        if (
+            first["view"] is not None
+            and first["click"] is not None
+            and first["click"] > first["view"]
+        ):
+            n_vc += 1
+            if first["purchase"] is not None and first["purchase"] > first["click"]:
+                n_vcp += 1
+    assert (row.n_view, row.n_view_click, row.n_view_click_purchase) == (
+        n_view,
+        n_vc,
+        n_vcp,
+    )
