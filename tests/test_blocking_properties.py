@@ -695,3 +695,71 @@ def test_funnel_stage_counts_match_naive_walk(spark, rows):
         n_vc,
         n_vcp,
     )
+
+
+# --- cohort retention: collect_set rewrite vs the naive walk -----------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),     # user
+            st.integers(0, 27),    # day offset (~4 ISO weeks)
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@example(rows=[(0, 0), (0, 0), (0, 7)])  # duplicate activity collapses
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retention_matrix_matches_naive_walk(spark, rows):
+    """events-retention builds the (cohort week, active week) matrix
+    with a per-user collect_set + array_min; pin it to the naive
+    definition — cohort = a user's first active ISO week, each user
+    counted once per distinct active week."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    base = datetime.datetime(2025, 1, 6)  # a Monday
+    data = [
+        (u, base + datetime.timedelta(days=off), i)
+        for i, (u, off) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, "user_id int, ts timestamp, event_id int")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+                "week"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+    )
+    got = {
+        (r.cohort_week, r.week): r.n_users
+        for r in per_user.select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
+        .groupBy("cohort_week", "week")
+        .agg(F.count("*").alias("n_users"))
+        .collect()
+    }
+
+    def monday(d: datetime.datetime) -> str:
+        day = d.date()
+        return (day - datetime.timedelta(days=day.weekday())).isoformat()
+
+    want: dict = {}
+    for u in {r[0] for r in data}:
+        weeks = sorted({monday(r[1]) for r in data if r[0] == u})
+        cohort = weeks[0]
+        for w in weeks:
+            want[(cohort, w)] = want.get((cohort, w), 0) + 1
+    assert got == want
