@@ -41,7 +41,11 @@ HEADLINE = [
     "dedup-ngram-jaccard",
     "pipeline-bdc-summary",
     "pipeline-heal-variable-index",
-    "sim-topk-bruteforce",
+    # sim-topk-bruteforce retired round 7 (identical oracle to
+    # sim-topk-arrow; codegen scorer stays library surface,
+    # tests/test_sim_baseline.py) — the arrow slug carries the
+    # cosine-top-k bench presence below
+    "sim-topk-arrow",
     "dedup-embedding-lsh",
     "text-quality",
     "text-langid",
@@ -149,6 +153,9 @@ HEADLINE = [
     # the raw-FTP protocol walk (executor-side fixture replay)
     "snk-delta-sync",
     "src-ftp-walk",
+    # round-7 close: span-level verbatim dedup (count-then-join, no
+    # pairwise stage — the boilerplate-hunting scale shape)
+    "dedup-substring",
 ]
 
 

@@ -733,3 +733,94 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", "containment")
     )
+
+
+def verbatim_window_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positioned fingerprints of every k-token window:
+    (doc_id, pos, fp) with pos the 1-based token offset of the window
+    and fp = md5 of the space-joined normalized tokens.
+
+    The primitive behind span-level verbatim dedup (find the exact
+    substrings a corpus repeats, not whole near-duplicate documents —
+    the training-data operation popularized by "Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022, done here at
+    k-token granularity instead of suffix arrays). md5 keeps the
+    shuffle rows narrow and is replayable by the DuckDB oracles.
+    """
+    words = fan_out(docs).select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("w")
+    )
+    return (
+        words.where(F.size("w") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(shingles_of(F.col("w"), k)).alias("idx", "gram"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("idx") + 1).alias("pos"),
+            F.md5("gram").alias("fp"),
+        )
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level verbatim dedup: per document, the maximal runs of
+    k-token windows whose fingerprint occurs MORE THAN ONCE in the
+    corpus (counting every occurrence — intra-document repeats are
+    duplication too). Output, one row per document that contains at
+    least one duplicated window:
+
+      (doc_id, n_dup_windows, n_runs, max_run_tokens, covered_tokens)
+
+    where consecutive duplicated window positions merge into runs
+    (gaps-and-islands on pos), a run of w windows covers w + k - 1
+    tokens, and covered_tokens sums run coverage (runs are maximal,
+    hence disjoint at distance >= 1, so the sum never double-counts).
+
+    Scale shape — the reason this beats pair-based near-dup machinery
+    for boilerplate hunting: there is NO pairwise join anywhere. A
+    fingerprint repeated ten million times (a license header at
+    100 TB) costs a count, not 10M² candidate pairs, so no df cap is
+    needed. Plan: one groupBy(fp) with map-side partial counts (the
+    combine collapses hot fingerprints before the wire), an fp-keyed
+    semi-join of the window stream against the duplicated-fingerprint
+    set (skew on a hot fp is probe-side and AQE-splittable — a window
+    over fp would put all 10M rows in one task, which is why the
+    count-then-join form is used even though it derives the window
+    stream twice), then one doc-keyed window for the island key; the
+    two run/doc aggregations reuse the doc partitioning.
+    """
+    wins = verbatim_window_fingerprints(docs, k, text_col, id_col)
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count("*").alias("n_fp"))
+        .where(F.col("n_fp") > 1)
+        .select("fp")
+    )
+    flagged = wins.join(dup_fps, "fp").withColumn(
+        "isl",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
+    )
+    runs = flagged.groupBy(id_col, "isl").agg(
+        F.min("pos").alias("p0"),
+        F.max("pos").alias("p1"),
+        F.count("*").alias("nw"),
+    )
+    return runs.groupBy(id_col).agg(
+        F.sum("nw").alias("n_dup_windows"),
+        F.count("*").alias("n_runs"),
+        F.max(F.col("p1") - F.col("p0") + k).alias("max_run_tokens"),
+        F.sum(F.col("p1") - F.col("p0") + k).alias("covered_tokens"),
+    )

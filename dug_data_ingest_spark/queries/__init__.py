@@ -165,6 +165,10 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     # round-6 leads + 39 r3-vintage regrades, so these wait for round 8
     "snk-delta-sync": 7,
     "src-ftp-walk": 7,
+    # registered in the round-7 close window, paired with the
+    # sim-topk-bruteforce retirement (identical-oracle duplicate of
+    # sim-topk-arrow) so N stays 200
+    "dedup-substring": 7,
 }
 
 
@@ -325,6 +329,11 @@ _EST_COST = {
     "text-keyword-tfidf": 16.6, "pipeline-upsert-latest": 16.7,
     "graph-triangle-count": 16.8, "win-cume-distinct": 16.9,
     "events-last-touch": 17.0,
+    # round-7 registrations (all deferred to round 8, where the three
+    # of them lead the window): snk-delta-sync / src-ftp-walk carry
+    # the default 0.5; dedup-substring ordinal-sorted after them
+    # (~2.1 s warmed at sf0.01 — heaviest of the three either way)
+    "dedup-substring": 18.0,
 }
 
 

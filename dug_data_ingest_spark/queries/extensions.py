@@ -507,17 +507,28 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return [float(x) for x in row[0]]
 
 
-@query(
-    "sim-topk-bruteforce",
-    oracle="""
+# RETIRED from the registry in round 7 (SCALE.md "retire redundant
+# slugs"): sim-topk-bruteforce graded the IDENTICAL query and oracle as
+# sim-topk-arrow — same search, same top-10, only the physical scorer
+# differed (codegen Column expression vs Arrow batch). One registry
+# slot per logical query; the Arrow slug stays registered because it is
+# the wide-vector scale path AND keeps the repo's one pandas_udf under
+# the driver's gate. The codegen scorer remains first-class library
+# surface (ext/similarity.py::topk_bruteforce — the narrow-vector
+# comparison point, used by sim-ivf-recall's truth side below and by
+# tools/scale_smoke.py) and keeps its own oracle-parity test,
+# tests/test_sim_baseline.py, exactly like the join-fuzzy-name
+# precedent (tests/test_fuzzy_baseline.py).
+_RETIRED_TOPK_BRUTEFORCE_ORACLE = """
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
            ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 4) AS cos_sim
     FROM embeddings, q
     ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
     LIMIT 10
-    """,
-)
+"""
+
+
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return topk_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
@@ -1106,3 +1117,50 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return range_search(emb, _query_vec(spark, sf_dir), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Span-level verbatim dedup: the exact-substring operation (Lee et al.
+# 2022) at 8-token granularity — which spans does the corpus repeat,
+# per document. Distinct from every whole-doc strategy above: the unit
+# is the token window, and there is NO pairwise join (hot boilerplate
+# costs a count, not m² pairs), so no df cap is needed. See
+# ext/dedup.py::duplicated_span_stats for the plan/skew argument.
+# ---------------------------------------------------------------------------
+
+_SUBSTRING_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS fp
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+dupfp AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) > 1),
+flagged AS (
+  SELECT w.doc_id, w.pos,
+         w.pos - ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS isl
+  FROM wins w JOIN dupfp USING (fp)
+),
+runs AS (
+  SELECT doc_id, MIN(pos) AS p0, MAX(pos) AS p1, COUNT(*) AS nw
+  FROM flagged GROUP BY doc_id, isl
+)
+SELECT doc_id,
+       CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(p1 - p0 + 8) AS INT) AS max_run_tokens,
+       CAST(SUM(p1 - p0 + 8) AS BIGINT) AS covered_tokens
+FROM runs GROUP BY doc_id
+"""
+
+
+@query("dedup-substring", oracle=_SUBSTRING_ORACLE)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.dedup import duplicated_span_stats
+
+    return duplicated_span_stats(load(spark, sf_dir, "documents"), k=8)

@@ -814,3 +814,22 @@ def test_global_ranking_never_single_partition(queries, spark, slug):
     assert "SinglePartition" not in plan, plan
     assert "Window [" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_substring_dedup_plan_shape(queries, spark):
+    # span-level verbatim dedup: NO pairwise stage anywhere (hot
+    # boilerplate fingerprints cost a count, not m² pairs), the fp
+    # count combines map-side, and the island/run/doc stages all ride
+    # the ONE doc_id exchange under the window — finalized AQE plan
+    df = queries["dedup-substring"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("FileScan") <= 2, plan  # wins derived twice, by design
+    assert plan.count("Window") == 1, plan
+    # root-first: every node above the window (two run/doc aggregate
+    # pairs) must need NO exchange of its own — doc_id hash
+    # partitioning satisfies both groupings
+    assert plan.index("Window") < plan.index("Exchange"), plan
+    assert plan.count("Exchange hashpartitioning(fp") == 1, plan

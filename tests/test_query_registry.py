@@ -119,9 +119,14 @@ def test_round8_projection_on_real_registry(tmp_path, monkeypatch):
     this_window = Q._prioritized(slugs)[:50]
     assert "snk-delta-sync" not in this_window
     assert "src-ftp-walk" not in this_window
+    assert "dedup-substring" not in this_window
 
     _write(tmp_path, mx + 1, {s: GOOD for s in this_window})
     next_window = Q._prioritized(slugs)[:50]
-    assert set(next_window[:2]) == {"snk-delta-sync", "src-ftp-walk"}
+    assert set(next_window[:3]) == {
+        "snk-delta-sync",
+        "src-ftp-walk",
+        "dedup-substring",
+    }
     # and nothing freshly graded re-enters the very next window
     assert not (set(next_window) & set(this_window))

@@ -1,0 +1,95 @@
+"""Model-based property test for span-level verbatim dedup
+(ext/dedup.py::duplicated_span_stats): the registered oracle mirrors
+the same window/island arithmetic in SQL, so an off-by-one in run
+merging or coverage would agree on both sides — pin the semantics to
+an independent naive Python walk instead.
+
+Docs are built from a 2-word vocabulary so k-gram collisions (and
+intra-document repeats — which MUST count as duplication) are the
+common case, not a fluke.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from dug_data_ingest_spark.ext.dedup import duplicated_span_stats
+
+_doc = st.lists(st.sampled_from(["aa", "bb"]), min_size=0, max_size=12)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+def _model(docs: list[list[str]], k: int):
+    """Naive walk: count every k-gram occurrence corpus-wide, flag
+    windows whose gram occurs > 1 time anywhere (same doc included),
+    merge consecutive flagged positions into runs, report per doc."""
+    from collections import Counter
+
+    grams_by_doc = {}
+    counts: Counter = Counter()
+    for i, ws in enumerate(docs):
+        if len(ws) < k:
+            continue
+        grams = [" ".join(ws[p : p + k]) for p in range(len(ws) - k + 1)]
+        grams_by_doc[i] = grams
+        counts.update(grams)
+
+    out = {}
+    for i, grams in grams_by_doc.items():
+        dup_pos = [p + 1 for p, g in enumerate(grams) if counts[g] > 1]
+        if not dup_pos:
+            continue
+        runs = []
+        start = prev = dup_pos[0]
+        nw = 1
+        for p in dup_pos[1:]:
+            if p == prev + 1:
+                prev, nw = p, nw + 1
+            else:
+                runs.append((start, prev, nw))
+                start = prev = p
+                nw = 1
+        runs.append((start, prev, nw))
+        out[i] = (
+            sum(r[2] for r in runs),
+            len(runs),
+            max(r[1] - r[0] + k for r in runs),
+            sum(r[1] - r[0] + k for r in runs),
+        )
+    return out
+
+
+@given(docs=_corpus, k=st.sampled_from([2, 3]))
+# one doc repeating its own gram (intra-doc duplication), plus a
+# cross-doc verbatim pair separated by a gap — two runs in one doc
+@example(docs=[["aa", "aa", "aa"], ["aa", "aa", "bb", "aa", "aa"]], k=2)
+@example(docs=[[]], k=2)  # empty doc: no windows, no row
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_span_stats_match_naive_walk(spark, docs, k):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_windows, r.n_runs, r.max_run_tokens, r.covered_tokens)
+        for r in duplicated_span_stats(df, k=k).collect()
+    }
+    assert got == _model(docs, k)
+
+
+def test_normalization_matches_the_tokenizer(spark):
+    # punctuation/case/space-run differences must not defeat verbatim
+    # matching — both docs normalize to the same token stream
+    df = spark.createDataFrame(
+        [(0, "Key AGG row,, scan!"), (1, "key agg   row scan")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in duplicated_span_stats(df, k=4).collect()}
+    assert got == {0, 1}
+    norm = re.sub(r"[^a-z0-9 ]", "", "Key AGG row,, scan!".lower()).split()
+    assert norm == ["key", "agg", "row", "scan"]
