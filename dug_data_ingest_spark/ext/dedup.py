@@ -824,3 +824,81 @@ def duplicated_span_stats(
         F.max(F.col("p1") - F.col("p0") + k).alias("max_run_tokens"),
         F.sum(F.col("p1") - F.col("p0") + k).alias("covered_tokens"),
     )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Act on what ``duplicated_span_stats`` finds: rebuild the corpus
+    with every NON-CANONICAL duplicated k-token window removed, where
+    the canonical occurrence of a fingerprint is the corpus-wide first
+    by (doc_id, pos) — each repeated span survives exactly once, at its
+    first site. Output (doc_id, clean_text), one row per input doc;
+    clean_text is the surviving NORMALIZED token stream (lowercased,
+    punctuation stripped — the stream a tokenizer consumes; original
+    casing/punctuation is not reconstructable and dedup pipelines
+    operate post-normalization anyway). Docs with no duplicated
+    windows, including docs shorter than k tokens, pass through as
+    their normalized text.
+
+    Plan shape = ``duplicated_span_stats`` (same count-then-join, no
+    pairwise stage; the canonical site rides the SAME fp aggregate as
+    the count via min(struct), so flagging costs nothing extra) plus
+    one run-list collect per doc (bounded by tokens-per-doc, never by
+    corpus) and a left join back to the corpus. Token filtering is a
+    nested higher-order-function lambda — index-aware filter over the
+    token array against the run intervals — entirely JVM-side.
+    """
+    wins = verbatim_window_fingerprints(docs, k, text_col, id_col)
+    canon = (
+        wins.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("c"),
+        )
+        .where(F.col("n_fp") > 1)
+        .select("fp", "c")
+    )
+    removal = (
+        wins.join(canon, "fp")
+        .where(
+            ~(
+                (F.col(id_col) == F.col("c.d"))
+                & (F.col("pos") == F.col("c.p"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    runs = (
+        removal.withColumn(
+            "isl",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
+        )
+        .groupBy(id_col, "isl")
+        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("p0", "p1")).alias("runs"))
+    )
+    base = docs.select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("w")
+    )
+    joined = base.join(runs, id_col, "left").withColumn(
+        "runs",
+        F.coalesce("runs", F.array().cast("array<struct<p0:int,p1:int>>")),
+    )
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: ~F.exists(
+            F.col("runs"),
+            lambda r: (r["p0"] <= i + 1) & (i + 1 <= r["p1"] + F.lit(k - 1)),
+        ),
+    )
+    return joined.select(
+        F.col(id_col), F.array_join(kept, " ").alias("clean_text")
+    )

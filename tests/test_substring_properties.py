@@ -93,3 +93,66 @@ def test_normalization_matches_the_tokenizer(spark):
     assert got == {0, 1}
     norm = re.sub(r"[^a-z0-9 ]", "", "Key AGG row,, scan!".lower()).split()
     assert norm == ["key", "agg", "row", "scan"]
+
+
+# --- strip_duplicated_spans -------------------------------------------------
+
+
+def _strip_model(docs: list[list[str]], k: int):
+    """Naive walk: canonical site of each duplicated gram = corpus-wide
+    first (doc, pos); at every other site remove tokens [pos, pos+k-1];
+    kept tokens rejoin in order. Run-merging in the engine is a
+    reporting detail — the removed-token set is the plain union of the
+    per-window intervals, which is what this model takes."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    grams_by_doc = {}
+    for i, ws in enumerate(docs):
+        grams = [
+            " ".join(ws[p : p + k]) for p in range(max(0, len(ws) - k + 1))
+        ]
+        grams_by_doc[i] = grams
+        counts.update(grams)
+    canon = {}
+    for i in sorted(grams_by_doc):
+        for p, g in enumerate(grams_by_doc[i]):
+            if counts[g] > 1 and g not in canon:
+                canon[g] = (i, p + 1)
+    out = {}
+    for i, ws in enumerate(docs):
+        remove: set[int] = set()
+        for p, g in enumerate(grams_by_doc[i]):
+            if counts[g] > 1 and canon[g] != (i, p + 1):
+                remove.update(range(p + 1, p + k + 1))
+        out[i] = " ".join(w for j, w in enumerate(ws, 1) if j not in remove)
+    return out
+
+
+@given(docs=_corpus, k=st.sampled_from([2, 3]))
+# two identical docs: the first survives whole, the second is gutted;
+# third doc repeats its own gram so its later site strips intra-doc
+@example(docs=[["aa", "bb", "aa"], ["aa", "bb", "aa"], ["aa", "aa", "aa"]], k=2)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_strip_matches_naive_walk(spark, docs, k):
+    from dug_data_ingest_spark.ext.dedup import strip_duplicated_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean_text
+        for r in strip_duplicated_spans(df, k=k).collect()
+    }
+    want = _strip_model(docs, k)
+    assert got == want
+    # structural invariants independent of the model: every output is
+    # an in-order subsequence of its input, and every doc emits a row
+    assert set(got) == set(range(len(docs)))
+    for i, ws in enumerate(docs):
+        kept = got[i].split(" ") if got[i] else []
+        it = iter(ws)
+        assert all(any(w == t for t in it) for w in kept), (i, ws, kept)

@@ -99,6 +99,7 @@ def main() -> int:
     from dug_data_ingest_spark.ext.dedup import (
         doc_shingles,
         duplicate_clusters,
+        duplicated_span_stats,
         exact_dedup_groups,
         minhash_band_keys,
         minhash_candidate_pairs,
@@ -130,6 +131,11 @@ def main() -> int:
             ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=1000)
         ).count(),
         "dedup-simhash": lambda: simhash64(docs).count(),
+        # span-level verbatim dedup: under 'clique' inflation every
+        # window fingerprint goes corpus-hot (K copies of each doc),
+        # the adversarial case the count-then-join shape exists for —
+        # a pair-based design would blow up K² here, a count does not
+        "dedup-substring": lambda: duplicated_span_stats(docs).count(),
         "sim-topk-bruteforce": lambda: topk_bruteforce(
             embs, [0.1] * 64, k=10
         ).count(),
