@@ -902,3 +902,40 @@ def strip_duplicated_spans(
     return joined.select(
         F.col(id_col), F.array_join(kept, " ").alias("clean_text")
     )
+
+
+def hot_spans(
+    docs: DataFrame,
+    k: int = 8,
+    top: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The boilerplate report: the ``top`` most-repeated k-token
+    windows corpus-wide, with the span text itself as the exemplar —
+    (span, n_occurrences, n_docs), ties broken by span text so the
+    report is deterministic. The triage view over what
+    ``duplicated_span_stats`` counts and ``strip_duplicated_spans``
+    removes: at real scale the head of this table is license headers,
+    navigation chrome, and template text.
+
+    One groupBy on the gram string (map-side combined; the key is
+    bounded at k tokens) into a TakeOrderedAndProject — the top-N
+    never materializes the full distinct-gram table on the driver.
+    """
+    words = fan_out(docs).select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("w")
+    )
+    grams = words.where(F.size("w") >= k).select(
+        F.col(id_col), F.explode(shingles_of(F.col("w"), k)).alias("span")
+    )
+    return (
+        grams.groupBy("span")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("span"))
+        .limit(top)
+    )

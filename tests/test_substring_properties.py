@@ -156,3 +156,54 @@ def test_strip_matches_naive_walk(spark, docs, k):
         kept = got[i].split(" ") if got[i] else []
         it = iter(ws)
         assert all(any(w == t for t in it) for w in kept), (i, ws, kept)
+
+
+# --- hot_spans ---------------------------------------------------------------
+
+
+def test_hot_spans_matches_duckdb(spark):
+    import duckdb
+
+    from dug_data_ingest_spark.ext.dedup import hot_spans
+    from tests.conftest import TEST_SF_DIR
+
+    sp = hot_spans(
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet"), k=8, top=10
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{TEST_SF_DIR}/documents.parquet'"
+    )
+    du = con.sql("""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS span
+          FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+          WHERE len(w) >= 8
+        )
+        SELECT span,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM grams GROUP BY span HAVING COUNT(*) > 1
+        ORDER BY n_occurrences DESC, span ASC LIMIT 10
+    """).df()
+    norm = lambda d: list(  # noqa: E731 — deterministic order IS the contract
+        map(repr, d[sorted(d.columns)].itertuples(index=False, name=None))
+    )
+    assert len(sp) == 10
+    assert norm(sp) == norm(du)
+
+
+def test_hot_spans_is_takeordered(spark):
+    # the report must never sort the full distinct-gram table — top-N
+    # folds into TakeOrderedAndProject
+    from dug_data_ingest_spark.ext.dedup import hot_spans
+    from tests.conftest import TEST_SF_DIR
+
+    df = hot_spans(spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
