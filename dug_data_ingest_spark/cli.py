@@ -94,7 +94,10 @@ def run_dedup(spark: SparkSession, args) -> None:
     recall near the threshold is softer than jaccard's by the
     estimate's ±1/sqrt(16) stderr (a pair at exactly J=threshold is
     kept ~60% of the time); use jaccard when exact near-threshold
-    semantics matter. The drop-set anti-join is left unhinted here
+    semantics matter; ``substring`` rewrites docs instead of dropping
+    them — every duplicated --span-tokens window is stripped except
+    its corpus-wide first occurrence (docs emptied by stripping do
+    drop). The drop-set anti-join is left unhinted here
     (AQE broadcasts it when small): unlike the fixed-threshold
     dedup-survivors query, a permissive --threshold can make the
     drop set a large corpus fraction."""
@@ -124,6 +127,22 @@ def run_dedup(spark: SparkSession, args) -> None:
             .drop("_canon")
         )
         n_dropped = None  # derived from counts below
+    elif args.strategy == "substring":
+        # span-level verbatim dedup: docs are REWRITTEN, not dropped —
+        # every duplicated --span-tokens window is stripped except its
+        # corpus-wide first occurrence; a doc with nothing left after
+        # stripping leaves the corpus. text becomes the normalized
+        # surviving token stream (see ext.dedup.strip_duplicated_spans)
+        from dug_data_ingest_spark.ext.dedup import strip_duplicated_spans
+
+        cleaned = strip_duplicated_spans(docs, k=args.span_tokens)
+        survivors = (
+            docs.join(cleaned, "doc_id")
+            .filter(F.length("clean_text") > 0)
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text")
+        )
+        n_dropped = None
     else:
         if args.strategy == "jaccard":
             pairs = ngram_jaccard_pairs(
@@ -219,10 +238,16 @@ def main(argv: list[str] | None = None) -> None:
     dedup = sub.add_parser("dedup", help="corpus dedup: survivors + report")
     dedup.add_argument("--documents", required=True)
     dedup.add_argument(
-        "--strategy", choices=["exact", "jaccard", "minhash"], default="exact"
+        "--strategy",
+        choices=["exact", "jaccard", "minhash", "substring"],
+        default="exact",
     )
     dedup.add_argument("--threshold", type=float, default=0.8)
     dedup.add_argument("--max-doc-freq", type=int, default=1000, dest="max_doc_freq")
+    dedup.add_argument(
+        "--span-tokens", type=int, default=8, dest="span_tokens",
+        help="substring strategy: window width in tokens",
+    )
     dedup.add_argument("--out", required=True)
 
     curate = sub.add_parser(

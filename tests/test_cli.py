@@ -165,3 +165,50 @@ def test_cli_curate_decontaminates_against_eval(spark, tmp_path):
     main(["curate", "--documents", docs_p, "--eval-docs", eval_p, "--out", out])
     curated = spark.read.parquet(f"{out}/curated")
     assert [r.doc_id for r in curated.collect()] == [2]
+
+
+def test_cli_dedup_substring_rewrites_docs(spark, tmp_path):
+    from dug_data_ingest_spark.cli import run_dedup
+    from tests.conftest import TEST_SF_DIR
+
+    docs_p = f"{TEST_SF_DIR}/documents.parquet"
+    n_docs = spark.read.parquet(docs_p).count()
+
+    class A:
+        documents, csv = docs_p, False
+        strategy, threshold, max_doc_freq = "substring", 0.8, 1000
+        span_tokens = 8
+        out = str(tmp_path / "sub")
+
+    run_dedup(spark, A)
+    surv = spark.read.parquet(f"{A.out}/survivors")
+    report = spark.read.option("header", True).csv(f"{A.out}/dedup_report")
+    r = report.first()
+    assert int(r.n_docs) == n_docs
+    assert surv.count() == int(r.n_survivors)
+    # same schema out as in; docs drop ONLY by being 100% duplicated
+    # spans (this corpus has a few verbatim-copy shorts), and every
+    # drop or shrink is a doc the stats query flagged
+    assert surv.columns == spark.read.parquet(docs_p).columns
+    from dug_data_ingest_spark.ext.dedup import duplicated_span_stats
+
+    flagged = duplicated_span_stats(
+        spark.read.parquet(docs_p), k=8
+    ).count()
+    n_emptied = n_docs - surv.count()
+    assert 0 < n_emptied <= flagged
+    import pyspark.sql.functions as F
+
+    orig = spark.read.parquet(docs_p).select(
+        "doc_id",
+        F.length(
+            F.trim(F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", ""))
+        ).alias("norm_len"),
+    )
+    shrunk = (
+        surv.select("doc_id", F.length("text").alias("new_len"))
+        .join(orig, "doc_id")
+        .filter(F.col("new_len") < F.col("norm_len"))
+        .count()
+    )
+    assert 0 < shrunk + n_emptied <= flagged
