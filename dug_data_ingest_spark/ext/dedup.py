@@ -425,6 +425,18 @@ def ngram_jaccard_pairs(
     For even tighter blocking at scale, pre-bucket by minhash band and
     run this as the verify stage (compose with
     minhash_candidate_pairs).
+
+    Between the join and the pair aggregation sits the PPJoin-style
+    length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair
+    whose set sizes differ by more than the threshold ratio is dropped
+    BEFORE the (a, b) groupBy — the candidate shuffle shrinks by
+    whatever fraction of shared-shingle pairs have mismatched sizes
+    (63% on the sf0.1 corpus; more on real corpora, where shared
+    boilerplate spans wildly different document lengths) and the
+    result is provably unchanged. The ratio uses a 1e-4 slack because
+    the emitted jaccard is ROUND(·, 4): a true value just under the
+    threshold can round up to it, so the prune keys on what the final
+    filter accepts, not the raw threshold.
     """
     if max_doc_freq is None:
         # Set size rides along with every exploded shingle row, so no
@@ -446,6 +458,9 @@ def ngram_jaccard_pairs(
     return (
         a.join(b, "shingle")
         .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.least("na", "nb") >= (threshold - 1e-4) * F.greatest("na", "nb")
+        )
         .groupBy("a", "b", "na", "nb")
         .agg(F.count("*").alias("inter"))
         .withColumn(
@@ -708,6 +723,15 @@ def ngram_containment_pairs(
     row-locally from the pre-explode set, no doc-keyed window
     shuffle). The only differences are the a ≠ b filter (both
     directions are meaningful) and the |Sa| denominator.
+
+    The directional analogue of ngram_jaccard_pairs' length filter
+    applies between the join and the pair aggregation: the
+    intersection is at most min(|Sa|,|Sb|), so C(a→b) = i/|Sa| ≥ t
+    forces |Sb| ≥ t·|Sa| — a superset can't be meaningfully smaller
+    than what it contains. Pairs failing that are dropped before the
+    (a, b) groupBy, exact result unchanged (same 1e-4 slack for the
+    ROUND(·, 4) boundary); ``nb`` rides the join solely for this
+    prune and is dropped before the aggregation.
     """
     if max_doc_freq is None:
         ex = doc_shingle_sets(docs, text_col, id_col, k).select(
@@ -721,10 +745,11 @@ def ngram_containment_pairs(
             caller="ngram_containment_pairs",
         )
     a = ex.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
-    b = ex.select(F.col(id_col).alias("b"), "shingle")
+    b = ex.select(F.col(id_col).alias("b"), F.col("n").alias("nb"), "shingle")
     return (
         a.join(b, "shingle")
         .filter(F.col("a") != F.col("b"))
+        .filter(F.col("nb") >= (threshold - 1e-4) * F.col("na"))
         .groupBy("a", "b", "na")
         .agg(F.count("*").alias("inter"))
         .withColumn(

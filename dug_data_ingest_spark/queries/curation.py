@@ -589,6 +589,10 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near = (
         a.join(c, "shingle")
+        # PPJoin length filter (ext/dedup.py::ngram_jaccard_pairs):
+        # J ≤ min/max of the set sizes, so mismatched-size pairs can
+        # never reach 0.8 — dropped before the pair groupBy, exact.
+        .filter(F.least("na", "nc") >= (0.8 - 1e-4) * F.greatest("na", "nc"))
         .groupBy("a", "na", "c", "nc")
         .agg(F.count("*").alias("i"))
         .filter(
