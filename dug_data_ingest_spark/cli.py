@@ -136,10 +136,19 @@ def run_dedup(spark: SparkSession, args) -> None:
         from dug_data_ingest_spark.ext.dedup import strip_duplicated_spans
 
         cleaned = strip_duplicated_spans(docs, k=args.span_tokens)
+        # NULL text passes through untouched (clean_text is NULL and
+        # length(NULL) > 0 is NULL → filtered): the doc was never
+        # "emptied by stripping", and the exact strategy above keeps
+        # its null-text survivor too — the strategies must agree
         survivors = (
             docs.join(cleaned, "doc_id")
-            .filter(F.length("clean_text") > 0)
-            .withColumn("text", F.col("clean_text"))
+            .filter(F.col("text").isNull() | (F.length("clean_text") > 0))
+            .withColumn(
+                "text",
+                F.when(F.col("text").isNull(), F.col("text")).otherwise(
+                    F.col("clean_text")
+                ),
+            )
             .drop("clean_text")
         )
         n_dropped = None

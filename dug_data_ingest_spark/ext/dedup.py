@@ -810,8 +810,15 @@ def duplicated_span_stats(
 
     where consecutive duplicated window positions merge into runs
     (gaps-and-islands on pos), a run of w windows covers w + k - 1
-    tokens, and covered_tokens sums run coverage (runs are maximal,
-    hence disjoint at distance >= 1, so the sum never double-counts).
+    tokens, and covered_tokens is the EXACT size of the union of the
+    per-window token intervals [pos, pos+k-1]. Runs are maximal in
+    WINDOW positions, but two runs separated by a window gap < k still
+    overlap in tokens (each run trails k-1 tokens past its last
+    window), so the union is sum-of-run-coverage minus the adjacent
+    overlaps: runs sorted by p0 have strictly increasing token ends,
+    hence union = Σ(p1-p0+k) − Σ max(0, prev_p1 + k − p0). Without the
+    correction a tightly-repetitive doc reports covered_tokens larger
+    than the doc itself.
 
     Scale shape — the reason this beats pair-based near-dup machinery
     for boilerplate hunting: there is NO pairwise join anywhere. A
@@ -843,11 +850,21 @@ def duplicated_span_stats(
         F.max("pos").alias("p1"),
         F.count("*").alias("nw"),
     )
-    return runs.groupBy(id_col).agg(
+    # token-interval overlap with the PREVIOUS run (by p0): runs are
+    # window-disjoint but their k-1 token tails can reach into the
+    # next run whenever the window gap < k
+    prev_p1 = F.lag("p1").over(Window.partitionBy(id_col).orderBy("p0"))
+    overlapped = runs.withColumn(
+        "ovl",
+        F.greatest(F.lit(0), F.coalesce(prev_p1 + k - F.col("p0"), F.lit(0))),
+    )
+    return overlapped.groupBy(id_col).agg(
         F.sum("nw").alias("n_dup_windows"),
         F.count("*").alias("n_runs"),
         F.max(F.col("p1") - F.col("p0") + k).alias("max_run_tokens"),
-        F.sum(F.col("p1") - F.col("p0") + k).alias("covered_tokens"),
+        (
+            F.sum(F.col("p1") - F.col("p0") + k) - F.sum("ovl")
+        ).alias("covered_tokens"),
     )
 
 
@@ -860,8 +877,15 @@ def strip_duplicated_spans(
     """Act on what ``duplicated_span_stats`` finds: rebuild the corpus
     with every NON-CANONICAL duplicated k-token window removed, where
     the canonical occurrence of a fingerprint is the corpus-wide first
-    by (doc_id, pos) — each repeated span survives exactly once, at its
-    first site. Output (doc_id, clean_text), one row per input doc;
+    by (doc_id, pos). Canonical sites are PROTECTED: a token covered by
+    any canonical window is kept even when a non-canonical window also
+    covers it — without the protection, overlapping occurrences (a doc
+    repeating its own span at distance < k, or a removal run abutting
+    a canonical site) would chew into the one copy the contract
+    promises to keep; with it, every duplicated span survives intact
+    at its first site, and a non-canonical occurrence is removed
+    except where its tokens fall under some canonical window's
+    protection. Output (doc_id, clean_text), one row per input doc;
     clean_text is the surviving NORMALIZED token stream (lowercased,
     punctuation stripped — the stream a tokenizer consumes; original
     casing/punctuation is not reconstructable and dedup pipelines
@@ -872,10 +896,12 @@ def strip_duplicated_spans(
     Plan shape = ``duplicated_span_stats`` (same count-then-join, no
     pairwise stage; the canonical site rides the SAME fp aggregate as
     the count via min(struct), so flagging costs nothing extra) plus
-    one run-list collect per doc (bounded by tokens-per-doc, never by
-    corpus) and a left join back to the corpus. Token filtering is a
-    nested higher-order-function lambda — index-aware filter over the
-    token array against the run intervals — entirely JVM-side.
+    two run-list collects per doc — removal runs and the usually-empty
+    canonical protect runs, both bounded by tokens-per-doc, never by
+    corpus — and a left join of each back to the corpus. Token
+    filtering is a nested higher-order-function lambda — index-aware
+    filter over the token array against the two interval lists —
+    entirely JVM-side.
     """
     wins = verbatim_window_fingerprints(docs, k, text_col, id_col)
     canon = (
@@ -889,40 +915,54 @@ def strip_duplicated_spans(
         .where(F.col("n_fp") > 1)
         .select("fp", "c")
     )
-    removal = (
-        wins.join(canon, "fp")
-        .where(
-            ~(
-                (F.col(id_col) == F.col("c.d"))
-                & (F.col("pos") == F.col("c.p"))
-            )
-        )
-        .select(id_col, "pos")
+    tagged = wins.join(canon, "fp").withColumn(
+        "is_canon",
+        (F.col(id_col) == F.col("c.d")) & (F.col("pos") == F.col("c.p")),
     )
-    runs = (
-        removal.withColumn(
-            "isl",
-            F.col("pos")
-            - F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
+
+    def _runs(side: DataFrame, out_col: str) -> DataFrame:
+        # gaps-and-islands merge of window positions into [p0, p1]
+        # runs, collected per doc (bounded by tokens-per-doc)
+        return (
+            side.withColumn(
+                "isl",
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("pos")
+                ),
+            )
+            .groupBy(id_col, "isl")
+            .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+            .groupBy(id_col)
+            .agg(F.collect_list(F.struct("p0", "p1")).alias(out_col))
         )
-        .groupBy(id_col, "isl")
-        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
-        .groupBy(id_col)
-        .agg(F.collect_list(F.struct("p0", "p1")).alias("runs"))
+
+    removal = _runs(
+        tagged.where(~F.col("is_canon")).select(id_col, "pos"), "runs"
+    )
+    protect = _runs(
+        tagged.where(F.col("is_canon")).select(id_col, "pos"), "keeps"
     )
     base = docs.select(
         F.col(id_col), normalized_words(F.col(text_col)).alias("w")
     )
-    joined = base.join(runs, id_col, "left").withColumn(
-        "runs",
-        F.coalesce("runs", F.array().cast("array<struct<p0:int,p1:int>>")),
+    empty = F.array().cast("array<struct<p0:int,p1:int>>")
+    joined = (
+        base.join(removal, id_col, "left")
+        .join(protect, id_col, "left")
+        .withColumn("runs", F.coalesce("runs", empty))
+        .withColumn("keeps", F.coalesce("keeps", empty))
     )
+
+    def _covers(runs_col: str):
+        return lambda i: F.exists(
+            F.col(runs_col),
+            lambda r: (r["p0"] <= i + 1) & (i + 1 <= r["p1"] + F.lit(k - 1)),
+        )
+
     kept = F.filter(
         F.col("w"),
-        lambda x, i: ~F.exists(
-            F.col("runs"),
-            lambda r: (r["p0"] <= i + 1) & (i + 1 <= r["p1"] + F.lit(k - 1)),
-        ),
+        lambda x, i: ~_covers("runs")(i) | _covers("keeps")(i),
     )
     return joined.select(
         F.col(id_col), F.array_join(kept, " ").alias("clean_text")

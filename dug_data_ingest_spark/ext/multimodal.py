@@ -110,10 +110,16 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     pixels = payload[pos : pos + need]
     if len(pixels) != need:
         raise ValueError("truncated PPM raster")
-    if len(payload) - pos > need:
+    # The raster START is already unambiguous (single-terminator rule
+    # above), so trailing bytes can't shift pixels. A trailing newline
+    # is a common benign writer quirk — tolerate trailing WHITESPACE
+    # only; non-whitespace tail bytes still mean a corrupt or
+    # concatenated payload and are refused.
+    tail = payload[pos + need :]
+    if tail and not tail.isspace():
         raise ValueError(
-            f"{len(payload) - pos - need} trailing byte(s) after the "
-            "PPM raster; refusing to guess where the raster starts"
+            f"{len(tail)} non-whitespace trailing byte(s) after the "
+            "PPM raster; payload looks corrupt or concatenated"
         )
     return width, height, pixels
 

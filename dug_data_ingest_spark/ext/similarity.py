@@ -564,6 +564,49 @@ def pq_encode(
     return assigned.groupBy(id_col).agg(codes.alias("codes"))
 
 
+def _adc_score(table: Column, m: int, caller: str) -> Column:
+    """Row-local ADC score of the ``codes`` column against a literal
+    (m x n_clusters) squared-distance table — the one scoring
+    expression behind pq_adc_topk and ivf_pq_topk so a guard fix can
+    never drift between them. Codes shorter than m would NULL-pad the
+    zip, NULL the score, and ascending sort is nulls-FIRST — corrupted
+    rows would win the top-k silently. Validate the length loudly
+    instead (the _dim_checked posture), and belt-and-braces guard the
+    folded score against NULLs."""
+    checked = F.when(
+        F.size(F.col("codes")) == F.lit(m), F.col("codes")
+    ).otherwise(
+        F.raise_error(
+            F.printf(
+                F.lit(
+                    f"{caller}: codes array has %s entries, expected "
+                    f"m={m}; codes and codebook disagree"
+                ),
+                F.size(F.col("codes")),
+            )
+        )
+    )
+    score = F.aggregate(
+        F.zip_with(
+            checked,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda code, s: F.element_at(
+                F.element_at(table, s + F.lit(1)), code + F.lit(1)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(score.isNotNull(), score).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{caller}: NULL ADC score (NULL code entry?) — "
+                "refusing to rank it above real candidates"
+            )
+        )
+    )
+
+
 def pq_adc_topk(
     codes: DataFrame,
     codebook_rows: list,
@@ -610,40 +653,7 @@ def pq_adc_topk(
             for s in range(m)
         ]
     )
-    # codes shorter than m would NULL-pad the zip, NULL the score,
-    # and ascending sort is nulls-FIRST — corrupted rows would win
-    # the top-k silently. Validate the length loudly instead (the
-    # _dim_checked posture), and belt-and-braces guard the score.
-    checked = F.when(F.size(F.col("codes")) == F.lit(m), F.col("codes")).otherwise(
-        F.raise_error(
-            F.printf(
-                F.lit(
-                    f"pq_adc_topk: codes array has %s entries, expected "
-                    f"m={m}; codes and codebook disagree"
-                ),
-                F.size(F.col("codes")),
-            )
-        )
-    )
-    score = F.aggregate(
-        F.zip_with(
-            checked,
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, s: F.element_at(
-                F.element_at(lit_table, s + F.lit(1)), code + F.lit(1)
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    score = F.when(score.isNotNull(), score).otherwise(
-        F.raise_error(
-            F.lit(
-                "pq_adc_topk: NULL ADC score (NULL code entry?) — "
-                "refusing to rank it above real candidates"
-            )
-        )
-    )
+    score = _adc_score(lit_table, m, "pq_adc_topk")
     return (
         codes.select(F.col(id_col), score.alias("adc_dist2"))
         .orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
@@ -835,36 +845,7 @@ def ivf_pq_topk(
             )
         )
 
-    checked = F.when(F.size(F.col("codes")) == F.lit(m), F.col("codes")).otherwise(
-        F.raise_error(
-            F.printf(
-                F.lit(
-                    f"ivf_pq_topk: codes array has %s entries, expected "
-                    f"m={m}; codes and codebook disagree"
-                ),
-                F.size(F.col("codes")),
-            )
-        )
-    )
-    score = F.aggregate(
-        F.zip_with(
-            checked,
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda code, s: F.element_at(
-                F.element_at(table, s + F.lit(1)), code + F.lit(1)
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    score = F.when(score.isNotNull(), score).otherwise(
-        F.raise_error(
-            F.lit(
-                "ivf_pq_topk: NULL ADC score (NULL code entry?) — "
-                "refusing to rank it above real candidates"
-            )
-        )
-    )
+    score = _adc_score(table, m, "ivf_pq_topk")
     probed_ids = [r.cluster for r in probed]
     return (
         coded.filter(F.col("cell").isin(probed_ids))

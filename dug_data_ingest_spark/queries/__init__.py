@@ -269,7 +269,9 @@ _EST_COST = {
     "dedup-ngram-jaccard": 2.088, "dedup-cluster": 2.529,
     "dedup-survivors": 2.678, "dedup-simhash": 1.804,
     "dedup-simhash-pairs": 3.126, "dedup-embedding": 0.758,
-    "sim-topk-bruteforce": 0.524, "sim-ivf-topk": 1.041,
+    # (sim-topk-bruteforce retired round 7 — cost row deleted with it,
+    # matching the join-fuzzy-name retirement's cleanup)
+    "sim-ivf-topk": 1.041,
     "sim-ivf-recall": 1.25, "sim-topk-multiquery": 0.772,
     "mm-binary-meta": 0.205, "mm-decode-features": 0.468,
     "mm-frame-sample": 0.269, "dedup-embedding-lsh": 1.231, "mm-resize": 0.37,

@@ -1128,6 +1128,11 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ext/dedup.py::duplicated_span_stats for the plan/skew argument.
 # ---------------------------------------------------------------------------
 
+# covered_tokens in the `ovl` CTE: runs are window-disjoint but each
+# trails k-1 tokens past its last window, so adjacent token intervals
+# overlap when the window gap < k; union = sum of run coverage minus
+# the adjacent overlaps (mirrors ext/dedup.py::duplicated_span_stats).
+# No inline `--` comments: query() flattens the SQL to one line.
 _SUBSTRING_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
@@ -1149,13 +1154,20 @@ flagged AS (
 runs AS (
   SELECT doc_id, MIN(pos) AS p0, MAX(pos) AS p1, COUNT(*) AS nw
   FROM flagged GROUP BY doc_id, isl
+),
+ovl AS (
+  SELECT doc_id, p0, p1, nw,
+         GREATEST(0, COALESCE(
+           LAG(p1) OVER (PARTITION BY doc_id ORDER BY p0) + 8 - p0, 0
+         )) AS o
+  FROM runs
 )
 SELECT doc_id,
        CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
        CAST(COUNT(*) AS BIGINT) AS n_runs,
        CAST(MAX(p1 - p0 + 8) AS INT) AS max_run_tokens,
-       CAST(SUM(p1 - p0 + 8) AS BIGINT) AS covered_tokens
-FROM runs GROUP BY doc_id
+       CAST(SUM(p1 - p0 + 8) - SUM(o) AS BIGINT) AS covered_tokens
+FROM ovl GROUP BY doc_id
 """
 
 

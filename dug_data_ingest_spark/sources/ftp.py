@@ -142,6 +142,21 @@ class FtpWalker:
         self._conn().retrbinary(f"RETR {name}", chunks.append)
         return b"".join(chunks)
 
+    def _nlst_with_reconnect(self, dir_path: str) -> list[str]:
+        """NLST with the cwd treatment: the listing sits between cwd
+        and the transfers, so a session timeout landing exactly there
+        (e.g. the previous directory's downloads aged the session out)
+        gets one reconnect + re-cwd + retry instead of killing the
+        whole fetch task."""
+        try:
+            return self._conn().nlst(".")
+        except _RECONNECTABLE:
+            if self.max_reconnects < 1:
+                raise
+            self._reconnect()
+            self.cwd(dir_path)
+            return self._conn().nlst(".")
+
     def _retr_with_reconnect(self, name: str, dir_path: str) -> bytes:
         """retrbinary with the cwd treatment: a session-timeout-shaped
         failure gets one reconnect + re-cwd + retry before the caller
@@ -169,8 +184,8 @@ class FtpWalker:
         ``[{filename, source, content}]`` with source ``"ftp"`` or
         ``"mirror"``.
 
-        cwd and transfers survive session timeouts via bounded
-        reconnect; a file whose transfer STILL fails falls back to
+        cwd, the NLST listing, and transfers all survive session
+        timeouts via bounded reconnect; a file whose transfer STILL fails falls back to
         ``mirror_template.format(dir_path=..., filename=...)`` when
         given (the reference's HTTPS-mirror path, ref :92-104), else
         propagates.
@@ -182,7 +197,7 @@ class FtpWalker:
         names = sorted(
             {
                 n.rsplit("/", 1)[-1]
-                for n in self._conn().nlst(".")
+                for n in self._nlst_with_reconnect(dir_path)
                 if name_filter in n.rsplit("/", 1)[-1]
             }
         )

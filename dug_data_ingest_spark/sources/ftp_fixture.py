@@ -34,6 +34,9 @@ _RETR_FIRED: set[tuple[str, str]] = set()
 # parquet paths whose one simulated control-connection drop (bare
 # EOFError from ftplib) already fired in this process
 _EOF_FIRED: set[str] = set()
+# parquet paths whose one simulated session timeout DURING the NLST
+# listing already fired in this process
+_NLST_FIRED: set[str] = set()
 
 
 def study_dir(suppkey: int) -> str:
@@ -81,7 +84,9 @@ class ParquetFTPDouble:
     the server-side session timeout the reference reconnects around;
     ``eof_first_cwd`` raises ONE bare EOFError per process on the
     first cwd — what real ftplib raises when the server silently
-    drops the control connection."""
+    drops the control connection; ``timeout_first_nlst`` raises ONE
+    error_temp per process on the first NLST — the session timeout
+    landing between cwd and the transfers."""
 
     def __init__(
         self,
@@ -94,6 +99,7 @@ class ParquetFTPDouble:
         flaky_once_files: frozenset = frozenset(),
         timeout_first_cwd: bool = False,
         eof_first_cwd: bool = False,
+        timeout_first_nlst: bool = False,
     ) -> None:
         self.host = host
         self.timeout = timeout
@@ -103,6 +109,7 @@ class ParquetFTPDouble:
         self._flaky_once = flaky_once_files
         self._timeout_first_cwd = timeout_first_cwd
         self._eof_first_cwd = eof_first_cwd
+        self._timeout_first_nlst = timeout_first_nlst
         self._cwd: str | None = None
         self._alive = True
 
@@ -133,6 +140,12 @@ class ParquetFTPDouble:
         raise error_perm(f"550 {path}: no such directory")
 
     def nlst(self, arg: str = ".") -> list[str]:
+        if self._timeout_first_nlst and self._parquet_path not in _NLST_FIRED:
+            _NLST_FIRED.add(self._parquet_path)
+            self._alive = False
+            raise error_temp("421 service not available, closing control connection")
+        if not self._alive:
+            raise error_temp("421 connection closed")
         tree = _tree_for(self._parquet_path)
         if arg == ".":
             if self._cwd in tree:
@@ -185,6 +198,7 @@ def parquet_ftp_factory(
     flaky_once_files: frozenset = frozenset(),
     timeout_first_cwd: bool = False,
     eof_first_cwd: bool = False,
+    timeout_first_nlst: bool = False,
 ):
     """ftp_factory for sources/ftp.py bound to a supplier parquet —
     picklable (functools.partial over a module-level class), so it
@@ -197,4 +211,5 @@ def parquet_ftp_factory(
         flaky_once_files=flaky_once_files,
         timeout_first_cwd=timeout_first_cwd,
         eof_first_cwd=eof_first_cwd,
+        timeout_first_nlst=timeout_first_nlst,
     )

@@ -117,6 +117,36 @@ def test_cli_dedup_exact_keeps_one_null_text_doc(spark, tmp_path):
     assert ids == [1, 3, 5]  # canonical of dup pair, ONE null-text, unique
 
 
+def test_cli_dedup_substring_passes_null_text_through(spark, tmp_path):
+    # a NULL-text doc was never "emptied by stripping" (the only
+    # documented drop case) — it must survive, text still NULL, just
+    # as the exact strategy keeps its null-text survivor
+    from dug_data_ingest_spark.cli import run_dedup
+
+    docs_p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(docs_p)
+
+    class A:
+        documents, csv = docs_p, False
+        strategy, threshold, max_doc_freq = "substring", 0.8, 1000
+        span_tokens = 4
+        out = str(tmp_path / "out")
+
+    run_dedup(spark, A)
+    surv = spark.read.parquet(f"{A.out}/survivors")
+    by_id = {r.doc_id: r.text for r in surv.collect()}
+    assert set(by_id) == {1, 3}  # doc 2 fully stripped, doc 3 kept
+    assert by_id[3] is None
+    assert by_id[1] == "alpha beta gamma delta"
+
+
 def test_cli_curate_end_to_end(spark, tmp_path):
     from dug_data_ingest_spark.cli import main
 

@@ -188,6 +188,18 @@ def test_transfer_timeout_reconnects_and_stays_on_ftp():
     assert files[0]["content"] == dict_content(k, s_name)
 
 
+def test_session_timeout_during_nlst_reconnects():
+    # the listing sits between cwd and the transfers; a 421 landing
+    # exactly there (previous directory's downloads aged the session
+    # out) must take the reconnect path like cwd/retrbinary, not kill
+    # the fetch task
+    k = next(iter(_names()))
+    ftp_fixture._NLST_FIRED.discard(SUPPLIER)
+    factory = parquet_ftp_factory(SUPPLIER, timeout_first_nlst=True)
+    files = fetch_ftp_dir(HOST, study_dir(k), "data_dict", ftp_factory=factory)
+    assert len(files) == 1
+
+
 def test_eof_on_dropped_control_connection_reconnects():
     # ftplib raises bare EOFError (not OSError, not ftplib.Error) when
     # the server silently closes the control connection — it must take

@@ -336,6 +336,19 @@ def test_ppm_trailing_bytes_raise_instead_of_shifting_raster():
         decode_ppm(payload)
 
 
+def test_ppm_trailing_whitespace_tolerated():
+    # a file-terminating newline (or any whitespace tail) is a benign
+    # writer quirk — the raster start is pinned by the single
+    # terminator, so a whitespace tail can't shift pixels and must
+    # not quarantine a spec-valid image
+    from dug_data_ingest_spark.ext.multimodal import decode_ppm
+
+    payload = b"P6\n1 1\n255\n" + bytes([0x20, 40, 50]) + b"\n"
+    assert decode_ppm(payload) == (1, 1, bytes([0x20, 40, 50]))
+    payload2 = b"P6\n1 1\n255\n" + bytes([10, 20, 30]) + b" \r\n"
+    assert decode_ppm(payload2) == (1, 1, bytes([10, 20, 30]))
+
+
 def test_ppm_crlf_terminator_tolerated():
     from dug_data_ingest_spark.ext.multimodal import decode_ppm
 

@@ -53,11 +53,15 @@ def _model(docs: list[list[str]], k: int):
                 start = prev = p
                 nw = 1
         runs.append((start, prev, nw))
+        # covered_tokens = the true token union, computed here the
+        # naive way (a set of covered positions) — independent of the
+        # engine/oracle's sorted-interval overlap subtraction
+        covered = {t for p in dup_pos for t in range(p, p + k)}
         out[i] = (
             sum(r[2] for r in runs),
             len(runs),
             max(r[1] - r[0] + k for r in runs),
-            sum(r[1] - r[0] + k for r in runs),
+            len(covered),
         )
     return out
 
@@ -67,6 +71,10 @@ def _model(docs: list[list[str]], k: int):
 # cross-doc verbatim pair separated by a gap — two runs in one doc
 @example(docs=[["aa", "aa", "aa"], ["aa", "aa", "bb", "aa", "aa"]], k=2)
 @example(docs=[[]], k=2)  # empty doc: no windows, no row
+# two runs ({1} and {3}) whose k-1 token tails overlap (window gap
+# < k): naive run-coverage sum would report 6 covered tokens in a
+# 5-token doc — the union is 5
+@example(docs=[["aa", "bb", "aa", "bb", "aa"]], k=3)
 @settings(
     max_examples=10,
     deadline=None,
@@ -100,10 +108,12 @@ def test_normalization_matches_the_tokenizer(spark):
 
 def _strip_model(docs: list[list[str]], k: int):
     """Naive walk: canonical site of each duplicated gram = corpus-wide
-    first (doc, pos); at every other site remove tokens [pos, pos+k-1];
-    kept tokens rejoin in order. Run-merging in the engine is a
-    reporting detail — the removed-token set is the plain union of the
-    per-window intervals, which is what this model takes."""
+    first (doc, pos); at every other site remove tokens [pos, pos+k-1]
+    EXCEPT tokens lying under some canonical window of the same doc —
+    the protection that keeps the one promised copy intact when an
+    overlapping occurrence (intra-doc repeat at distance < k, or a
+    removal run abutting a canonical site) would otherwise chew into
+    it. Kept tokens rejoin in order."""
     from collections import Counter
 
     counts: Counter = Counter()
@@ -122,9 +132,14 @@ def _strip_model(docs: list[list[str]], k: int):
     out = {}
     for i, ws in enumerate(docs):
         remove: set[int] = set()
+        protect: set[int] = set()
         for p, g in enumerate(grams_by_doc[i]):
-            if counts[g] > 1 and canon[g] != (i, p + 1):
-                remove.update(range(p + 1, p + k + 1))
+            if counts[g] > 1:
+                if canon[g] == (i, p + 1):
+                    protect.update(range(p + 1, p + k + 1))
+                else:
+                    remove.update(range(p + 1, p + k + 1))
+        remove -= protect
         out[i] = " ".join(w for j, w in enumerate(ws, 1) if j not in remove)
     return out
 
@@ -133,6 +148,13 @@ def _strip_model(docs: list[list[str]], k: int):
 # two identical docs: the first survives whole, the second is gutted;
 # third doc repeats its own gram so its later site strips intra-doc
 @example(docs=[["aa", "bb", "aa"], ["aa", "bb", "aa"], ["aa", "aa", "aa"]], k=2)
+# self-overlapping repeat: windows 1 and 2 share one gram; without
+# canonical protection the removal at pos 2 would chew tokens 2..3
+# out of the canonical site and the span would survive ZERO times
+@example(docs=[["aa", "aa", "aa"]], k=2)
+# removal run abuts the canonical site from the right (canonical @1,
+# non-canonical @3, gap @2): protection keeps tokens 1..3, strips 4..5
+@example(docs=[["aa", "bb", "aa", "bb", "aa"]], k=3)
 @settings(
     max_examples=10,
     deadline=None,
