@@ -424,6 +424,25 @@ def test_sessionize_single_window_exchange(queries, spark):
     assert len(ex) == 1, f"expected 1 user_id exchange, got {len(ex)}:\n{plan}"
 
 
+@pytest.mark.parametrize(
+    "slug", ["dedup-ngram-jaccard", "dedup-containment", "pipeline-incremental-dedup"]
+)
+def test_shingle_join_keeps_ppjoin_length_filter(queries, spark, slug):
+    # The PPJoin length filter (J <= min/max of the set sizes, the
+    # directional nb >= t*na for containment) sits between the shingle
+    # join and the pair groupBy, cutting the candidate shuffle by the
+    # mismatched-size fraction (63% on the sf0.1 corpus). It is
+    # result-preserving, so only a plan pin can catch its silent loss.
+    plan = _plan(queries[slug](spark, SF_DIR))
+    symmetric = re.search(r"least\(na#\d+L?, n[bc]#\d+L?\)", plan)
+    directional = re.search(
+        r"nb#\d+L? as double\) >= \(cast\(na#\d+L? as double\) \* 0\.", plan
+    )
+    assert symmetric or directional, (
+        f"length filter missing from the candidate join:\n{plan}"
+    )
+
+
 def test_containment_candidates_are_df_capped(queries, spark):
     # Hot-shingle exclusion rides a broadcast anti-join; the candidate
     # join is an equi-join on shingle — no cross product anywhere.
