@@ -846,9 +846,12 @@ def test_substring_dedup_plan_shape(queries, spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("FileScan") <= 2, plan  # wins derived twice, by design
-    assert plan.count("Window") == 1, plan
-    # root-first: every node above the window (two run/doc aggregate
-    # pairs) must need NO exchange of its own — doc_id hash
-    # partitioning satisfies both groupings
-    assert plan.index("Window") < plan.index("Exchange"), plan
+    # two windows, both on doc_id partitioning: the island key and the
+    # lag(p1) for the covered-token overlap correction — the second
+    # must NOT cost its own exchange
+    assert plan.count("Window") == 2, plan
+    # root-first: every node above the LAST window (run/doc aggregates
+    # + the lag) needs NO exchange of its own — doc_id hash
+    # partitioning satisfies all of them
+    assert plan.rindex("Window") < plan.index("Exchange"), plan
     assert plan.count("Exchange hashpartitioning(fp") == 1, plan
