@@ -2,7 +2,7 @@
 under a VANILLA SparkSession, strict compare (floats bit-for-bit via
 repr — stricter than the driver's 6-decimal normalization).
 
-    python tools/sweep_parity.py [sf] [master] [shuffle_partitions]
+    python tools/sweep_parity.py [sf] [master] [shuffle_partitions] [aqe]
 
 Defaults: sf 0.01, master local[32], Spark's default shuffle
 partitions (200 on a vanilla session). Prints FAIL/ERROR lines as
@@ -18,6 +18,14 @@ collect_list serialized unsorted — diverges from its oracle. Run
 ``python tools/sweep_parity.py 0.001 'local[5]' 7`` as the cheap
 third axis alongside the two vanilla sweeps (tests run local[8]/32
 shuffle partitions, sweeps local[32]/200).
+
+The fourth arg disables AQE (``aqe=off``): adaptive re-planning
+changes join strategies, coalesces partitions, and splits skewed
+tasks at runtime — a result that depends on ANY of that (a
+finalized-plan-only reuse, an AQE-broadcast the logic silently
+assumes) diverges from its oracle here. Run
+``python tools/sweep_parity.py 0.001 'local[8]' '' off`` as the
+static-planner axis.
 """
 
 from __future__ import annotations
@@ -39,6 +47,9 @@ def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "0.01"
     master = sys.argv[2] if len(sys.argv) > 2 else "local[32]"
     shuffle_partitions = sys.argv[3] if len(sys.argv) > 3 else None
+    if shuffle_partitions == "":
+        shuffle_partitions = None
+    aqe = sys.argv[4] if len(sys.argv) > 4 else "on"
     sf_dir = f"/root/testdata/sf{sf}"
 
     import duckdb
@@ -53,6 +64,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    if aqe == "off":
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     import __spark_entry__ as e
 
@@ -89,6 +102,7 @@ def main() -> int:
 
     print(json.dumps({"sf": sf, "master": master,
                       "shuffle_partitions": shuffle_partitions,
+                      "aqe": aqe,
                       "ok": n_ok, "total": len(qs), "fails": fails}))
     return 1 if fails else 0
 
