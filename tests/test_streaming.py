@@ -29,6 +29,51 @@ def _run_stream(df, name: str):
         q.stop()
 
 
+def test_checkpointed_restart_is_exactly_once(spark, tmp_path):
+    # The landing-zone restart property a recurring ingest depends on:
+    # stop the query, new files land, restart with the SAME checkpoint
+    # — every input file contributes exactly once (the source tracks
+    # processed files in the checkpoint, the parquet sink commits via
+    # its _spark_metadata transaction log), and an idle restart
+    # appends nothing.
+    import pyspark.sql.functions as F
+
+    inp, out, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+
+    def land(tag: str) -> None:
+        spark.range(0, 100).select(
+            "id", F.lit(tag).alias("tag")
+        ).write.mode("append").parquet(inp)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema("id long, tag string")
+            .parquet(inp)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", cp)
+            .option("path", out)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    land("b1")
+    drain()
+    land("b2")
+    drain()  # restart from checkpoint: must pick up ONLY b2
+    drain()  # idle restart: must append nothing
+    got = (
+        spark.read.parquet(out)
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {r.tag: r.n for r in got} == {"b1": 100, "b2": 100}
+
+
 def test_tumbling_stream_matches_batch(spark):
     stream = read_events_stream(spark, TEST_SF_DIR)
     _run_stream(tumbling_counts(stream), "tumbling_out")
