@@ -455,13 +455,38 @@ def ngram_jaccard_pairs(
         )
     a = ex.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
     b = ex.select(F.col(id_col).alias("b"), F.col("n").alias("nb"), "shingle")
+    return jaccard_scored_pairs(
+        a, b, threshold, pair_filter=F.col("a") < F.col("b")
+    )
+
+
+def jaccard_scored_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    threshold: float,
+    left: str = "a",
+    right: str = "b",
+    pair_filter: Column | None = None,
+) -> DataFrame:
+    """The one Jaccard pair-scoring core: shared-shingle equi-join →
+    optional pair filter (a < b for a self-join; none for a cross-set
+    batch × corpus scoring) → PPJoin length prune → pair aggregation →
+    ROUND(·, 4) jaccard ≥ threshold. Shared by ngram_jaccard_pairs and
+    the incremental-ingest dedup so the threshold slack and rounding
+    convention can never drift between them.
+
+    Expects ``a`` with columns (``left``, na, shingle) and ``b`` with
+    (``right``, nb, shingle) — the set sizes riding the exploded rows,
+    as capped_shingles_with_sizes produces. Returns
+    (``left``, ``right``, jaccard)."""
+    j = a.join(b, "shingle")
+    if pair_filter is not None:
+        j = j.filter(pair_filter)
     return (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .filter(
+        j.filter(
             F.least("na", "nb") >= (threshold - 1e-4) * F.greatest("na", "nb")
         )
-        .groupBy("a", "b", "na", "nb")
+        .groupBy(left, right, "na", "nb")
         .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard",
@@ -470,7 +495,7 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .select(left, right, "jaccard")
     )
 
 

@@ -127,6 +127,12 @@ _REGRADE_BEFORE_ROUND = {
     # onto the range-partitioned two-pass form (same exact values)
     "win-percent-rank": 7,
     "win-ntile-quartiles": 7,
+    # (pipeline-pack-sequences' oracle went NULL-faithful in the r7
+    # fourth window — IS NOT DISTINCT FROM in the recursive packing
+    # join; values identical on the driver data. NO marker entry: its
+    # r5 row is already stale under _STALE_AFTER_ROUNDS, so the
+    # regrade is queued anyway, and a marker would jump it into the
+    # CURRENT round's promised 11+39 window.)
 }
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from dug_data_ingest_spark.ext.dedup import (
     _md5_hash64,
     capped_shingles_with_sizes,
+    jaccard_scored_pairs,
 )
 from dug_data_ingest_spark.ext.curation import (
     decontaminate,
@@ -27,10 +28,11 @@ from dug_data_ingest_spark.ext.curation import (
 from dug_data_ingest_spark.functions.text import normalized_words, shingles_of
 from dug_data_ingest_spark.queries import load, query
 
-# Same normalization as extensions._WORDS (functions/text.py::normalized_words).
-_WORDS = (
-    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +')"
-)
+# ONE normalization fragment for every oracle in the repo: import the
+# canonical copy (functions/text.py::normalized_words's SQL twin)
+# instead of re-declaring it — a future normalization change must not
+# be able to desync the ~10 curation oracles from the Spark side.
+from dug_data_ingest_spark.queries.extensions import _WORDS  # noqa: E402
 
 # k=5 shingles (the decontamination width; extensions._SHINGLES_CTE is k=3).
 _SHINGLES5_CTE = f"""
@@ -45,6 +47,18 @@ sh5 AS (
 
 # The eval-set stand-in: every 10th doc plays the benchmark corpus.
 _EVAL_PRED = "doc_id % 10 = 7"
+
+
+def _doc_tokens(docs: DataFrame, keep_doc_id: bool = True) -> DataFrame:
+    """The one token-explode scan behind the term-statistics slugs
+    (word-repetition, idf, zipf, tfidf): normalized words exploded to
+    (doc_id?, token) with empty tokens dropped — one definition so a
+    tokenization or empty-token change can never hit three slugs and
+    miss the fourth."""
+    cols = (["doc_id"] if keep_doc_id else []) + [
+        F.explode(normalized_words(F.col("text"))).alias("token")
+    ]
+    return docs.select(*cols).filter(F.col("token") != "")
 
 
 @query(
@@ -113,7 +127,8 @@ def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.source, t.doc_id, t.n_tok, t.rn,
              CASE WHEN p.acc + t.n_tok <= 256 THEN p.chunk ELSE p.chunk + 1 END,
              CASE WHEN p.acc + t.n_tok <= 256 THEN p.acc + t.n_tok ELSE t.n_tok END
-      FROM toks t JOIN pack p ON t.source = p.source AND t.rn = p.rn + 1
+      FROM toks t JOIN pack p
+        ON t.source IS NOT DISTINCT FROM p.source AND t.rn = p.rn + 1
     )
     SELECT source, doc_id, n_tok, CAST(chunk AS INT) AS chunk FROM pack
     """,
@@ -268,9 +283,7 @@ def text_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top fraction are the boilerplate/spam the pre-training gates
     drop."""
     docs = load(spark, sf_dir, "documents")
-    tokens = docs.select(
-        "doc_id", F.explode(normalized_words(F.col("text"))).alias("token")
-    ).filter(F.col("token") != "")
+    tokens = _doc_tokens(docs)
     counts = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
     return counts.groupBy("doc_id").agg(
         F.max("c").cast("int").alias("top_count"),
@@ -337,9 +350,7 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     total = docs.agg(F.count("*").alias("n_total"))
-    tokens = docs.select(
-        "doc_id", F.explode(normalized_words(F.col("text"))).alias("token")
-    ).filter(F.col("token") != "")
+    tokens = _doc_tokens(docs)
     df_counts = tokens.groupBy("token").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
@@ -456,8 +467,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     counts = (
-        docs.select(F.explode(normalized_words(F.col("text"))).alias("token"))
-        .filter(F.col("token") != "")
+        _doc_tokens(docs, keep_doc_id=False)
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
@@ -585,29 +595,29 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("a"), F.col("n").alias("na"), "shingle"
     )
     c = kept_n.filter(F.col("_b") < 80).select(
-        F.col("doc_id").alias("c"), F.col("n").alias("nc"), "shingle"
+        F.col("doc_id").alias("c"), F.col("n").alias("nb"), "shingle"
     )
+    # batch × corpus scoring through the ONE jaccard core (join →
+    # PPJoin length prune → pair agg → ROUND(,4) ≥ t) shared with
+    # dedup-ngram-jaccard — the threshold slack and rounding
+    # convention cannot drift between the batch and full-corpus paths
     near = (
-        a.join(c, "shingle")
-        # PPJoin length filter (ext/dedup.py::ngram_jaccard_pairs):
-        # J ≤ min/max of the set sizes, so mismatched-size pairs can
-        # never reach 0.8 — dropped before the pair groupBy, exact.
-        .filter(F.least("na", "nc") >= (0.8 - 1e-4) * F.greatest("na", "nc"))
-        .groupBy("a", "na", "c", "nc")
-        .agg(F.count("*").alias("i"))
-        .filter(
-            F.round(F.col("i") / (F.col("na") + F.col("nc") - F.col("i")), 4)
-            >= 0.8
-        )
+        jaccard_scored_pairs(a, c, 0.8, left="a", right="c")
         .select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("is_near", F.lit(True))
     )
 
+    # No broadcast hint on the dup-id sets: they scale with the BATCH
+    # (with a high duplicate rate they are a large fraction of it), so
+    # a hard hint would abort past the 8 GB broadcast ceiling exactly
+    # when dedup matters most. Unhinted, AQE broadcasts them while
+    # small and degrades to a shuffle join when they are not — the
+    # same posture as text-keyword-tfidf's vocabulary join.
     return (
         batch_h.select("doc_id")
-        .join(F.broadcast(exact), "doc_id", "left")
-        .join(F.broadcast(near), "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("is_exact"), "exact_dup")
@@ -847,9 +857,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     total = docs.agg(F.count("*").alias("n_total"))
-    tokens = docs.select(
-        "doc_id", F.explode(normalized_words(F.col("text"))).alias("token")
-    ).filter(F.col("token") != "")
+    tokens = _doc_tokens(docs)
     tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # The vacuous tf >= 1 filter is load-bearing: without it, column
     # pruning strips tf's count from THIS branch's partial aggregate

@@ -257,9 +257,14 @@ def unattributed_purchases(
     State stays O(rate × (delay + lookback)) per side, as for the
     inner join."""
     purchases, clicks, cond = _attribution_pair_base(events, delay, lookback)
+    # "no match" keys on c_uid, not click_id: the join condition's
+    # p_uid = c_uid equality is null-rejecting, so a MATCHED row always
+    # carries a non-null c_uid — whereas a matched click whose event_id
+    # happens to be NULL would leave click_id null and misreport the
+    # purchase as unattributed (once per such click, duplicating it).
     return (
         purchases.join(clicks, cond, "left_outer")
-        .filter(F.col("click_id").isNull())
+        .filter(F.col("c_uid").isNull())
         .select(
             "purchase_id",
             F.col("p_uid").alias("user_id"),

@@ -68,3 +68,37 @@ def test_packing_matches_greedy_model(spark, rows, cap):
     for (g, i), (n_tok, chunk) in got.items():
         assert n_tok == (rows[i][1] or 0), (g, i)
         assert chunk == model[(g, i)], (g, i, chunk, model[(g, i)])
+
+
+def test_null_source_group_packs_on_both_sides(spark):
+    # a NULL source is a packing group like any other: the Spark
+    # groupBy packs it, and the oracle's recursive join must follow
+    # every row past rn=1 (IS NOT DISTINCT FROM — a plain equality
+    # join never matches NULL = NULL and would emit only the seed row)
+    import duckdb
+
+    from dug_data_ingest_spark.queries import ORACLES, _register_all
+
+    _register_all()
+    data = [
+        (None, 1, "w w w"),
+        (None, 2, "w w"),
+        ("a", 3, "w"),
+    ]
+    docs = spark.createDataFrame(
+        data, "source string, doc_id long, text string"
+    )
+    sp = {
+        (r.source, r.doc_id): r.chunk
+        for r in pack_sequences(docs, cap=4).collect()
+    }
+    assert len(sp) == 3 and sp[(None, 2)] == 2  # 3+2 > 4 → new chunk
+    con = duckdb.connect()
+    con.register("documents_df", docs.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_df")
+    # the registered oracle uses cap 256; shrink it for this corpus
+    sql = ORACLES["pipeline-pack-sequences"].replace("256", "4")
+    du = {
+        (r[0], r[1]): r[3] for r in con.sql(sql).fetchall()
+    }
+    assert du == sp

@@ -128,5 +128,8 @@ def test_round8_projection_on_real_registry(tmp_path, monkeypatch):
         "src-ftp-walk",
         "dedup-substring",
     }
+    # the stale-r5 pack-sequences (its oracle went NULL-faithful in
+    # the r7 fourth window) is queued by ordinary staleness rotation
+    assert "pipeline-pack-sequences" in next_window
     # and nothing freshly graded re-enters the very next window
     assert not (set(next_window) & set(this_window))

@@ -243,6 +243,28 @@ def test_curation_sampling_works_on_streams(spark):
     assert got == want and len(got) > 0
 
 
+def test_unattributed_detection_is_null_safe(spark):
+    # a matching click whose event_id is NULL must still attribute the
+    # purchase (the old click_id-IS-NULL detection misread it as
+    # no-match); an actually-unmatched purchase reports exactly once
+    from dug_data_ingest_spark.streaming.events import (
+        unattributed_purchases,
+    )
+
+    rows = [
+        (None, 1, "click", "2024-01-01 10:00:00"),   # NULL-id click
+        (100, 1, "purchase", "2024-01-01 10:10:00"),  # attributed by it
+        (200, 2, "purchase", "2024-01-01 10:10:00"),  # no click at all
+    ]
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = unattributed_purchases(events).collect()
+    assert [r.purchase_id for r in got] == [200]
+
+
 def test_stream_stream_left_outer_withholds_open_windows(spark):
     """Left-outer stream-stream join: null rows (unattributed
     purchases) are emitted only once the watermark closes their match
