@@ -25,13 +25,19 @@ def _scored(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cos_sim): 4dp cosine of every vector against the literal
-    query — the single scoring projection behind topk_bruteforce and
-    range_search (one place to change precision or vector handling)."""
+    """(id, _raw, cos_sim): raw and 4dp cosine of every vector against
+    the literal query — the single scoring projection behind
+    topk_bruteforce and range_search (one place to change precision or
+    vector handling). Top-k ordering MUST use ``_raw``: the DuckDB
+    oracles order by the raw cosine, so ordering by the rounded value
+    could pick a different row set when a rounded tie straddles the
+    LIMIT boundary."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    raw = cosine(as_double(F.col(vec_col)), q)
     return embeddings.select(
         F.col(id_col),
-        F.round(cosine(as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
+        raw.alias("_raw"),
+        F.round(raw, 4).alias("cos_sim"),
     )
 
 
@@ -48,7 +54,11 @@ def topk_bruteforce(
     moral broadcast); ordering ties broken by id for determinism.
     """
     scored = _scored(embeddings, query_vec, id_col, vec_col)
-    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    return (
+        scored.orderBy(F.desc("_raw"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cos_sim")
+    )
 
 
 def range_search(
@@ -64,8 +74,10 @@ def range_search(
     query folds into the plan as a literal array, the corpus is
     scanned once with zero shuffles, and the filter is codegen-fused;
     at 100 TB compose with the IVF probe exactly like topk."""
-    return _scored(embeddings, query_vec, id_col, vec_col).filter(
-        F.col("cos_sim") >= threshold
+    return (
+        _scored(embeddings, query_vec, id_col, vec_col)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(id_col, "cos_sim")
     )
 
 
@@ -120,12 +132,19 @@ def ivf_topk(
     probed = embeddings.join(
         F.broadcast(best_cells.select(label_col)), label_col, "inner"
     )
+    raw = cosine(as_double(F.col(vec_col)), q)
     scored = probed.select(
         F.col(id_col),
         F.col(label_col),
-        F.round(cosine(as_double(F.col(vec_col)), q), 4).alias("cos_sim"),
+        raw.alias("_raw"),
+        F.round(raw, 4).alias("cos_sim"),
     )
-    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+    # order by the RAW score (the oracle convention; see _scored)
+    return (
+        scored.orderBy(F.desc("_raw"), F.col(id_col))
+        .limit(k)
+        .select(id_col, label_col, "cos_sim")
+    )
 
 
 def cosine_to_query_arrow(query_vec: list[float]):
@@ -144,7 +163,17 @@ def cosine_to_query_arrow(query_vec: list[float]):
     @pandas_udf("double")
     def _cos(vs: pd.Series) -> pd.Series:
         m = np.vstack(vs.to_numpy())
-        return pd.Series((m @ q) / (np.linalg.norm(m, axis=1) * qn))
+        denom = np.linalg.norm(m, axis=1) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = (m @ q) / denom
+        # zero-norm rows (and a zero query) must come back NULL, not
+        # NaN: Spark sorts NaN ABOVE every number, so a corrupted
+        # all-zero embedding would win rank 1 — the codegen path's
+        # try_divide returns NULL there (ranks last under desc), and
+        # the two scorers must stay interchangeable
+        out = pd.array(s, dtype="Float64")
+        out[denom == 0] = pd.NA
+        return pd.Series(out, dtype="Float64")
 
     return _cos
 
@@ -158,11 +187,17 @@ def topk_arrow(
 ) -> DataFrame:
     """topk_bruteforce with the Arrow-vectorized scorer."""
     score = cosine_to_query_arrow(query_vec)
+    # two-step select so the pandas UDF is evaluated ONCE and the
+    # rounding derives from the materialized column
     scored = embeddings.select(
-        F.col(id_col),
-        F.round(score(as_double(F.col(vec_col))), 4).alias("cos_sim"),
+        F.col(id_col), score(as_double(F.col(vec_col))).alias("_raw")
+    ).select(id_col, "_raw", F.round("_raw", 4).alias("cos_sim"))
+    # order by the RAW score (the oracle convention; see _scored)
+    return (
+        scored.orderBy(F.desc("_raw"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cos_sim")
     )
-    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
 def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -631,6 +666,14 @@ def pq_adc_topk(
     table: dict[int, dict[int, float]] = {}
     n_clusters = 0
     for row in codebook_rows:
+        if len(row.centroid) != d:
+            # zip() would silently truncate — half-scored distances,
+            # wrong ranking, no error (the _dim_checked posture)
+            raise ValueError(
+                f"pq_adc_topk: codebook sub-centroid has "
+                f"{len(row.centroid)} dims, expected d={d} (dim={dim}, "
+                f"m={m}) — query and codebook trained at different dims"
+            )
         q_sub = query_vec[row.subspace * d : (row.subspace + 1) * d]
         dist2 = sum((float(q) - float(c)) ** 2 for q, c in zip(q_sub, row.centroid))
         table.setdefault(row.subspace, {})[row.cluster] = dist2
@@ -752,7 +795,13 @@ def ivf_pq_index(
             F.col("centroid"),
             lambda x, c: x - c,
         ).alias("residual"),
-    )
+    # localCheckpoint: residuals feed every pq_train iteration, the
+    # encode pass, and the final cell join — uncheckpointed, the
+    # corpus-wide argmin + residual subtraction would re-execute
+    # ~(2*n_iters + 3) times per index build (the duplicate_clusters
+    # lineage-truncation idiom; lazy — the first consumer
+    # materializes it)
+    ).localCheckpoint(eager=False)
     books = pq_train(
         residuals, m=m, k=k, n_iters=n_iters, dim=dim,
         id_col=id_col, vec_col="residual",
@@ -784,6 +833,16 @@ def ivf_pq_topk(
     if dim % m:
         raise ValueError(f"ivf_pq_topk: m={m} must divide query dim {dim}")
     d = dim // m
+    # zip() truncates silently on a dimension mismatch (half-scored
+    # distances, wrong ranking, no error) — fail loudly first, matching
+    # the DataFrame side's _dim_checked/_adc_score posture
+    for r in cells:
+        if len(r.centroid) != dim:
+            raise ValueError(
+                f"ivf_pq_topk: cell centroid has {len(r.centroid)} dims, "
+                f"expected the query's {dim} — index and query trained "
+                "at different dims"
+            )
     by_dist = sorted(
         cells,
         key=lambda r: (
@@ -796,6 +855,12 @@ def ivf_pq_topk(
     books: dict[int, dict[int, list[float]]] = {}
     n_clusters = 0
     for row in codebook_rows:
+        if len(row.centroid) != d:
+            raise ValueError(
+                f"ivf_pq_topk: codebook sub-centroid has "
+                f"{len(row.centroid)} dims, expected d={d} (dim={dim}, "
+                f"m={m}) — query and codebook trained at different dims"
+            )
         books.setdefault(row.subspace, {})[row.cluster] = [
             float(c) for c in row.centroid
         ]

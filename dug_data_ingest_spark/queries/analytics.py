@@ -137,7 +137,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-07-01'
   AND l_shipdate > TIMESTAMP '1998-07-01'
 GROUP BY l_orderkey
-ORDER BY revenue DESC
+ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
 
@@ -164,7 +164,9 @@ def olap_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
             F.min("o_orderpriority").alias("o_orderpriority"),
         )
-        .orderBy(F.desc("revenue"))
+        # l_orderkey tiebreak: a revenue tie at the LIMIT boundary
+        # must pick the same SET in both engines
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
 
@@ -442,10 +444,18 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketing strategy as the range join at scale.
 # ---------------------------------------------------------------------------
 
+# The as-of pick tie-breaks on the VALUE among clicks sharing the max
+# timestamp (same-ts events exist in this data): both engines take the
+# lexicographic max of (ts, k, value) with k = COALESCE(value, -1e308)
+# — the NULL-free key field, because Spark sorts a NULL struct field
+# smallest while DuckDB sorts it largest, so a bare (ts, value) key
+# could diverge when a tied-ts click has NULL value. A (ts, k) tie
+# implies equal value, so the third field never decides alone.
 _ASOF_ORACLE = """
 SELECT e.event_id,
        epoch_us(MAX(c.ts)) AS last_click_us,
-       ROUND(arg_max(c.value, c.ts), 2) AS last_click_value
+       ROUND((MAX({'t': c.ts, 'k': COALESCE(c.value, -1e308), 'v': c.value})).v,
+             2) AS last_click_value
 FROM events e LEFT JOIN events c
   ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts < e.ts
 WHERE e.event_type = 'error'
@@ -472,7 +482,17 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(
             F.unix_micros(F.max("cts")).alias("last_click_us"),
-            F.round(F.max_by("cvalue", "cts"), 2).alias("last_click_value"),
+            F.round(
+                # deterministic under ts ties — see _ASOF_ORACLE
+                F.max_by(
+                    "cvalue",
+                    F.struct(
+                        F.col("cts").alias("t"),
+                        F.coalesce("cvalue", F.lit(-1e308)).alias("k"),
+                    ),
+                ),
+                2,
+            ).alias("last_click_value"),
         )
     )
 
@@ -1932,10 +1952,17 @@ def events_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("user_id"), F.col("e.count").alias("est"))
     )
+    # coalesce to FALSE: an exact-top user missing from the sketch
+    # list entirely (possible once cardinality > maxItemsTracked)
+    # must fail the flag honestly — a NULL here would surface as an
+    # opaque hash mismatch against the oracle's TRUE instead of a
+    # readable sketch_exact=false
     return exact_top.join(F.broadcast(approx), "user_id", "left").select(
         "user_id",
         "n_events",
-        (F.col("est") == F.col("n_events")).alias("sketch_exact"),
+        F.coalesce(F.col("est") == F.col("n_events"), F.lit(False)).alias(
+            "sketch_exact"
+        ),
     )
 
 

@@ -52,3 +52,23 @@ def test_arrow_and_codegen_scorers_agree(spark):
     arrow = all_queries()["sim-topk-arrow"](spark, TEST_SF_DIR).toPandas()
     codegen = sim_topk_bruteforce(spark, TEST_SF_DIR).toPandas()
     assert _norm(arrow) == _norm(codegen)
+
+
+def test_zero_norm_vector_ranks_last_in_both_scorers(spark):
+    # an all-zero embedding has no defined cosine: the codegen path's
+    # try_divide yields NULL; the Arrow scorer must yield NULL too —
+    # a NaN would sort ABOVE every real score and win rank 1
+    from dug_data_ingest_spark.ext.similarity import (
+        topk_arrow,
+        topk_bruteforce,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),  # corrupted row
+        (3, [0.6, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for fn in (topk_bruteforce, topk_arrow):
+        got = fn(emb, [1.0, 0.0], k=2).collect()
+        assert [r.vec_id for r in got] == [1, 3], (fn.__name__, got)
