@@ -28,6 +28,31 @@ def _read(spark: SparkSession, path: str, csv: bool, schema=None) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _read_csv_nested(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV read for a schema with ARRAY/MAP columns: the CSV
+    datasource refuses nested types, so those columns ride the file as
+    JSON strings and are from_json'd back to the declared types after
+    the read — the flat columns keep their declared types."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    nested = {
+        f.name: f.dataType
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    }
+    flat = T.StructType(
+        [
+            T.StructField(f.name, T.StringType()) if f.name in nested else f
+            for f in schema.fields
+        ]
+    )
+    df = _read(spark, path, True, flat)
+    for name, dtype in nested.items():
+        df = df.withColumn(name, F.from_json(name, dtype))
+    return df
+
+
 def run_bdc(spark: SparkSession, args) -> None:
     from dug_data_ingest_spark.plans.bdc import bdc_pipeline
     from dug_data_ingest_spark.plans.fixtures import GEN3_SCHEMA, PICSURE_SCHEMA
@@ -52,9 +77,19 @@ def run_heal(spark: SparkSession, args) -> None:
     from dug_data_ingest_spark.plans.heal import heal_pipeline
     from dug_data_ingest_spark.sources.files import write_csv, write_kgx
 
+    # CSV cannot carry the studies' MAP or the fields' ARRAY/MAP
+    # columns — in --csv mode those ride as JSON strings and are
+    # parsed back to the declared types after the read; the mapping
+    # schema is flat scalars and reads as declared
+    if args.csv:
+        studies = _read_csv_nested(spark, args.studies, HEAL_STUDIES_SCHEMA)
+        fields = _read_csv_nested(spark, args.fields, HEAL_FIELDS_SCHEMA)
+    else:
+        studies = _read(spark, args.studies, False)
+        fields = _read(spark, args.fields, False)
     out = heal_pipeline(
-        _read(spark, args.studies, False, HEAL_STUDIES_SCHEMA if args.csv else None),
-        _read(spark, args.fields, False, HEAL_FIELDS_SCHEMA if args.csv else None),
+        studies,
+        fields,
         _read(spark, args.mapping, args.csv, HDP_MAPPING_SCHEMA),
     )
     out["xml_docs"].write.mode("overwrite").parquet(f"{args.out}/dbgap_xml")

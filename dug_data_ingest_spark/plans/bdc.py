@@ -33,8 +33,6 @@ from dug_data_ingest_spark.operators.projections import (
 )
 from dug_data_ingest_spark.sources.xml_dbgap import render_data_tables
 
-# dbGaP accession → (accession, consent); scripts/bdc/get_bdc_studies_from_gen3.py:214-226
-ACCESSION_RE = r"^(phs.*?)(?:\.(c\d+))?$"
 PHS_ONLY_RE = r"^phs\d+"
 
 

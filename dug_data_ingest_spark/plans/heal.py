@@ -137,9 +137,16 @@ def heal_xml_docs(norm_fields: DataFrame) -> DataFrame:
     return render_data_tables(renderable)
 
 
-def kgx_graph(studies: DataFrame) -> tuple[DataFrame, DataFrame]:
+def kgx_graph(
+    studies: DataFrame, links: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """KGX nodes + edges from study docs — :515-580. Self-derived
-    (no shuffle): every study is a node; dd edges link study → dd."""
+    (no shuffle): every study is a node; dd edges link study → dd.
+    Pass the already-derived ``links`` frame (study_dd_links output)
+    when the caller has one — heal_pipeline computes it anyway, and a
+    second derivation here could silently drift from the first."""
+    if links is None:
+        links = study_dd_links(studies)
     nodes = studies.select(
         F.concat(F.lit("HEALDATAPLATFORM:"), F.col("hdp_id")).alias("id"),
         F.col("study_name").alias("name"),
@@ -147,7 +154,7 @@ def kgx_graph(studies: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("study_description").alias("description"),
         F.col("research_program").alias("program"),
     )
-    edges = study_dd_links(studies).filter(F.col("dd_id").isNotNull()).select(
+    edges = links.filter(F.col("dd_id").isNotNull()).select(
         F.concat(F.lit("HEALDATAPLATFORM:"), F.col("hdp_id")).alias("subject"),
         F.lit("biolink:related_to").alias("predicate"),
         F.col("dd_id").alias("object"),
@@ -178,7 +185,7 @@ def heal_pipeline(
         norm.select("dd_id").distinct(),
         "dd_id",
     )
-    nodes, edges = kgx_graph(studies)
+    nodes, edges = kgx_graph(studies, links)
     return {
         "links": links,
         "fields_normalized": norm,

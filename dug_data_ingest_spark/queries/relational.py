@@ -234,10 +234,18 @@ def proj_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "proj-coalesce-name",
+    # blankness is judged on the TRIMMED value but the RAW candidate is
+    # returned — the reference's get_study_name keeps the original
+    # string, and operators/projections.py::coalesce_name mirrors it;
+    # a NULLIF(TRIM(x),'') oracle would emit the trimmed value and
+    # silently diverge on any whitespace-padded name
     oracle="""
     SELECT c_custkey,
-           COALESCE(NULLIF(TRIM(NULLIF(c_mktsegment, 'BUILDING')), ''),
-                    NULLIF(TRIM(c_name), ''), '(no name)') AS display_name
+           COALESCE(
+             CASE WHEN TRIM(NULLIF(c_mktsegment, 'BUILDING')) <> ''
+                  THEN NULLIF(c_mktsegment, 'BUILDING') END,
+             CASE WHEN TRIM(c_name) <> '' THEN c_name END,
+             '(no name)') AS display_name
     FROM customer
     """,
 )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dug_data_ingest_spark.queries import load, query
+from dug_data_ingest_spark.queries import dec_money, load, query
 from dug_data_ingest_spark.sources import scratch_dir
 from dug_data_ingest_spark.sources.files import (
     read_csv,
@@ -672,7 +672,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain join. Plan shape pinned in
     tests/test_plan_shapes.py::test_bucketed_join_has_no_exchange.
     """
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
+    tag = _sf_tag(sf_dir)
     base = scratch_dir(f"bucketed-{tag}", fresh=False)
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -696,12 +696,23 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(
-                F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)")), 2
-            )
+            # dec_money: the ONE money-rendering convention (see
+            # queries/__init__.py) — an inline copy here is exactly
+            # the drift it exists to prevent
+            F.round(F.sum(dec_money("l_extendedprice")), 2)
             .cast("double")
             .alias("total_price"),
         )
+    )
+
+
+def _sf_tag(sf_dir: str) -> str:
+    """Filesystem-safe scratch/table tag for an sf_dir — ONE
+    definition so the bucketed-table and partitioned-events scratch
+    names can never drift apart (a one-sided change would silently
+    collide the other's names across sf_dirs)."""
+    return "".join(
+        c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1]
     )
 
 
@@ -727,7 +738,7 @@ def _events_partitioned(
     entirely). The sink query keeps memo=False: its subject IS the
     write. A fresh process always rewrites, so stale scratch never
     outlives testdata changes."""
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/").split("/")[-1])
+    tag = _sf_tag(sf_dir)
     path = scratch_dir(f"{name}-{tag}", fresh=False)
     if memo and path in _EVENTS_PARTITIONED_WRITTEN:
         return path

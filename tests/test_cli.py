@@ -49,6 +49,45 @@ def test_cli_heal_end_to_end(spark, tmp_path):
     assert nodes.count() == FX.heal_studies(spark).count()
 
 
+def test_cli_heal_csv_inputs(spark, tmp_path):
+    # --csv must apply to ALL THREE heal inputs: studies/fields were
+    # hardcoded to the parquet branch, so CSV inputs crashed on the
+    # missing parquet footer while mapping read fine. Nested (MAP and
+    # ARRAY) columns ride CSV as JSON strings, parsed after the read.
+    import pyspark.sql.functions as F
+
+    from dug_data_ingest_spark.cli import run_heal
+    from dug_data_ingest_spark.plans import fixtures as FX
+
+    studies_csv = FX.heal_studies(spark).withColumn(
+        "data_dictionaries", F.to_json("data_dictionaries")
+    )
+    fields_csv = (
+        FX.heal_fields(spark)
+        .withColumn("enum", F.to_json("enum"))
+        .withColumn("enumLabels", F.to_json("enumLabels"))
+    )
+    paths = {}
+    for name, df in [
+        ("studies", studies_csv),
+        ("fields", fields_csv),
+        ("mapping", FX.hdp_mapping(spark)),
+    ]:
+        p = str(tmp_path / name)
+        df.write.option("header", True).mode("overwrite").csv(p)
+        paths[name] = p
+
+    class A:
+        studies, fields, mapping = (
+            paths["studies"], paths["fields"], paths["mapping"],
+        )
+        out, csv = str(tmp_path / "out"), True
+
+    run_heal(spark, A)
+    vi = spark.read.option("header", True).csv(f"{A.out}/variable_index")
+    assert vi.count() == FX.heal_fields(spark).count()
+
+
 def test_cli_dedup_exact_and_jaccard(spark, tmp_path):
     from dug_data_ingest_spark.cli import run_dedup
     from tests.conftest import TEST_SF_DIR

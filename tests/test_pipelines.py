@@ -196,3 +196,41 @@ def test_summarize_null_var_count_uses_fallback_details(spark):
     got = {r.study_id: (r.status, r.details) for r in summarize(studies, variables).collect()}
     assert got["phs000001"] == ("SUCCESS", "1 variables rendered")
     assert got["phs000002"] == ("FAILED", "no PicSure variables for study")
+
+
+def test_coalesce_name_returns_raw_candidate_like_oracle(spark):
+    # blankness is judged trimmed, the RAW candidate is returned (the
+    # reference's get_study_name behavior) — and the registered oracle
+    # must agree on whitespace-padded names, not emit the trimmed form
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from dug_data_ingest_spark.operators import projections as prj
+    from dug_data_ingest_spark.queries import ORACLES, _register_all
+
+    _register_all()
+    rows = [
+        (1, "BUILDING", " padded name "),   # falls through to c_name, raw
+        (2, "  ", "fallback"),              # blank-after-trim candidate
+        (3, " seg ", "unused"),             # padded first candidate, raw
+        (4, None, None),                    # default
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_name string"
+    )
+    sp = {
+        r.c_custkey: r.display_name
+        for r in df.select(
+            "c_custkey",
+            prj.coalesce_name(
+                F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                F.col("c_name"),
+            ).alias("display_name"),
+        ).collect()
+    }
+    assert sp == {1: " padded name ", 2: "fallback", 3: " seg ", 4: "(no name)"}
+    con = duckdb.connect()
+    con.register("customer_df", df.toPandas())
+    con.execute("CREATE VIEW customer AS SELECT * FROM customer_df")
+    du = {r[0]: r[1] for r in con.sql(ORACLES["proj-coalesce-name"]).fetchall()}
+    assert du == sp
