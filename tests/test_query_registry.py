@@ -90,14 +90,27 @@ def test_deferred_new_slugs_wait_behind_regrades_then_lead(tmp_path, monkeypatch
     assert order[0] == "d"  # marker expired: ordinary never-graded lead
 
 
-def test_round8_projection_on_real_registry(tmp_path, monkeypatch):
-    # Project the NEXT round against the real registry and the real
-    # on-disk correctness history: simulate the driver grading this
-    # round's 50-slot window all-green, then assert the two round-7
-    # registrations (deferred via marker 7) lead the following window.
-    # Catches a defer-marker mistake BEFORE it costs a real round.
+# Max round the projection assertions below were written against. The
+# test copies ONLY history <= this round, so a driver dropping a newer
+# CORRECTNESS file into the repo root mid-round (as happened after the
+# round-7 close) cannot flip the fixture's assumptions. Bump it (and
+# re-derive the assertions) when retiring markers for an old round.
+_SNAPSHOT_MAX_ROUND = 7
+
+
+def test_window_projection_on_real_registry(tmp_path, monkeypatch):
+    # Project the next two driver windows against the real registry and
+    # a PINNED snapshot of the on-disk correctness history: with rounds
+    # <= _SNAPSHOT_MAX_ROUND graded, the registrations deferred TO that
+    # round must lead the next window, later-deferred ones must wait
+    # outside it, and after simulating that window all-green the
+    # later-deferred ones take the lead. Assertions are derived from
+    # the _DEFER_NEW_UNTIL_ROUND marker constants, so registering a new
+    # deferred slug updates the expectation automatically. Catches a
+    # defer-marker mistake BEFORE it costs a real round.
     import glob
     import os
+    import re
     import shutil
 
     from dug_data_ingest_spark.queries import all_queries
@@ -108,28 +121,38 @@ def test_round8_projection_on_real_registry(tmp_path, monkeypatch):
         os.path.dirname(os.path.dirname(os.path.abspath(Q.__file__)))
     )
     real_files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-    assert real_files, repo  # guard against a wrong repo-root guess
-    for f in real_files:
+    pinned = [
+        f
+        for f in real_files
+        if int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        <= _SNAPSHOT_MAX_ROUND
+    ]
+    assert pinned, repo  # guard against a wrong repo-root guess
+    for f in pinned:
         shutil.copy(f, tmp_path)
     real = Q._driver_rows
     monkeypatch.setattr(
         Q, "_driver_rows", lambda root=None: real(root=str(tmp_path))
     )
     _latest, mx = real(root=str(tmp_path))
+    # the snapshot round itself must have landed (else bump the pin)
+    assert mx == _SNAPSHOT_MAX_ROUND
+
+    lead = {
+        s for s, r in Q._DEFER_NEW_UNTIL_ROUND.items() if r == _SNAPSHOT_MAX_ROUND
+    }
+    waiting = {
+        s for s, r in Q._DEFER_NEW_UNTIL_ROUND.items() if r > _SNAPSHOT_MAX_ROUND
+    }
     this_window = Q._prioritized(slugs)[:50]
-    assert "snk-delta-sync" not in this_window
-    assert "src-ftp-walk" not in this_window
-    assert "dedup-substring" not in this_window
+    # the snapshot-round registrations (markers just expired) lead...
+    assert set(this_window[: len(lead)]) == lead
+    # ...and later-deferred registrations wait outside the window
+    assert not (waiting & set(this_window))
 
     _write(tmp_path, mx + 1, {s: GOOD for s in this_window})
     next_window = Q._prioritized(slugs)[:50]
-    assert set(next_window[:3]) == {
-        "snk-delta-sync",
-        "src-ftp-walk",
-        "dedup-substring",
-    }
-    # the stale-r5 pack-sequences (its oracle went NULL-faithful in
-    # the r7 fourth window) is queued by ordinary staleness rotation
-    assert "pipeline-pack-sequences" in next_window
+    # marker expiry: the waiting registrations become never-graded leads
+    assert set(next_window[: len(waiting)]) == waiting
     # and nothing freshly graded re-enters the very next window
     assert not (set(next_window) & set(this_window))
