@@ -353,12 +353,59 @@ def _partition_dir(data_path: str, key_col: str, key: str) -> str:
     return os.path.join(data_path, f"{key_col}={_checked_key(key)}")
 
 
+# Above this many sync keys the driver no longer holds the manifest:
+# delta_sync_write escalates from the in-memory rclone-style diff to
+# the diff_manifests DataFrame plan and collects ONLY the non-keep
+# actions (churn-bounded, not cardinality-bounded). 1 Mi keys ≈ 64 MiB
+# of manifest rows — comfortably driver-resident below, and a store
+# with more objects than that has no business round-tripping its whole
+# file list through the driver on every sync.
+_DRIVER_DIFF_MAX_KEYS = 1 << 20
+
+# Largest changed-key set staged through a literal IN-filter; larger
+# churn semi-joins against a keys relation instead (an IN with
+# millions of terms bloats the plan tree itself).
+_ISIN_MAX_KEYS = 10_000
+
+
+def _validate_keys_distributed(curr_mf: DataFrame) -> None:
+    """The escalated twin of the per-row ``_checked_key`` loop: find
+    any NULL / unsafe sync key WITHOUT collecting the manifest, and
+    raise the same descriptive ValueError on the first offender."""
+    bad = (
+        curr_mf.filter(
+            F.col("sync_key").isNull()
+            | ~F.col("sync_key").rlike(r"^[A-Za-z0-9._-]+$")
+        )
+        .select("sync_key")
+        .take(1)
+    )
+    if bad:
+        _checked_key(bad[0].sync_key)
+
+
+def _write_manifest_df(curr_mf: DataFrame, manifest_path: str) -> None:
+    """Escalated twin of ``_write_manifest_rows``: the manifest frame
+    (already localCheckpoint-materialized, so this re-reads checkpoint
+    blocks, never the source data) is written by Spark into a sibling
+    temp dir and swapped in — same torn-write envelope as the driver
+    path (old manifest or none, never half)."""
+    tmp = manifest_path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    curr_mf.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(manifest_path):
+        shutil.rmtree(manifest_path)
+    os.rename(tmp, manifest_path)
+
+
 def delta_sync_write(
     df: DataFrame,
     path: str,
     key_col: str,
     content_cols: list,
     commit_hook=None,
+    driver_diff_max_keys: int = _DRIVER_DIFF_MAX_KEYS,
 ) -> tuple[dict, list]:
     """Sync ``df`` into ``path`` keyed by ``key_col``, touching only
     what changed. Returns ``(stats, actions)`` where stats counts each
@@ -379,39 +426,76 @@ def delta_sync_write(
     applied sync.
 
     ``df`` is scanned exactly twice: once to fingerprint (the
-    "checksum everything" pass rclone also pays) and once to write
-    the changed partitions — the only Spark jobs in a sync. The
-    current manifest is COLLECTED from the fingerprint pass
-    (key-cardinality bounded, same as the action plan); the diff runs
-    driver-side on that in-memory list, and the stored manifest is
-    written back from those collected rows — never recomputed from
-    ``df`` — so the manifest on disk always records exactly the
-    fingerprints the diff saw, even if ``df`` is non-deterministic or
-    its source changed mid-sync.
+    "checksum everything" pass rclone also pays — materialized via an
+    eager localCheckpoint, so every later use of the manifest reads
+    checkpoint blocks, never the source) and once to write the changed
+    partitions — the only data-sized Spark jobs in a sync.
+
+    The diff itself is size-gated on key cardinality. At or below
+    ``driver_diff_max_keys`` keys the manifest is COLLECTED and the
+    diff runs driver-side on the in-memory list (the rclone file-list
+    model — cheapest by far at the reference's 12-repo fan-out, zero
+    shuffles). Above it — a store whose file list no longer belongs in
+    driver memory — the diff escalates to the ``diff_manifests``
+    DataFrame plan and collects ONLY the non-keep actions, so driver
+    memory is bounded by CHURN, not store size. Both paths are pinned
+    to the same reference model in tests/test_delta_sync_properties.py
+    and apply identically; the escalated action plan simply omits the
+    ``keep`` rows (``stats["keep"]`` still counts them). Either way
+    the stored manifest is written back from the checkpointed
+    fingerprint pass — never recomputed from ``df`` — so the manifest
+    on disk always records exactly the fingerprints the diff saw,
+    even if ``df`` is non-deterministic or its source changed
+    mid-sync.
     """
     data_path = os.path.join(path, "data")
     manifest_path = os.path.join(path, "_sync_manifest")
 
-    curr_rows = build_manifest(df, key_col, content_cols).collect()
-    for r in curr_rows:
-        if r.sync_key is None:
-            _checked_key(None)  # descriptive ValueError
-    if os.path.exists(manifest_path):
-        prev_rows = _read_manifest_rows(manifest_path)
-    else:
-        prev_rows = []
+    curr_mf = build_manifest(df, key_col, content_cols).localCheckpoint(
+        eager=True
+    )
+    n_curr = curr_mf.count()  # checkpoint-sized job, not a data scan
+    escalate = n_curr > driver_diff_max_keys
 
-    actions = diff_manifest_rows(prev_rows, curr_rows)
-    # validate EVERY key before any mutation: a partial apply that
+    if not escalate:
+        curr_rows = curr_mf.collect()
+        for r in curr_rows:
+            if r.sync_key is None:
+                _checked_key(None)  # descriptive ValueError
+        if os.path.exists(manifest_path):
+            prev_rows = _read_manifest_rows(manifest_path)
+        else:
+            prev_rows = []
+        actions = diff_manifest_rows(prev_rows, curr_rows)
+        stats = {"upload": 0, "delete": 0, "rename": 0, "keep": 0}
+        for row in actions:
+            stats[row.action] += 1
+    else:
+        _validate_keys_distributed(curr_mf)
+        spark = df.sparkSession
+        if os.path.exists(manifest_path):
+            prev_mf = spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
+        else:
+            prev_mf = spark.createDataFrame([], MANIFEST_SCHEMA)
+        actions = [
+            Action(r.sync_key, r.action, r.rename_to, r.n_rows)
+            for r in diff_manifests(prev_mf, curr_mf)
+            .filter(F.col("action") != "keep")
+            .collect()
+        ]
+        stats = {"upload": 0, "delete": 0, "rename": 0, "keep": 0}
+        for row in actions:
+            stats[row.action] += 1
+        # current keys = keeps + uploads + rename targets, so the keep
+        # count needs no extra Spark job (and no collected keep rows)
+        stats["keep"] = n_curr - stats["upload"] - stats["rename"]
+    # validate EVERY plan key before any mutation: a partial apply that
     # stops at the first bad key would leave store and manifest
     # disagreeing
     for row in actions:
         _checked_key(row.sync_key)
         if row.rename_to is not None:
             _checked_key(row.rename_to)
-    stats = {"upload": 0, "delete": 0, "rename": 0, "keep": 0}
-    for row in actions:
-        stats[row.action] += 1
     stats["empty"] = stats["upload"] + stats["delete"] + stats["rename"] == 0
     if stats["empty"]:
         return stats, actions
@@ -450,13 +534,29 @@ def delta_sync_write(
         # repartition bounds it at one file per partition dir (cap a
         # hot key's file size with spark.sql.files.maxRecordsPerFile).
         staged = df
-        if len(to_write) < len(actions):
-            staged = staged.filter(
-                F.col(key_col).cast("string").isin(to_write)
-            )
-        # else: every key uploads (e.g. the initial publish into an
-        # empty store) — the membership filter would pass all rows,
-        # so skip evaluating it
+        if len(to_write) < n_curr:
+            if len(to_write) <= _ISIN_MAX_KEYS:
+                staged = staged.filter(
+                    F.col(key_col).cast("string").isin(to_write)
+                )
+            else:
+                # a churn set too big for an IN-literal becomes a semi
+                # join: the key list ships as a real (broadcastable)
+                # relation instead of a million-term predicate the
+                # optimizer would choke parsing
+                keys_df = df.sparkSession.createDataFrame(
+                    [(k,) for k in to_write], "__sync_key string"
+                )
+                staged = (
+                    staged.withColumn(
+                        "__sync_key", F.col(key_col).cast("string")
+                    )
+                    .join(keys_df, "__sync_key", "left_semi")
+                    .drop("__sync_key")
+                )
+        # else: every current key uploads (e.g. the initial publish
+        # into an empty store) — the membership filter would pass all
+        # rows, so skip evaluating it
         (
             staged.repartition(F.col(key_col))
             .write.mode("overwrite")
@@ -465,7 +565,10 @@ def delta_sync_write(
             .parquet(data_path)
         )
 
-    _write_manifest_rows(curr_rows, manifest_path)
+    if escalate:
+        _write_manifest_df(curr_mf, manifest_path)
+    else:
+        _write_manifest_rows(curr_rows, manifest_path)
     if commit_hook is not None:
         commit_hook(path, stats)
     return stats, actions

@@ -243,15 +243,21 @@ _gen = st.dictionaries(
 )
 
 
+# gate=None exercises the driver-side rclone-list diff; gate=0 forces
+# every sync through the escalated diff_manifests path — both pinned
+# to the same "store ends exactly at generation 2" model
+@pytest.mark.parametrize("gate", [None, 0])
 @settings(
-    max_examples=12,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(gen1=_gen, gen2=_gen)
-def test_store_equals_generation_two_after_any_sync(spark, gen1, gen2):
+def test_store_equals_generation_two_after_any_sync(spark, gate, gen1, gen2):
     import shutil
     import tempfile
+
+    kw = {} if gate is None else {"driver_diff_max_keys": gate}
 
     def _df(gen):
         rows = [(k, v) for k, vs in gen.items() for v in vs]
@@ -259,14 +265,14 @@ def test_store_equals_generation_two_after_any_sync(spark, gen1, gen2):
 
     path = tempfile.mkdtemp(prefix="delta-sync-prop-")
     try:
-        delta_sync_write(_df(gen1), path, "k", ["v"])
-        stats, _ = delta_sync_write(_df(gen2), path, "k", ["v"])
+        delta_sync_write(_df(gen1), path, "k", ["v"], **kw)
+        stats, _ = delta_sync_write(_df(gen2), path, "k", ["v"], **kw)
         back = spark.read.parquet(os.path.join(path, "data"))
         got = sorted((r.k, r.v) for r in back.collect())
         want = sorted((k, v) for k, vs in gen2.items() for v in vs)
         assert got == want
         # and a third pass is a no-op
-        stats3, _ = delta_sync_write(_df(gen2), path, "k", ["v"])
+        stats3, _ = delta_sync_write(_df(gen2), path, "k", ["v"], **kw)
         assert stats3["empty"]
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -338,3 +344,102 @@ def test_manifest_is_order_insensitive(spark):
     m1 = build_manifest(df, "k", CONTENT)
     m2 = build_manifest(df.repartition(7).sortWithinPartitions("o_custkey"), "k", CONTENT)
     assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Size-gated escalation: above driver_diff_max_keys the diff runs as
+# the diff_manifests DataFrame plan (churn-bounded collect) instead of
+# the in-memory rclone file-list model. Forcing the gate to 0 pins the
+# escalated path to the driver path on identical generations: same
+# stats, same applied store, same stored manifest, and an action plan
+# that is exactly the driver plan minus its keep rows.
+# ---------------------------------------------------------------------------
+
+
+def test_escalated_diff_matches_driver_path(spark, commits, monkeypatch):
+    from dug_data_ingest_spark.sources import delta_sync as ds
+
+    # force the semi-join staging branch too (churn > _ISIN_MAX_KEYS)
+    monkeypatch.setattr(ds, "_ISIN_MAX_KEYS", 0)
+    calls, hook = commits
+    gen1 = _orders(spark)
+    target = gen1.select(F.min("k")).collect()[0][0]
+    moved = gen1.select(F.max("k")).collect()[0][0]
+    dropped = gen1.select("k").distinct().orderBy("k").collect()[1][0]
+    gen2 = (
+        gen1.filter(F.col("k") != dropped)  # delete
+        .withColumn(
+            "o_orderstatus",  # change one key
+            F.when(F.col("k") == target, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "k",  # move one key's identical bytes -> rename
+            F.when(F.col("k") == moved, F.lit("archive-key")).otherwise(
+                F.col("k")
+            ),
+        )
+    )
+
+    drv = scratch_dir("test-delta-sync-gate-driver")
+    esc = scratch_dir("test-delta-sync-gate-escalated")
+    delta_sync_write(gen1, drv, "k", CONTENT)
+    delta_sync_write(gen1, esc, "k", CONTENT, driver_diff_max_keys=0)
+    d_stats, d_actions = delta_sync_write(gen2, drv, "k", CONTENT, commit_hook=hook)
+    e_stats, e_actions = delta_sync_write(
+        gen2, esc, "k", CONTENT, commit_hook=hook, driver_diff_max_keys=0
+    )
+
+    # every action type exercised, both paths agree on the counts
+    assert d_stats["upload"] >= 1 and d_stats["delete"] >= 1
+    assert d_stats["rename"] == 1 and d_stats["keep"] >= 1
+    assert e_stats == d_stats
+    # escalated plan = driver plan minus the keep rows
+    want = sorted(tuple(a) for a in d_actions if a.action != "keep")
+    assert sorted(tuple(a) for a in e_actions) == want
+    # both stores converged to generation 2
+    d_back = spark.read.parquet(os.path.join(drv, "data"))
+    e_back = spark.read.parquet(os.path.join(esc, "data"))
+    assert sorted(map(tuple, d_back.collect())) == sorted(
+        map(tuple, e_back.collect())
+    )
+    # and the Spark-written manifest reads back identical to pyarrow's
+    from dug_data_ingest_spark.sources.delta_sync import _read_manifest_rows
+
+    d_mf = sorted(_read_manifest_rows(os.path.join(drv, "_sync_manifest")))
+    e_mf = sorted(_read_manifest_rows(os.path.join(esc, "_sync_manifest")))
+    assert d_mf == e_mf
+    assert len(calls) == 2  # both second syncs published
+
+    # unchanged escalated re-run: empty stats, keep-only (so no
+    # actions at all), zero objects touched, no version published
+    before = _file_states(esc)
+    stats3, actions3 = delta_sync_write(
+        gen2, esc, "k", CONTENT, commit_hook=hook, driver_diff_max_keys=0
+    )
+    assert stats3["empty"] and actions3 == []
+    assert stats3["keep"] == len(e_mf)
+    assert _file_states(esc) == before
+    assert len(calls) == 2
+
+
+def test_escalated_bad_key_fails_loudly_before_any_mutation(spark, commits):
+    calls, hook = commits
+    path = scratch_dir("test-delta-sync-gate-badkey")
+    bad = _orders(spark).withColumn(
+        "k", F.concat(F.col("k"), F.lit(" bad/key"))
+    )
+    with pytest.raises(ValueError, match="delta-sync key"):
+        delta_sync_write(
+            bad, path, "k", CONTENT, commit_hook=hook, driver_diff_max_keys=0
+        )
+    nullk = _orders(spark).withColumn(
+        "k", F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("k"))
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        delta_sync_write(
+            nullk, path, "k", CONTENT, commit_hook=hook, driver_diff_max_keys=0
+        )
+    assert calls == []
+    assert not os.path.exists(os.path.join(path, "data"))
