@@ -175,6 +175,10 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     # sim-topk-bruteforce retirement (identical-oracle duplicate of
     # sim-topk-arrow) so N stays 200
     "dedup-substring": 7,
+    # round-8 registration, paired with the join-edge-gen retirement
+    # (identical oracle to snk-json-kgx): waits out round 8 so the
+    # promised 3 + 47 regrade window stays intact, leads round 9
+    "dedup-strip-spans": 8,
 }
 
 
@@ -342,6 +346,8 @@ _EST_COST = {
     # the default 0.5; dedup-substring ordinal-sorted after them
     # (~2.1 s warmed at sf0.01 — heaviest of the three either way)
     "dedup-substring": 18.0,
+    # round-8 registration (deferred to round 9 via marker)
+    "dedup-strip-spans": 19.0,
 }
 
 

@@ -1176,3 +1176,84 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dug_data_ingest_spark.ext.dedup import duplicated_span_stats
 
     return duplicated_span_stats(load(spark, sf_dir, "documents"), k=8)
+
+
+# Acts on what dedup-substring reports: rebuild the corpus with every
+# non-canonical duplicated 8-token window removed, canonical-site
+# tokens protected (the removal half of Lee et al. 2022 span dedup —
+# see ext/dedup.py::strip_duplicated_spans for the plan/skew shape,
+# which is the same count-then-join as the stats query plus two
+# per-doc run collects and one HOF token filter, still no pairwise
+# join). The oracle replays the whole contract: same window
+# fingerprints, canonical = corpus-wide first occurrence by
+# (doc_id, pos) of each duplicated fingerprint, gaps-and-islands runs
+# for removal and protection, and the token-interval keep rule
+# (kept iff not removal-covered or canonical-covered, a run [p0,p1]
+# covering tokens p0..p1+k-1). Registered round 8 paired with the
+# join-edge-gen retirement (identical oracle to snk-json-kgx), so
+# N stays 200. Short/NULL docs pass through as normalized text —
+# the toks LEFT JOIN keeps every input doc in the output.
+_STRIP_SPANS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS fp
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+  WHERE len(w) >= 8
+),
+tagged AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY fp) AS n_fp,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk
+  FROM wins
+),
+rem AS (
+  SELECT doc_id, MIN(pos) AS p0, MAX(pos) AS p1
+  FROM (SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM tagged WHERE n_fp > 1 AND rk > 1) nc
+  GROUP BY doc_id, isl
+),
+keeps AS (
+  SELECT doc_id, MIN(pos) AS p0, MAX(pos) AS p1
+  FROM (SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM tagged WHERE n_fp > 1 AND rk = 1) cc
+  GROUP BY doc_id, isl
+),
+tok AS (
+  SELECT doc_id, i, w[i] AS tk
+  FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)
+),
+cov_rem AS (
+  SELECT DISTINCT t.doc_id, t.i
+  FROM tok t JOIN rem r ON r.doc_id = t.doc_id AND t.i BETWEEN r.p0 AND r.p1 + 7
+),
+cov_keep AS (
+  SELECT DISTINCT t.doc_id, t.i
+  FROM tok t JOIN keeps s ON s.doc_id = t.doc_id AND t.i BETWEEN s.p0 AND s.p1 + 7
+),
+agg AS (
+  SELECT t.doc_id,
+         string_agg(t.tk, ' ' ORDER BY t.i)
+           FILTER (WHERE cr.i IS NULL OR ck.i IS NOT NULL) AS ct
+  FROM tok t
+  LEFT JOIN cov_rem cr ON cr.doc_id = t.doc_id AND cr.i = t.i
+  LEFT JOIN cov_keep ck ON ck.doc_id = t.doc_id AND ck.i = t.i
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.w IS NULL THEN NULL ELSE COALESCE(agg.ct, '') END AS clean_text
+FROM toks d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
+@query("dedup-strip-spans", oracle=_STRIP_SPANS_ORACLE)
+def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.dedup import strip_duplicated_spans
+
+    return strip_duplicated_spans(load(spark, sf_dir, "documents"), k=8)

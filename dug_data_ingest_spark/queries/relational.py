@@ -456,15 +456,21 @@ def join_study_dd_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("c_custkey", "label", "dd_id", "o_orderstatus")
 
 
-@query(
-    "join-edge-gen",
-    oracle="""
+# Retired from the registry in round 8: it graded the IDENTICAL
+# oracle as snk-json-kgx (which derives the same edges AND round-trips
+# them through the KGX sink — one registry slot per logical query,
+# the sim-topk-bruteforce precedent). The edge_gen operator and this
+# query stay library surface with their own oracle parity in
+# tests/test_edge_gen_baseline.py; the freed slot registered
+# dedup-strip-spans (queries/extensions.py), holding N = 200.
+_RETIRED_EDGE_GEN_ORACLE = """
     SELECT 'CUST:' || CAST(o_custkey AS VARCHAR) AS subject,
            'biolink:related_to' AS predicate,
            'ORD:' || CAST(o_orderkey AS VARCHAR) AS object
     FROM orders
-    """,
-)
+"""
+
+
 def join_edge_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         F.concat(F.lit("CUST:"), F.col("o_custkey").cast("string")).alias("subj"),

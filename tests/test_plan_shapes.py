@@ -855,3 +855,23 @@ def test_substring_dedup_plan_shape(queries, spark):
     # partitioning satisfies all of them
     assert plan.rindex("Window") < plan.index("Exchange"), plan
     assert plan.count("Exchange hashpartitioning(fp") == 1, plan
+
+
+def test_strip_spans_plan_shape(queries, spark):
+    # the removal half of span dedup: same count-then-join skeleton as
+    # dedup-substring (no pairwise stage), plus the base token pass —
+    # 3 scans total, all pruned (scan_audit KNOWN). The removal and
+    # canonical-protect run branches are structurally identical up to
+    # their filter, so the finalized plan must REUSE their exchanges
+    # instead of deriving the tagged window stream twice more.
+    df = queries["dedup-strip-spans"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("FileScan") <= 3, plan
+    assert plan.count("ReusedExchange") >= 2, plan
+    # the two gaps-and-islands windows (removal + protect), both
+    # doc-partitioned — never a global window
+    assert plan.count("Window") == 2, plan
+    assert "SinglePartition" not in plan.split("Window")[1], plan

@@ -32,6 +32,14 @@ KNOWN = {
     "pipeline-incremental-dedup", "sim-ivf-recall", "sim-kmeans-cells",
     "sim-lsh-recall", "sim-lsh-recall-banded", "src-ftp-files",
     "text-decontaminate",
+    # r8: 3 scans of documents = the two accepted wins derivations of
+    # the count-then-join span design (dedup-substring's "derived
+    # twice, by design" — keeps hot-fp skew probe-side) + the base
+    # token pass that rebuilds clean_text; the duplicated run/protect
+    # branches DO reuse (2 ReusedExchange in the final plan), and a
+    # pruned columnar re-scan beats materializing a corpus-sized
+    # shuffle to share it. Plan-pinned in test_plan_shapes.py.
+    "dedup-strip-spans",
 }
 
 
