@@ -97,10 +97,24 @@ def quality_score(text: Column) -> Column:
 
 def normalized_words(text: Column) -> Column:
     """lowercase, strip non-alphanumerics, split — the canonical token
-    stream used by fingerprinting and shingling."""
+    stream used by fingerprinting and shingling.
+
+    ``NORMALIZED_WORDS_SQL`` below is this expression's DuckDB twin;
+    change them TOGETHER or every text oracle desyncs from the engine.
+    """
     return F.split(
         F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")), r" +"
     )
+
+
+# The ONE SQL normalization fragment every text oracle in the repo
+# builds on (queries/extensions.py, queries/curation.py import it from
+# here — a neutral home, so neither query module depends on the
+# other's private names or registration side effects). Must stay the
+# exact DuckDB twin of normalized_words above.
+NORMALIZED_WORDS_SQL = (
+    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +')"
+)
 
 
 def fingerprint(text: Column) -> Column:

@@ -32,7 +32,9 @@ from dug_data_ingest_spark.queries import load, query
 # canonical copy (functions/text.py::normalized_words's SQL twin)
 # instead of re-declaring it — a future normalization change must not
 # be able to desync the ~10 curation oracles from the Spark side.
-from dug_data_ingest_spark.queries.extensions import _WORDS  # noqa: E402
+from dug_data_ingest_spark.functions.text import (  # noqa: E402
+    NORMALIZED_WORDS_SQL as _WORDS,
+)
 
 # k=5 shingles (the decontamination width; extensions._SHINGLES_CTE is k=3).
 _SHINGLES5_CTE = f"""

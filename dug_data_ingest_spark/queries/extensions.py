@@ -48,10 +48,9 @@ from dug_data_ingest_spark.functions import text as TXT
 from dug_data_ingest_spark.queries import load, query
 
 # Shared SQL fragments so every oracle normalizes text exactly like
-# functions/text.py::normalized_words.
-_WORDS = (
-    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +')"
-)
+# functions/text.py::normalized_words (the canonical fragment lives
+# there, next to its Spark twin).
+_WORDS = TXT.NORMALIZED_WORDS_SQL
 _SHINGLES_CTE = f"""
 words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
 sh AS (

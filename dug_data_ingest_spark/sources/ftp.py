@@ -142,34 +142,37 @@ class FtpWalker:
         self._conn().retrbinary(f"RETR {name}", chunks.append)
         return b"".join(chunks)
 
+    def _with_reconnect(self, op, dir_path: str):
+        """Run ``op()`` with the cwd treatment: a session-timeout-shaped
+        failure (error_temp/EOFError) gets reconnect + re-cwd + retry,
+        up to ``max_reconnects`` times — the SAME budget semantic as
+        cwd(), so every operation in a fetch interprets the knob
+        identically. Permanent failures (error_perm) and plain socket
+        errors propagate immediately."""
+        reconnects = 0
+        while True:
+            try:
+                return op()
+            except _RECONNECTABLE:
+                if reconnects >= self.max_reconnects:
+                    raise
+                reconnects += 1
+                self._reconnect()
+                self.cwd(dir_path)
+
     def _nlst_with_reconnect(self, dir_path: str) -> list[str]:
         """NLST with the cwd treatment: the listing sits between cwd
         and the transfers, so a session timeout landing exactly there
         (e.g. the previous directory's downloads aged the session out)
-        gets one reconnect + re-cwd + retry instead of killing the
+        gets bounded reconnect + re-cwd + retry instead of killing the
         whole fetch task."""
-        try:
-            return self._conn().nlst(".")
-        except _RECONNECTABLE:
-            if self.max_reconnects < 1:
-                raise
-            self._reconnect()
-            self.cwd(dir_path)
-            return self._conn().nlst(".")
+        return self._with_reconnect(lambda: self._conn().nlst("."), dir_path)
 
     def _retr_with_reconnect(self, name: str, dir_path: str) -> bytes:
-        """retrbinary with the cwd treatment: a session-timeout-shaped
-        failure gets one reconnect + re-cwd + retry before the caller
-        decides on fallback. Permanent failures (error_perm) and plain
-        socket errors propagate immediately."""
-        try:
-            return self._retr(name)
-        except _RECONNECTABLE:
-            if self.max_reconnects < 1:
-                raise
-            self._reconnect()
-            self.cwd(dir_path)
-            return self._retr(name)
+        """retrbinary with the cwd treatment, bounded like cwd(); a
+        transfer that still fails is the caller's cue for the mirror
+        fallback."""
+        return self._with_reconnect(lambda: self._retr(name), dir_path)
 
     def fetch_dir(
         self,

@@ -232,3 +232,67 @@ def test_tree_fetcher_uses_one_connection_per_batch():
     out = fetch(pd.DataFrame({"s_suppkey": list(names)}))
     assert len(out) == len(names)
     assert len(connects) == 1, connects
+
+
+def test_reconnect_budget_means_the_same_for_every_operation():
+    # max_reconnects=2 must survive TWO consecutive timeouts on the
+    # SAME operation — nlst and retrbinary included, not just cwd.
+    # (The pre-round-8 helpers treated the budget as a boolean: one
+    # retry regardless of the knob, so a second consecutive NLST 421
+    # killed the fetch while a second cwd 421 did not.)
+    from ftplib import error_temp
+
+    from dug_data_ingest_spark.sources.ftp import FtpWalker
+
+    class FlakyTwice:
+        def __init__(self):
+            self.nlst_fails = 2
+            self.retr_fails = 2
+
+        def connect(self, host, timeout=None):
+            pass
+
+        def __call__(self, host, timeout=None):
+            return self
+
+        def login(self):
+            pass
+
+        def set_pasv(self, flag):
+            pass
+
+        def sendcmd(self, cmd):
+            return "200"
+
+        def cwd(self, d):
+            pass
+
+        def nlst(self, d):
+            if self.nlst_fails:
+                self.nlst_fails -= 1
+                raise error_temp("421 session timed out")
+            return ["data_dict.xml"]
+
+        def retrbinary(self, cmd, cb):
+            if self.retr_fails:
+                self.retr_fails -= 1
+                raise error_temp("421 session timed out")
+            cb(b"payload")
+
+        def quit(self):
+            pass
+
+    shared = FlakyTwice()
+    walker = FtpWalker(
+        "ftp.example.test", ftp_factory=shared, max_reconnects=2
+    )
+    files = walker.fetch_dir("/studies/x", "data_dict")
+    assert [f["content"] for f in files] == [b"payload"]
+
+    # and a budget of 1 still dies on the second consecutive timeout
+    shared2 = FlakyTwice()
+    walker2 = FtpWalker(
+        "ftp.example.test", ftp_factory=shared2, max_reconnects=1
+    )
+    with pytest.raises(error_temp):
+        walker2.fetch_dir("/studies/x", "data_dict")

@@ -96,8 +96,14 @@ def test_null_source_group_packs_on_both_sides(spark):
     con = duckdb.connect()
     con.register("documents_df", docs.toPandas())
     con.execute("CREATE VIEW documents AS SELECT * FROM documents_df")
-    # the registered oracle uses cap 256; shrink it for this corpus
-    sql = ORACLES["pipeline-pack-sequences"].replace("256", "4")
+    # the registered oracle uses cap 256; shrink it for this corpus.
+    # Guard the surgery: exactly the two known cap literals (the
+    # running-total comparison and the chunk-width divisor) may match —
+    # if the oracle's cap changes or another '256' ever appears, fail
+    # here instead of silently rewriting the wrong thing.
+    sql = ORACLES["pipeline-pack-sequences"]
+    assert sql.count("256") == 2, sql
+    sql = sql.replace("256", "4")
     du = {
         (r[0], r[1]): r[3] for r in con.sql(sql).fetchall()
     }
