@@ -1132,10 +1132,10 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # overlap when the window gap < k; union = sum of run coverage minus
 # the adjacent overlaps (mirrors ext/dedup.py::duplicated_span_stats).
 # No inline `--` comments: query() flattens the SQL to one line.
-_SUBSTRING_ORACLE = """
+_SUBSTRING_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS w
+         {_WORDS} AS w
   FROM documents
 ),
 wins AS (
@@ -1192,10 +1192,10 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join-edge-gen retirement (identical oracle to snk-json-kgx), so
 # N stays 200. Short/NULL docs pass through as normalized text —
 # the toks LEFT JOIN keeps every input doc in the output.
-_STRIP_SPANS_ORACLE = """
+_STRIP_SPANS_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS w
+         {_WORDS} AS w
   FROM documents
 ),
 wins AS (

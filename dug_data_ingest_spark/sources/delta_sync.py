@@ -283,13 +283,26 @@ def _read_manifest_rows(manifest_path: str) -> list[ManifestRow]:
     return [ManifestRow(**d) for d in tbl.to_pylist()]
 
 
+def _stage_and_swap(manifest_path: str, write_into_tmp) -> None:
+    """The ONE crash-consistency envelope both manifest writers share:
+    ``write_into_tmp(tmp_dir)`` populates a sibling temp dir, which
+    then replaces the stored manifest — so a crash mid-write leaves
+    either the old manifest or none, never a torn one (a missing
+    manifest re-uploads everything on the next run: wasteful but
+    convergent, the same failure envelope as an overwrite-mode Spark
+    write)."""
+    tmp = manifest_path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_into_tmp(tmp)
+    if os.path.exists(manifest_path):
+        shutil.rmtree(manifest_path)
+    os.rename(tmp, manifest_path)
+
+
 def _write_manifest_rows(rows, manifest_path: str) -> None:
     """Replace the stored manifest with ``rows`` (driver-side pyarrow
-    write, Spark-readable parquet directory). Staged into a sibling
-    temp dir first so a crash mid-write leaves either the old manifest
-    or none — never a torn one (a missing manifest re-uploads
-    everything on the next run: wasteful but convergent, the same
-    failure envelope as an overwrite-mode Spark write)."""
+    write, Spark-readable parquet directory), via ``_stage_and_swap``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -312,14 +325,11 @@ def _write_manifest_rows(rows, manifest_path: str) -> None:
             ]
         ),
     )
-    tmp = manifest_path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
-    pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
-    if os.path.exists(manifest_path):
-        shutil.rmtree(manifest_path)
-    os.rename(tmp, manifest_path)
+    def _write(tmp: str) -> None:
+        os.makedirs(tmp)
+        pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+
+    _stage_and_swap(manifest_path, _write)
 
 
 # Spark URL-escapes partition values containing special characters
@@ -371,17 +381,26 @@ _ISIN_MAX_KEYS = 10_000
 def _validate_keys_distributed(curr_mf: DataFrame) -> None:
     """The escalated twin of the per-row ``_checked_key`` loop: find
     any NULL / unsafe sync key WITHOUT collecting the manifest, and
-    raise the same descriptive ValueError on the first offender."""
+    raise the same descriptive ValueError on the first offender. The
+    filter reuses _SAFE_KEY.pattern so the two validation paths cannot
+    drift; if they somehow disagree anyway, fail loudly rather than
+    letting an escalated sync proceed where the driver path would
+    refuse."""
     bad = (
         curr_mf.filter(
             F.col("sync_key").isNull()
-            | ~F.col("sync_key").rlike(r"^[A-Za-z0-9._-]+$")
+            | ~F.col("sync_key").rlike(_SAFE_KEY.pattern)
         )
         .select("sync_key")
         .take(1)
     )
     if bad:
-        _checked_key(bad[0].sync_key)
+        _checked_key(bad[0].sync_key)  # raises the canonical ValueError
+        raise AssertionError(
+            f"sync key {bad[0].sync_key!r} failed the distributed "
+            "validation filter but passed _checked_key — the two "
+            "validation paths have drifted"
+        )
 
 
 def _write_manifest_df(curr_mf: DataFrame, manifest_path: str) -> None:
@@ -389,14 +408,11 @@ def _write_manifest_df(curr_mf: DataFrame, manifest_path: str) -> None:
     (already localCheckpoint-materialized, so this re-reads checkpoint
     blocks, never the source data) is written by Spark into a sibling
     temp dir and swapped in — same torn-write envelope as the driver
-    path (old manifest or none, never half)."""
-    tmp = manifest_path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    curr_mf.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(manifest_path):
-        shutil.rmtree(manifest_path)
-    os.rename(tmp, manifest_path)
+    path (old manifest or none, never half — ``_stage_and_swap``)."""
+    _stage_and_swap(
+        manifest_path,
+        lambda tmp: curr_mf.write.mode("overwrite").parquet(tmp),
+    )
 
 
 def delta_sync_write(
@@ -467,9 +483,6 @@ def delta_sync_write(
         else:
             prev_rows = []
         actions = diff_manifest_rows(prev_rows, curr_rows)
-        stats = {"upload": 0, "delete": 0, "rename": 0, "keep": 0}
-        for row in actions:
-            stats[row.action] += 1
     else:
         _validate_keys_distributed(curr_mf)
         spark = df.sparkSession
@@ -483,9 +496,10 @@ def delta_sync_write(
             .filter(F.col("action") != "keep")
             .collect()
         ]
-        stats = {"upload": 0, "delete": 0, "rename": 0, "keep": 0}
-        for row in actions:
-            stats[row.action] += 1
+    stats = {"upload": 0, "delete": 0, "rename": 0, "keep": 0}
+    for row in actions:
+        stats[row.action] += 1
+    if escalate:
         # current keys = keeps + uploads + rename targets, so the keep
         # count needs no extra Spark job (and no collected keep rows)
         stats["keep"] = n_curr - stats["upload"] - stats["rename"]
@@ -543,16 +557,22 @@ def delta_sync_write(
                 # a churn set too big for an IN-literal becomes a semi
                 # join: the key list ships as a real (broadcastable)
                 # relation instead of a million-term predicate the
-                # optimizer would choke parsing
+                # optimizer would choke parsing. The staging column
+                # name is collision-proofed — overwriting a real
+                # column named __sync_key would silently drop it from
+                # the written data on this path only.
+                stage_col = "__sync_key"
+                while stage_col in staged.columns:
+                    stage_col += "_"
                 keys_df = df.sparkSession.createDataFrame(
-                    [(k,) for k in to_write], "__sync_key string"
+                    [(k,) for k in to_write], f"{stage_col} string"
                 )
                 staged = (
                     staged.withColumn(
-                        "__sync_key", F.col(key_col).cast("string")
+                        stage_col, F.col(key_col).cast("string")
                     )
-                    .join(keys_df, "__sync_key", "left_semi")
-                    .drop("__sync_key")
+                    .join(keys_df, stage_col, "left_semi")
+                    .drop(stage_col)
                 )
         # else: every current key uploads (e.g. the initial publish
         # into an empty store) — the membership filter would pass all

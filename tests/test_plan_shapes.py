@@ -872,6 +872,9 @@ def test_strip_spans_plan_shape(queries, spark):
     assert plan.count("FileScan") <= 3, plan
     assert plan.count("ReusedExchange") >= 2, plan
     # the two gaps-and-islands windows (removal + protect), both
-    # doc-partitioned — never a global window
+    # doc-partitioned — and no single-partition exchange ANYWHERE in
+    # the plan (a global window would surface as one under either
+    # window node; checking the whole plan pins both, where a
+    # split("Window")[1] check would only see the first)
     assert plan.count("Window") == 2, plan
-    assert "SinglePartition" not in plan.split("Window")[1], plan
+    assert "SinglePartition" not in plan, plan
