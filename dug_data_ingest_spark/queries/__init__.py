@@ -74,6 +74,29 @@ def dec_money(col) -> "Column":
     return F.round(col, 2).cast("decimal(18,2)")
 
 
+# Exact-revenue idiom (dec_money's 4-decimal sibling): the true item
+# revenue l_extendedprice·(1−l_discount) has ≤4 decimal digits (2dp
+# price × 2dp discount), so ROUND(·,4) recovers the exact value from
+# the double, and summing as DECIMAL is associative — the group total
+# is identical under ANY partitioning / summation order, in both
+# engines. Plain SUM(double) is order-dependent in the last bits,
+# which flips ROUND(·,2) when a group lands on a .xx5 boundary
+# (observed: 307843.595 at sf0.01).
+DEC_REV_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"
+
+# dec_money's SQL twin, for 2dp-exact source columns (o_totalprice,
+# l_extendedprice): summing the decimal is order-independent.
+DEC_MONEY_SQL = "CAST(ROUND({x}, 2) AS DECIMAL(18,2))"
+
+
+def dec_rev() -> "Column":
+    """Exact per-item revenue as DECIMAL(18,4) — see DEC_REV_SQL."""
+    from pyspark.sql import functions as F
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return F.round(rev, 4).cast("decimal(18,4)")
+
+
 def _register_all() -> None:
     # Import for side effects: each module registers its slugs.
     from dug_data_ingest_spark.queries import (  # noqa: F401
@@ -133,6 +156,36 @@ _REGRADE_BEFORE_ROUND = {
     # r5 row is already stale under _STALE_AFTER_ROUNDS, so the
     # regrade is queued anyway, and a marker would jump it into the
     # CURRENT round's promised 11+39 window.)
+    #
+    # r8: money aggregates moved from order-dependent SUM(double) to
+    # exact decimal sums (queries/__init__.py::dec_rev / dec_money and
+    # their SQL twins) in query AND oracle — values identical on the
+    # current testdata (sweep-verified at 3 SFs) but the graded pair
+    # changed; ts-resample-ohlc open/close now SKIP NULL prices like
+    # the oracle's arg_min/arg_max; agg-sketch-rollup's exact/sketch
+    # join went null-safe so a NULL event_type group survives. Each
+    # carries a round-8 defer marker below so the regrade waits for
+    # round 9 instead of displacing this round's promised window.
+    "olap-pricing-summary": 9,
+    "olap-revenue-by-nation": 9,
+    "olap-top-orders": 9,
+    "olap-nation-rank-window": 9,
+    "olap-monthly-revenue-lag": 9,
+    "olap-rollup-summary": 9,
+    "olap-grouping-sets": 9,
+    "olap-cube-summary": 9,
+    # volume-shipping / market-share / stream-tumbling-agg were
+    # ALREADY round-8 window fillers (r4-vintage): cutoff 8 — this
+    # round grades the new pair directly, no defer needed
+    "olap-volume-shipping": 8,
+    "olap-market-share": 8,
+    "stream-tumbling-agg": 8,
+    "olap-important-stock": 9,
+    "join-skew-salted": 9,
+    "ts-resample-ohlc": 9,
+    "agg-sketch-rollup": 9,
+    "win-running-total": 9,
+    "olap-dormant-customers": 9,
 }
 
 
@@ -142,19 +195,21 @@ _REGRADE_BEFORE_ROUND = {
 _STALE_AFTER_ROUNDS = 2
 
 
-# Never-graded slugs registered AFTER the current round's 50-slot
-# window already filled: {slug: registration_round}. While the newest
-# correctness file on disk predates the registration round (i.e. the
-# registration round is still in flight), the slug sorts at an
-# artificial vintage AFTER every real regrade in the fresh block —
-# it waits at the back instead of jumping ahead of regrades the
-# round's plan promised (never-graded normally lead the window). The
-# moment the registration round's own CORRECTNESS file lands, the
-# marker expires and the slug becomes an ordinary never-graded lead
-# for the next round. Round 6 filled its window exactly (43
-# never-graded + the 7 r1-vintage regrades), so slugs registered
-# after that freeze carry marker 6: deferred while max_round < 6,
-# front of the window from round 7 on.
+# Slugs whose window entry must WAIT for the in-flight round to land:
+# {slug: round}. Covers two cases with one mechanism: (a) never-graded
+# slugs registered AFTER the current round's 50-slot window already
+# filled, and (b) slugs whose query/oracle pair changed after the
+# freeze (also carrying a _REGRADE_BEFORE_ROUND cutoff) — in both, the
+# slug would otherwise lead the window at vintage -1 and displace
+# regrades the round's plan promised. While the newest correctness
+# file on disk predates the marker round, the slug sorts at an
+# artificial vintage AFTER every real regrade in the fresh block; the
+# moment the marker round's own CORRECTNESS file lands, the marker
+# expires and the slug becomes an ordinary vintage -1 lead for the
+# next round. Round 6 filled its window exactly (43 never-graded +
+# the 7 r1-vintage regrades), so slugs registered after that freeze
+# carry marker 6: deferred while max_round < 6, front of the window
+# from round 7 on.
 _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     "mm-audio-features": 6,
     "olap-waiting-suppliers": 6,
@@ -179,13 +234,30 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     # (identical oracle to snk-json-kgx): waits out round 8 so the
     # promised 3 + 47 regrade window stays intact, leads round 9
     "dedup-strip-spans": 8,
+    # round-8 changed pairs (see the r8 block in _REGRADE_BEFORE_ROUND):
+    # deferred while round 8 is in flight, lead round 9's window
+    "olap-pricing-summary": 8,
+    "olap-revenue-by-nation": 8,
+    "olap-top-orders": 8,
+    "olap-nation-rank-window": 8,
+    "olap-monthly-revenue-lag": 8,
+    "olap-rollup-summary": 8,
+    "olap-grouping-sets": 8,
+    "olap-cube-summary": 8,
+    "olap-important-stock": 8,
+    "join-skew-salted": 8,
+    "ts-resample-ohlc": 8,
+    "agg-sketch-rollup": 8,
+    "win-running-total": 8,
+    "olap-dormant-customers": 8,
 }
 
 
 def _deferred_vintage(max_round: int) -> dict[str, int]:
-    """Artificial vintages for still-deferred never-graded slugs: one
-    past the newest graded round, so they trail every real regrade and
-    stale green but still precede the current-green tail."""
+    """Artificial vintages for still-deferred slugs (never-graded OR
+    changed-pair): one past the newest graded round, so they trail
+    every real regrade and stale green but still precede the
+    current-green tail."""
     return {
         slug: max_round + 1
         for slug, rnd in _DEFER_NEW_UNTIL_ROUND.items()
@@ -366,9 +438,13 @@ def _prioritized(keys):
     def vintage(k):
         rnd, ok = latest.get(k, (0, False))
         if not ok or rnd < _REGRADE_BEFORE_ROUND.get(k, 0):
-            if k not in latest and k in deferred:
-                # registered after this round's window filled: wait
-                # behind the promised regrades until next round
+            if k in deferred:
+                # registered — or semantically changed — after this
+                # round's window filled: wait behind the promised
+                # regrades until next round (never-graded AND
+                # changed-pair slugs both defer; a changed pair's old
+                # green is stale bookkeeping, not a correctness risk,
+                # so it must not displace the window's promises)
                 return deferred[k]
             # failed, never-graded, or semantically-changed: their old
             # rows are meaningless, so they must lead the window, not

@@ -19,7 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from dug_data_ingest_spark.queries import dec_money, load, query
+from dug_data_ingest_spark.queries import (
+    DEC_MONEY_SQL,
+    DEC_REV_SQL,
+    dec_money,
+    dec_rev,
+    load,
+    query,
+)
+
+# Every money aggregate in this file sums EXACT decimals (dec_money /
+# dec_rev and their SQL twins) instead of raw doubles: SUM(double) is
+# order-dependent in the last bits, which flips ROUND(·,2) when a
+# group lands on a .xx5 boundary — engine-divergent under different
+# partitionings (observed: 307843.595 at sf0.01). The decimal sum is
+# associative, so the group total is bit-identical under any plan.
+_DEC_PRICE_SQL = DEC_MONEY_SQL.format(x="l_extendedprice")
+_DEC_TOTAL_SQL = DEC_MONEY_SQL.format(x="o_totalprice")
 
 # ---------------------------------------------------------------------------
 # Pricing summary (TPC-H Q1 shape): one full scan of the fact table,
@@ -28,14 +44,22 @@ from dug_data_ingest_spark.queries import dec_money, load, query
 # The shipdate predicate reaches the parquet scan (PushedFilters).
 # ---------------------------------------------------------------------------
 
-_PRICING_ORACLE = """
+# sum_qty / avg_qty / avg_disc stay plain doubles: l_quantity is
+# integer-valued and l_discount 2dp×100 is integer-valued, so their
+# double sums are EXACT (every partial < 2^53) and order-independent
+# already. The price-derived aggregates sum exact decimals — the
+# charge has ≤6 decimal digits (2dp price × 2dp discount × 2dp tax),
+# so ROUND(·,6) recovers it exactly. avg_price divides the exact
+# decimal sum (as a double) by the count: deterministic given the sum.
+_PRICING_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(SUM({_DEC_PRICE_SQL}) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM({DEC_REV_SQL}), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 2) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(CAST(SUM({_DEC_PRICE_SQL}) AS DOUBLE) / COUNT(*), 2) AS avg_price,
        ROUND(AVG(l_discount), 4) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
@@ -48,16 +72,21 @@ GROUP BY l_returnflag, l_linestatus
 def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.round(disc_price * (1 + F.col("l_tax")), 6).cast("decimal(18,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(dec_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dec_rev()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(
+                F.sum(dec_money("l_extendedprice")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -74,8 +103,8 @@ def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the fact. The orderdate/region filters prune before the fact join.
 # ---------------------------------------------------------------------------
 
-_REVENUE_NATION_ORACLE = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+_REVENUE_NATION_ORACLE = f"""
+SELECT n_name, CAST(ROUND(SUM({DEC_REV_SQL}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -101,7 +130,10 @@ def olap_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        # orders is the FACT side of this join (the header declares it
+        # the plan's one permissible shuffle at 100 TB) — no hard
+        # broadcast hint; AQE still broadcasts it at small sf
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supplier),
@@ -111,11 +143,7 @@ def olap_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -125,9 +153,9 @@ def olap_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (per-partition heap of 10, driver merge of 10×partitions rows).
 # ---------------------------------------------------------------------------
 
-_TOP_ORDERS_ORACLE = """
+_TOP_ORDERS_ORACLE = f"""
 SELECT l_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM({DEC_REV_SQL}), 2) AS DOUBLE) AS revenue,
        STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS orderdate,
        MIN(o_orderpriority) AS o_orderpriority
 FROM lineitem
@@ -154,13 +182,15 @@ def olap_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        # orders (date-filtered ≈ the whole fact) must not carry a
+        # hard broadcast hint — AQE broadcasts at small sf, shuffles
+        # at scale; the revenue cut key sums exact decimals so the
+        # top-10 SET is engine-identical
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"),
             F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
             F.min("o_orderpriority").alias("o_orderpriority"),
         )
@@ -177,16 +207,16 @@ def olap_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranking the fact first would shuffle everything per region.
 # ---------------------------------------------------------------------------
 
-_NATION_RANK_ORACLE = """
+_NATION_RANK_ORACLE = f"""
 WITH rollup_rev AS (
-  SELECT r_name, n_name, SUM(o_totalprice) AS rev
+  SELECT r_name, n_name, SUM({_DEC_TOTAL_SQL}) AS rev
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
   GROUP BY r_name, n_name
 )
-SELECT r_name, n_name, ROUND(rev, 2) AS revenue,
+SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
        CAST(RANK() OVER (PARTITION BY r_name ORDER BY rev DESC) AS INT) AS rev_rank
 FROM rollup_rev
 """
@@ -203,12 +233,12 @@ def olap_nation_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.sum(dec_money("o_totalprice")).alias("rev"))
     )
     return rollup.select(
         "r_name",
         "n_name",
-        F.round("rev", 2).alias("revenue"),
+        F.col("rev").cast("double").alias("revenue"),
         F.rank()
         .over(W.partitionBy("r_name").orderBy(F.desc("rev")))
         .cast("int")
@@ -222,13 +252,13 @@ def olap_nation_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition window over ~80 rows — bounded regardless of sf).
 # ---------------------------------------------------------------------------
 
-_MONTHLY_LAG_ORACLE = """
+_MONTHLY_LAG_ORACLE = f"""
 WITH monthly AS (
-  SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, SUM(o_totalprice) AS rev
+  SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, SUM({_DEC_TOTAL_SQL}) AS rev
   FROM orders GROUP BY 1
 )
-SELECT month, ROUND(rev, 2) AS revenue,
-       ROUND(rev - LAG(rev) OVER (ORDER BY month), 2) AS mom_delta
+SELECT month, CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - LAG(rev) OVER (ORDER BY month) AS DOUBLE) AS mom_delta
 FROM monthly
 """
 
@@ -238,13 +268,13 @@ def olap_monthly_revenue_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(dec_money("o_totalprice")).alias("rev"))
     return monthly.select(
         "month",
-        F.round("rev", 2).alias("revenue"),
-        F.round(
-            F.col("rev") - F.lag("rev").over(W.orderBy("month")), 2
-        ).alias("mom_delta"),
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(W.orderBy("month")))
+        .cast("double")
+        .alias("mom_delta"),
     )
 
 
@@ -255,9 +285,9 @@ def olap_monthly_revenue_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # alternative is 3 scans + a union).
 # ---------------------------------------------------------------------------
 
-_ROLLUP_ORACLE = """
+_ROLLUP_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(SUM({_DEC_PRICE_SQL}) AS DOUBLE) AS sum_price,
        COUNT(*) AS n_items
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -268,18 +298,18 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def olap_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(dec_money("l_extendedprice")).cast("double").alias("sum_price"),
         F.count("*").alias("n_items"),
     )
 
 
-_GSETS_ORACLE = """
+_GSETS_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(year(l_shipdate) AS INT) AS ship_year,
        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
        CAST(GROUPING(CAST(year(l_shipdate) AS INT)) AS INT) AS g_year,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(SUM({_DEC_PRICE_SQL}) AS DOUBLE) AS sum_price,
        COUNT(*) AS n_items
 FROM lineitem
 GROUP BY GROUPING SETS (
@@ -316,18 +346,18 @@ def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.grouping("ship_year").cast("int").alias("g_year"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(dec_money("l_extendedprice")).cast("double").alias("sum_price"),
         F.count("*").alias("n_items"),
     )
 
 
-_RUNNING_TOTAL_ORACLE = """
+_RUNNING_TOTAL_ORACLE = f"""
 SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-             2) AS sum3
+       CAST(SUM({_DEC_TOTAL_SQL}) OVER w AS DOUBLE) AS running_spend,
+       CAST(SUM({_DEC_TOTAL_SQL}) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS sum3
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS UNBOUNDED PRECEDING)
@@ -362,16 +392,16 @@ def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
-        F.round(F.sum("o_totalprice").over(w3), 2).alias("sum3"),
+        F.sum(dec_money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.sum(dec_money("o_totalprice")).over(w3).cast("double").alias("sum3"),
     )
 
 
-_CUBE_ORACLE = """
+_CUBE_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) * 2
          + CAST(GROUPING(l_linestatus) AS INT) AS gid,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(SUM({_DEC_PRICE_SQL}) AS DOUBLE) AS sum_price,
        COUNT(*) AS n_items
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -391,7 +421,7 @@ def olap_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("int").alias("gid"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(dec_money("l_extendedprice")).cast("double").alias("sum_price"),
         F.count("*").alias("n_items"),
     )
 
@@ -513,7 +543,7 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines. Plain SUM(double) is order-dependent in the last
 # bits, which flips ROUND(·,2) when a group lands on a .xx5 boundary
 # (observed: 307843.595 at sf0.01).
-_DEC_REV_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"
+_DEC_REV_SQL = DEC_REV_SQL  # canonical copy lives in queries/__init__.py
 
 _RETURNED_ITEMS_ORACLE = f"""
 SELECT c_custkey, c_name, n_name,
@@ -531,10 +561,7 @@ LIMIT 20
 """
 
 
-def _dec_rev() -> F.Column:
-    """Exact per-item revenue as DECIMAL(18,4) — see _DEC_REV_SQL."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return F.round(rev, 4).cast("decimal(18,4)")
+_dec_rev = dec_rev  # canonical copy lives in queries/__init__.py
 
 
 @query("olap-returned-items", oracle=_RETURNED_ITEMS_ORACLE)
@@ -547,7 +574,7 @@ def olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
@@ -678,7 +705,7 @@ def olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
-                F.sum(F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)"))
+                F.sum(dec_money("l_extendedprice"))
                 .cast("double")
                 / 7.0,
                 2,
@@ -799,12 +826,13 @@ def olap_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pushed to the parquet scan.
 # ---------------------------------------------------------------------------
 
-_VOLUME_SHIPPING_ORACLE = """
-SELECT cust_nation, supp_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+_VOLUME_SHIPPING_ORACLE = f"""
+SELECT cust_nation, supp_nation, l_year,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         {DEC_REV_SQL} AS volume
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -847,11 +875,7 @@ def olap_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -863,13 +887,14 @@ def olap_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast customer dim.
 # ---------------------------------------------------------------------------
 
-_MARKET_SHARE_ORACLE = """
+_MARKET_SHARE_ORACLE = f"""
 SELECT o_year,
-       ROUND(SUM(CASE WHEN p_brand = 'Brand#12' THEN volume ELSE 0 END)
-             / SUM(volume), 4) AS brand_share
+       ROUND(CAST(SUM(CASE WHEN p_brand = 'Brand#12' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 4) AS brand_share
 FROM (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume, p_brand
+         {DEC_REV_SQL} AS volume, p_brand
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -898,7 +923,8 @@ def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate"
     )
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volume = dec_rev()
+    zero = F.lit("0").cast("decimal(18,4)")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -906,8 +932,10 @@ def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("p_brand") == "Brand#12", volume).otherwise(0.0))
-                / F.sum(volume),
+                F.sum(
+                    F.when(F.col("p_brand") == "Brand#12", volume).otherwise(zero)
+                ).cast("double")
+                / F.sum(volume).cast("double"),
                 4,
             ).alias("brand_share")
         )
@@ -1190,11 +1218,15 @@ def olap_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IMPORTANT_STOCK_ORACLE = """
 WITH v AS (
-  SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS part_value
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * l_quantity, 2) AS DECIMAL(18,2)))
+           AS pv
   FROM lineitem GROUP BY l_partkey
 ),
-t AS (SELECT ROUND(AVG(part_value) * 1.25, 2) AS threshold FROM v)
-SELECT l_partkey, part_value FROM v, t WHERE part_value > threshold
+t AS (SELECT ROUND(CAST(SUM(pv) AS DOUBLE) / COUNT(*) * 1.25, 2) AS threshold
+      FROM v)
+SELECT l_partkey, CAST(pv AS DOUBLE) AS part_value
+FROM v, t WHERE CAST(pv AS DOUBLE) > threshold
 """
 
 
@@ -1202,13 +1234,18 @@ SELECT l_partkey, part_value FROM v, t WHERE part_value > threshold
 def olap_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     v = li.groupBy("l_partkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
-            "part_value"
+        F.sum(dec_money(F.col("l_extendedprice") * F.col("l_quantity"))).alias(
+            "pv"
         )
     )
-    t = v.agg(F.round(F.avg("part_value") * 1.25, 2).alias("threshold"))
+    t = v.agg(
+        F.round(
+            F.sum("pv").cast("double") / F.count(F.lit(1)) * 1.25, 2
+        ).alias("threshold")
+    )
     return (
         v.crossJoin(F.broadcast(t))
+        .withColumn("part_value", F.col("pv").cast("double"))
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", "part_value")
     )
@@ -1222,7 +1259,10 @@ def olap_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg-approx-distinct) — the plan shape is identical.
 # ---------------------------------------------------------------------------
 
-_STICKINESS_ORACLE = """
+# ONE copy of the stickiness CTE body, interpolated into both the
+# exact and the approx oracle (which appends only the approx_ok
+# column) — a definition fix applied here grades both slugs.
+_STICKINESS_CTES = """
 WITH d AS (
   SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
          strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -1231,6 +1271,10 @@ WITH d AS (
 ),
 dau AS (SELECT week, day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY week, day),
 wau AS (SELECT week, COUNT(DISTINCT user_id) AS wau FROM d GROUP BY week)
+"""
+
+_STICKINESS_ORACLE = f"""
+{_STICKINESS_CTES}
 SELECT w.week, CAST(w.wau AS BIGINT) AS wau,
        ROUND(AVG(a.dau) / w.wau, 4) AS stickiness
 FROM wau w JOIN dau a USING (week)
@@ -1252,20 +1296,14 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         wau.join(dau, "week")
         .groupBy("week", "wau")
-        .agg(F.round(F.avg("dau") / F.first("wau"), 4).alias("stickiness"))
+        # wau is a grouping key — reference it directly, no first() agg
+        .agg(F.round(F.avg("dau") / F.col("wau"), 4).alias("stickiness"))
         .select("week", F.col("wau").cast("bigint").alias("wau"), "stickiness")
     )
 
 
-_STICKINESS_APPROX_ORACLE = """
-WITH d AS (
-  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
-         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         user_id
-  FROM events
-),
-dau AS (SELECT week, day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY week, day),
-wau AS (SELECT week, COUNT(DISTINCT user_id) AS wau FROM d GROUP BY week)
+_STICKINESS_APPROX_ORACLE = f"""
+{_STICKINESS_CTES}
 SELECT w.week, CAST(w.wau AS BIGINT) AS wau,
        ROUND(AVG(a.dau) / w.wau, 4) AS stickiness,
        CAST(1 AS INT) AS approx_ok
@@ -1696,7 +1734,9 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
        CAST(ROUND(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))), 2)
             AS DOUBLE) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 6)
+WHERE c_acctbal > (SELECT ROUND(CAST(SUM(CAST(ROUND(c_acctbal, 2)
+                                              AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*), 6)
                    FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (
     SELECT 1 FROM orders
@@ -1715,11 +1755,14 @@ def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
         .select("o_custkey")
     )
-    # ROUND(.., 6) pins the threshold: both engines sum doubles in
-    # different orders, and a balance exactly at the unrounded mean
-    # (cent-sum divisible by N) could flip the > between them.
+    # the mean divides the EXACT decimal sum (as a double) by the
+    # count, then ROUND(.., 6) pins the threshold: the old
+    # AVG(double) summed in engine-specific order, so a balance near
+    # the unrounded mean could flip the > between them.
     avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+        F.round(
+            F.sum(dec_money("c_acctbal")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_bal")
     )
     return (
         customer.join(F.broadcast(avg_bal))
@@ -1733,7 +1776,7 @@ def olap_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("numcust"),
             F.round(
-                F.sum(F.round(F.col("c_acctbal"), 2).cast("decimal(18,2)")), 2
+                F.sum(dec_money("c_acctbal")), 2
             )
             .cast("double")
             .alias("totacctbal"),
@@ -1822,7 +1865,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 5% (lgK=12 → ~1.6% rsd, so the flag is deterministic in practice).
 # ---------------------------------------------------------------------------
 
-_SKETCH_ROLLUP_ORACLE = """
+_SKETCH_ROLLUP_ORACLE = f"""
 SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
        TRUE AS within_tol
 FROM events GROUP BY event_type
@@ -1841,13 +1884,24 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
-    return exact.join(F.broadcast(merged), "event_type").select(
-        "event_type",
-        "exact_users",
-        (
-            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
-            <= 0.05
-        ).alias("within_tol"),
+    # null-SAFE join key: groupBy emits a NULL event_type group (and
+    # the oracle's GROUP BY keeps it), so a plain equi-join would
+    # silently drop that group from the result — rows_match=False on
+    # any dataset with a NULL event_type
+    merged = merged.withColumnRenamed("event_type", "et")
+    return (
+        exact.join(
+            F.broadcast(merged), exact["event_type"].eqNullSafe(merged["et"])
+        )
+        .drop("et")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users")
+                <= 0.05
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -2003,7 +2057,7 @@ def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        F.sum(dec_money("o_totalprice"))
         .cast("double")
         .alias("total_spend")
     )
@@ -2698,14 +2752,24 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     epoch = F.unix_timestamp("ts")
     ordkey = epoch * 10_000_000 + F.col("event_id")
+    # open/close must SKIP NULL prices like the oracle's arg_min /
+    # arg_max do (DuckDB ignores NULL-argument rows): min/max over a
+    # (ordkey, value) struct that is NULL when value is NULL — min/max
+    # skip NULLs, and ordkey is unique so the struct order IS the
+    # ordkey order. Spark's min_by/max_by would return the NULL value
+    # itself, diverging the engines on any NULL-priced tick.
+    tick = F.when(
+        F.col("value").isNotNull(),
+        F.struct(ordkey.alias("o"), F.col("value").alias("v")),
+    )
     return events.groupBy(
         "event_type",
         (F.floor(epoch / 900) * 900).cast("bigint").alias("bucket_start"),
     ).agg(
-        F.round(F.min_by("value", ordkey), 2).alias("open"),
+        F.round(F.min(tick)["v"], 2).alias("open"),
         F.round(F.max("value"), 2).alias("high"),
         F.round(F.min("value"), 2).alias("low"),
-        F.round(F.max_by("value", ordkey), 2).alias("close"),
+        F.round(F.max(tick)["v"], 2).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

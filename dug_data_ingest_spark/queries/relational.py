@@ -26,7 +26,7 @@ from dug_data_ingest_spark.operators import (
     windows as win,
 )
 from dug_data_ingest_spark.plans.lakefs_index import variable_index_report
-from dug_data_ingest_spark.queries import load, query
+from dug_data_ingest_spark.queries import DEC_REV_SQL, dec_rev, load, query
 
 
 def _items_str(expr) -> F.Column:
@@ -481,10 +481,10 @@ def join_edge_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join-skew-salted",
-    oracle="""
+    oracle=f"""
     SELECT p_brand,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM({DEC_REV_SQL}), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -507,9 +507,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = jn.salted_join(items, parts, on="partkey", salt=8)
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.round(F.sum(dec_rev()), 2).cast("double").alias("revenue"),
     )
 
 

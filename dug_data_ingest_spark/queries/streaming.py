@@ -26,7 +26,7 @@ from dug_data_ingest_spark.streaming.events import (
     oracle="""
     SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
            event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )

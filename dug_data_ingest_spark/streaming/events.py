@@ -22,11 +22,20 @@ def with_watermark_if_streaming(df: DataFrame, delay: str = "1 hour") -> DataFra
 
 
 def tumbling_counts(events: DataFrame, width: str = "6 hours") -> DataFrame:
-    """Per (tumbling window, event_type): count + value sum."""
+    """Per (tumbling window, event_type): count + value sum. The sum
+    is over the EXACT 2-decimal value (dec_money): SUM(double) is
+    order-dependent in the last bits, so the rounded total could
+    differ between engines — or between two runs with different
+    partitionings — when a window lands on a .xx5 boundary."""
+    from dug_data_ingest_spark.queries import dec_money
+
     df = with_watermark_if_streaming(events)
     return (
         df.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec_money("value")).cast("double").alias("total_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("w_start"),
             "event_type",

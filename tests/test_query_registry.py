@@ -90,6 +90,29 @@ def test_deferred_new_slugs_wait_behind_regrades_then_lead(tmp_path, monkeypatch
     assert order[0] == "d"  # marker expired: ordinary never-graded lead
 
 
+def test_changed_pair_defers_like_a_late_registration(tmp_path, monkeypatch):
+    # A slug whose query/oracle pair changes AFTER the round-6 window
+    # froze gets _REGRADE_BEFORE_ROUND (its r5 green graded the old
+    # pair) AND a defer marker: it must trail the promised regrades
+    # while round 6 is in flight, then lead like any changed slug once
+    # CORRECTNESS_r06 lands.
+    _write(tmp_path, 1, {"s": GOOD})
+    _write(tmp_path, 5, {"a": GOOD, "c": GOOD})
+    monkeypatch.setattr(Q, "_REGRADE_BEFORE_ROUND", {"c": 7})
+    monkeypatch.setattr(Q, "_DEFER_NEW_UNTIL_ROUND", {"c": 6})
+    real = Q._driver_rows
+    monkeypatch.setattr(Q, "_driver_rows", lambda root=None: real(root=str(tmp_path)))
+
+    order = Q._prioritized(["a", "c", "n", "s"])
+    # n (never-graded) leads, s (stale) regrades, THEN the deferred
+    # changed pair c, then the current green a
+    assert order == ["n", "s", "c", "a"]
+
+    _write(tmp_path, 6, {"s": GOOD, "n": GOOD})  # round 6 graded
+    order = Q._prioritized(["a", "c", "n", "s"])
+    assert order[0] == "c"  # marker expired: changed pair leads round 7
+
+
 # Max round the projection assertions below were written against. The
 # test copies ONLY history <= this round, so a driver dropping a newer
 # CORRECTNESS file into the repo root mid-round (as happened after the
