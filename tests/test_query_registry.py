@@ -168,8 +168,22 @@ def test_window_projection_on_real_registry(tmp_path, monkeypatch):
         s for s, r in Q._DEFER_NEW_UNTIL_ROUND.items() if r > _SNAPSHOT_MAX_ROUND
     }
     this_window = Q._prioritized(slugs)[:50]
-    # the snapshot-round registrations (markers just expired) lead...
-    assert set(this_window[: len(lead)]) == lead
+    # The whole fresh block — the snapshot-round registrations (markers
+    # just expired) PLUS any regrade-cutoff-invalidated pairs that are
+    # not deferred (they were already window fillers, so a cutoff equal
+    # to the in-flight round legitimately promotes them from the stale
+    # block into the fresh one) — leads the window. Derived from the
+    # marker constants and the snapshot rows (the vintage -1 rule:
+    # no ok row, or the row predates the slug's regrade cutoff), so a
+    # new cutoff entry moves the expectation with it. Merely-STALE
+    # greens are not fresh — they regrade behind this block.
+    def _never_or_invalidated(s):
+        rnd, ok = _latest.get(s, (0, False))
+        return not ok or rnd < Q._REGRADE_BEFORE_ROUND.get(s, 0)
+
+    fresh = {s for s in slugs if _never_or_invalidated(s)} - waiting
+    assert lead <= fresh and len(fresh) <= 50
+    assert set(this_window[: len(fresh)]) == fresh
     # ...and later-deferred registrations wait outside the window
     assert not (waiting & set(this_window))
 
