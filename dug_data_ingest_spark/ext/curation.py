@@ -168,6 +168,81 @@ def pack_sequences(
     return sized.groupBy(group_col).applyInPandas(_pack, schema=out_schema)
 
 
+def stratified_exact_k(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Exactly-``k``-per-stratum sampling by md5 order — the two-phase
+    rank-threshold refinement the naive per-stratum window promises at
+    scale (the ``sample-stratified-exact`` docprose). Returns the input
+    columns plus ``rank_col`` (1..k within each stratum, md5-then-key
+    order), identical rows and ranks to::
+
+        row_number() OVER (PARTITION BY strata ORDER BY md5(key), key) <= k
+
+    The naive form shuffles the WHOLE table on the stratum key and
+    sorts each stratum inside one window task — with a handful of
+    strata (languages, sources) over a fact-grain corpus that is a
+    single-task sort of n/|strata| rows, the same class of plan the
+    percent-rank rewrite removed (operators/windows.py). Two phases
+    instead, the count-then-join idea of span dedup applied to
+    sampling:
+
+    1. Bucket rollup: count rows per (stratum, first-2-hex-chars-of-
+       md5) — a map-side-combined aggregate whose output is bounded by
+       |strata| x 256 rows at ANY corpus size. A rollup-keyed window
+       turns it into cumulative counts in bucket order; the buckets
+       whose cumulative-before is < k are the only ones that can hold
+       a stratum's k smallest keys.
+    2. Candidate prune + exact rank: a broadcast LEFT SEMI on
+       (stratum, bucket) keeps ~k + one bucket's worth of rows per
+       stratum; the exact rank window then sorts ONLY those survivors
+       — the corpus itself is scanned twice and shuffled never.
+
+    Ranks are exact, not approximate: the prune is a superset of every
+    stratum's true top-k by construction (any row ranked <= k has at
+    most k-1 rows before it, so its bucket's cumulative-before is
+    < k), and the final window applies the naive ordering verbatim —
+    property-pinned to the naive model in
+    tests/test_stratified_properties.py, NULL strata and NULL keys
+    included (the semi join is null-safe on both columns; a plain
+    equi-join would silently drop a NULL stratum the naive window
+    ranks).
+    """
+    if k < 1:
+        raise ValueError(f"stratified_exact_k: k must be >= 1, got {k}")
+    md5key = F.md5(F.col(key_col).cast("string"))
+    bucket = F.substring(md5key, 1, 2)
+
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select(F.col(strata_col).alias("__s"), bucket.alias("__b"))
+        .groupBy("__s", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = W.partitionBy("__s").orderBy(F.asc_nulls_first("__b"))
+    admissible = (
+        counts.withColumn("__cum_before", F.sum("__n").over(w) - F.col("__n"))
+        .filter(F.col("__cum_before") < k)
+        .select("__s", "__b")
+    )
+    tagged = docs.withColumn("__b", bucket)
+    cand = tagged.join(
+        F.broadcast(admissible),
+        tagged[strata_col].eqNullSafe(admissible["__s"])
+        & tagged["__b"].eqNullSafe(admissible["__b"]),
+        "left_semi",
+    ).drop("__b")
+    rank_w = W.partitionBy(strata_col).orderBy(md5key, key_col)
+    return cand.withColumn(rank_col, F.row_number().over(rank_w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
 def vocab_topk(
     docs: DataFrame,
     n: int = 50,

@@ -186,6 +186,11 @@ _REGRADE_BEFORE_ROUND = {
     "agg-sketch-rollup": 9,
     "win-running-total": 9,
     "olap-dormant-customers": 9,
+    # r8 second window: the graded plan moved from the naive
+    # per-stratum window onto the two-phase rank-threshold refinement
+    # (ext/curation.py::stratified_exact_k) — same exact values (the
+    # oracle IS the naive form), but the executed plan changed
+    "sample-stratified-exact": 9,
 }
 
 
@@ -250,6 +255,7 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     "agg-sketch-rollup": 8,
     "win-running-total": 8,
     "olap-dormant-customers": 8,
+    "sample-stratified-exact": 8,
 }
 
 

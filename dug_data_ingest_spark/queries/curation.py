@@ -488,10 +488,16 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selected by md5 order — the companion to pipeline-hash-sample's
 # percentage buckets when a training mix specifies absolute per-source
 # counts. md5-ordered row_number is reproducible across engines, runs,
-# and cluster sizes (no RNG, no partition-order dependence). One
-# shuffle on the stratum key; the per-group sort touches only each
-# stratum's rows. At 100 TB with monster strata, swap in a two-phase
-# rank-threshold refinement before the full window sort.
+# and cluster sizes (no RNG, no partition-order dependence). Runs
+# through the two-phase rank-threshold refinement
+# (ext/curation.py::stratified_exact_k): a 256-bucket md5 rollup finds
+# the only buckets that can hold each stratum's k smallest keys, a
+# broadcast semi join prunes to ~k + one bucket of candidates, and the
+# exact rank window sorts ONLY the survivors — with a handful of
+# language strata over a fact-grain corpus, the naive per-stratum
+# window would sort n/|strata| rows in single tasks (the plan class
+# the percent-rank rewrite removed). Ranks are exact and identical to
+# the naive form; the oracle IS the naive form.
 # ---------------------------------------------------------------------------
 
 
@@ -508,14 +514,11 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import stratified_exact_k
+
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    return (
-        docs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    return stratified_exact_k(docs, k=5).select(
+        "doc_id", "lang", F.col("rk").cast("int").alias("rk")
     )
 
 

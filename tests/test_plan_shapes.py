@@ -361,9 +361,18 @@ def test_running_total_single_window_shuffle(queries, spark):
     assert plan.count("Window") == 1, plan
 
 
-def test_stratified_sample_single_stratum_shuffle(queries, spark):
+def test_stratified_sample_two_phase_prune(queries, spark):
+    # The two-phase refinement (ext/curation.py::stratified_exact_k):
+    # the corpus is never shuffled — the only hash exchanges carry the
+    # 256-bucket rollup and the pruned candidates; the prune itself is
+    # a broadcast LEFT SEMI that must not silently vanish back into a
+    # full-stratum window sort (result-preserving, so only a plan pin
+    # can catch its loss — the model pin for the other direction lives
+    # in tests/test_stratified_properties.py).
     plan = _plan(queries["sample-stratified-exact"](spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "LeftSemi" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
 def test_revenue_forecast_pushes_all_predicates(queries, spark):
