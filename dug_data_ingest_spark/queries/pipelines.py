@@ -269,36 +269,14 @@ _DQ_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
 
 @query("dq-profile", oracle=_DQ_PROFILE_ORACLE)
 def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact=True — the oracle-verifiable form (expressions identical to
+    # the pre-factor inline build, so the graded plan is unchanged);
+    # profile_columns(exact=False) is the documented 100-TB swap,
+    # plan-pinned Expand-free in tests/test_plan_shapes.py.
+    from dug_data_ingest_spark.operators.aggregates import profile_columns
+
     cust = load(spark, sf_dir, "customer")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _DQ_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            # min/max in the column's NATIVE type (numeric order for
-            # keys), rendered to string only after aggregation — a
-            # pre-agg cast would silently switch to lexicographic
-            # order ('99' > '149').
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-        ]
-    wide = cust.agg(*aggs)
-    # Reshape the 1-row wide profile to tall: one struct per column,
-    # exploded — row-local on a single row, so effectively free.
-    per_col = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col("n_rows").alias("n_rows"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__distinct").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_val"),
-                F.col(f"{c}__max").alias("max_val"),
-            )
-            for c in _DQ_COLS
-        ]
-    )
-    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+    return profile_columns(cust, _DQ_COLS, exact=True)
 
 
 # pipeline-snapshot-diff: SCD-style change capture between two loads

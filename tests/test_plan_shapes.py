@@ -625,6 +625,38 @@ def test_dq_profile_is_one_pass_no_python(queries, spark):
     assert "Union" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Generate explode" in plan, plan
+    # exact distincts Expand the scan k-fold — the documented cost
+    assert "Expand" in plan, plan
+
+
+def test_dq_profile_approx_swap_collapses_expand(spark):
+    # The 100-TB swap the slug's prose promises, as real code:
+    # approx_count_distinct (HLL++ partials) profiles every column in
+    # the same one-pass shape WITHOUT the k-fold Expand of exact
+    # count_distinct — and its counts stay within the sketch's
+    # tolerance of the exact profile.
+    import pyspark.sql.functions as F
+
+    from dug_data_ingest_spark.operators.aggregates import profile_columns
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    cols = ["c_custkey", "c_mktsegment"]
+    approx = profile_columns(cust, cols, exact=False)
+    plan = _plan(approx)
+    assert "Expand" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    exact_rows = {
+        r["col_name"]: r for r in profile_columns(cust, cols).collect()
+    }
+    for r in approx.collect():
+        e = exact_rows[r["col_name"]]
+        assert (r["n_rows"], r["n_nulls"], r["min_val"], r["max_val"]) == (
+            e["n_rows"], e["n_nulls"], e["min_val"], e["max_val"]
+        )
+        # HLL++ default rsd is 5%; allow 3x
+        assert abs(r["n_distinct"] - e["n_distinct"]) <= max(
+            1, 0.15 * e["n_distinct"]
+        ), (r, e)
 
 
 def test_snapshot_diff_is_single_scan_no_join(queries, spark):
