@@ -656,6 +656,7 @@ def duplicate_clusters(
     b_col: str = "b",
     id_col: str = "doc_id",
     max_iters: int = 20,
+    jump: bool = False,
 ) -> DataFrame:
     """Connected components of the candidate-pair graph → one
     (doc_id, component) row per document that has a duplicate, where
@@ -675,6 +676,21 @@ def duplicate_clusters(
     Spark job instead of a checkpoint job plus a count job — per-round
     scheduling overhead, not data volume, dominates once the pair
     graph is orders of magnitude smaller than the corpus.
+
+    ``jump=True`` is the deep-graph escape hatch the loud
+    non-convergence error points at: each round additionally
+    shortcuts every label through its label's label
+    (``comp ← min(comp, label[comp])`` — pointer jumping), so the
+    reach of the minimum roughly DOUBLES per round and convergence is
+    O(log diameter) rounds instead of O(diameter). A pathological
+    near-dup CHAIN (A≈B≈C≈… — templated docs drifting one edit per
+    step) has diameter ~n and would exhaust any fixed round budget
+    under plain propagation; with jumping a million-link chain
+    converges in ~20 rounds. Costs one extra labels⋈labels hash join
+    per round (labels are id-pairs, orders of magnitude smaller than
+    the corpus), which is why the shallow-graph default stays plain.
+    Both modes reach the identical fixpoint — model-pinned against
+    union-find in tests/test_blocking_properties.py.
     """
     if max_iters < 1:
         raise ValueError("duplicate_clusters: max_iters must be >= 1")
@@ -696,17 +712,30 @@ def duplicate_clusters(
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        merged = (
-            labels.join(nbr, labels.node == nbr.u, "left")
-            .select(
-                F.col("node"),
-                F.col("comp").alias("old_comp"),
+        merged = labels.join(nbr, labels.node == nbr.u, "left").select(
+            F.col("node"),
+            F.col("comp").alias("old_comp"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        if jump:
+            # comp values are always node ids (mins over node ids), so
+            # label[comp] exists; the left join + coalesce only guards
+            # the same-round self-reference.
+            l2 = merged.select(
+                F.col("node").alias("__jn"), F.col("comp").alias("__jc")
+            )
+            merged = merged.join(
+                l2, merged.comp == l2.__jn, "left"
+            ).select(
+                "node",
+                "old_comp",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=False)
-        )
+        merged = merged.localCheckpoint(eager=False)
         changed = merged.filter(F.col("comp") != F.col("old_comp")).count()
         labels = merged.select("node", "comp")
         if changed == 0:

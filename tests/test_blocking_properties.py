@@ -763,3 +763,80 @@ def test_retention_matrix_matches_naive_walk(spark, rows):
         for w in weeks:
             want[(cohort, w)] = want.get((cohort, w), 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Pointer-jumped connected components (ext/dedup.py::duplicate_clusters
+# jump=True): must reach the identical fixpoint as plain propagation
+# and as a union-find model on arbitrary graphs, and must converge in
+# O(log diameter) rounds on the deep chain that exhausts any fixed
+# plain-propagation budget — the DuckDB oracle grades only the plain
+# mode, so the jump path needs its own model pin.
+# ---------------------------------------------------------------------------
+
+_cc_edges = st.sets(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _union_find_components(edges: set) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@given(raw=_cc_edges)
+@example(raw={(0, 1), (1, 2), (3, 4)})
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pointer_jump_components_match_union_find(spark, raw):
+    from dug_data_ingest_spark.ext.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(sorted(raw), "a bigint, b bigint")
+    want = set(_union_find_components(raw).items())
+    got_jump = {
+        (r["doc_id"], r["component"])
+        for r in duplicate_clusters(pairs, jump=True).collect()
+    }
+    got_plain = {
+        (r["doc_id"], r["component"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got_jump == want
+    assert got_plain == want
+
+
+def test_pointer_jump_converges_on_a_deep_chain(spark):
+    # A 64-link chain has diameter 64: plain propagation moves the min
+    # one hop per round and must exhaust a 6-round budget (loudly, per
+    # the non-convergence contract); pointer jumping roughly doubles
+    # the min's reach per round and converges well inside it.
+    import pytest as _pytest
+
+    from dug_data_ingest_spark.ext.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(chain, "a bigint, b bigint")
+    got = {
+        (r["doc_id"], r["component"])
+        for r in duplicate_clusters(pairs, max_iters=10, jump=True).collect()
+    }
+    assert got == {(i, 0) for i in range(65)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=6).collect()
