@@ -198,7 +198,9 @@ def run_dedup(spark: SparkSession, args) -> None:
             pairs = minhash_jaccard_estimates(sig, cand).filter(
                 F.col("est_jaccard") >= args.threshold
             )
-        drop = non_canonical_ids(pairs).localCheckpoint()
+        drop = non_canonical_ids(
+            pairs, jump=getattr(args, "jump", False)
+        ).localCheckpoint()
         n_dropped = drop.count()
         survivors = docs.join(drop, "doc_id", "left_anti")
     survivors.write.mode("overwrite").parquet(f"{args.out}/survivors")
@@ -291,6 +293,12 @@ def main(argv: list[str] | None = None) -> None:
     dedup.add_argument(
         "--span-tokens", type=int, default=8, dest="span_tokens",
         help="substring strategy: window width in tokens",
+    )
+    dedup.add_argument(
+        "--jump", action="store_true",
+        help="cluster strategies: pointer-jumped component labeling "
+        "(O(log diameter) rounds — for deep near-dup chains that "
+        "exhaust plain propagation's round budget)",
     )
     dedup.add_argument("--out", required=True)
 

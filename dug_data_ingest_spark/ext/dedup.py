@@ -500,7 +500,8 @@ def jaccard_scored_pairs(
 
 
 def non_canonical_ids(
-    pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+    pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 20,
+    jump: bool = False,
 ) -> DataFrame:
     """The drop set of a near-dup pair graph: every doc that belongs
     to a cluster but is not its canonical (min-id) member. Shared by
@@ -508,9 +509,10 @@ def non_canonical_ids(
     selection can never drift between them. The result is usually a
     tiny fraction of the corpus — broadcast it into the anti-join
     when the duplicate rate is known to be low; at permissive
-    thresholds leave it unhinted and let AQE decide."""
+    thresholds leave it unhinted and let AQE decide. ``jump`` passes
+    through to duplicate_clusters for deep-chain pair graphs."""
     return (
-        duplicate_clusters(pairs, id_col=id_col, max_iters=max_iters)
+        duplicate_clusters(pairs, id_col=id_col, max_iters=max_iters, jump=jump)
         .filter(F.col(id_col) != F.col("component"))
         .select(id_col)
     )
