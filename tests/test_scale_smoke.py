@@ -58,3 +58,24 @@ def test_clique_inflation_creates_cross_copy_duplicates(spark):
     # allow the short-doc tail to contribute nothing
     assert big_pairs > K * base_pairs
     assert big_pairs >= (K * (K - 1) // 2) * (n_docs // 2)
+
+
+def test_stratified_output_is_strata_bounded_under_inflation(spark):
+    # k-per-stratum output is bounded by |strata| x k whatever the
+    # corpus volume: disjoint inflation grows every stratum K-fold but
+    # the kept count per stratum stays min(k, stratum size) — the
+    # gauge that the refinement's output (and so its rank window
+    # input) does not scale with the corpus.
+    import pyspark.sql.functions as F
+
+    from dug_data_ingest_spark.ext.curation import stratified_exact_k
+
+    base = inflate_documents(spark, SF_DIR, 1, "disjoint").localCheckpoint()
+    big = inflate_documents(spark, SF_DIR, K, "disjoint").localCheckpoint()
+
+    def expected(df, k=5):
+        per = df.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        return sum(min(k, r["n"]) for r in per)
+
+    assert stratified_exact_k(base, k=5).count() == expected(base)
+    assert stratified_exact_k(big, k=5).count() == expected(big)

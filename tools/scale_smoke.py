@@ -107,6 +107,7 @@ def main() -> int:
         ngram_jaccard_pairs,
         simhash64,
     )
+    from dug_data_ingest_spark.ext.curation import stratified_exact_k
     from dug_data_ingest_spark.ext.similarity import (
         pq_adc_topk,
         pq_encode,
@@ -139,6 +140,12 @@ def main() -> int:
         "sim-topk-bruteforce": lambda: topk_bruteforce(
             embs, [0.1] * 64, k=10
         ).count(),
+        # two-phase stratified sampling: inflation grows the corpus Kx
+        # while the lang strata stay fixed — the monster-stratum shape
+        # the rank-threshold refinement exists for; the work that
+        # scales with K is two corpus scans + a 256-bucket rollup, the
+        # rank window stays candidate-bounded
+        "sample-stratified": lambda: stratified_exact_k(docs, k=5).count(),
         # PQ corpus-sized work: encode + ADC-score a query against
         # cached codebooks (codebooks are a build artifact bounded by
         # m*k — what scales with the corpus is encode and scoring)
