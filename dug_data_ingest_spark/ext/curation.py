@@ -168,6 +168,50 @@ def pack_sequences(
     return sized.groupBy(group_col).applyInPandas(_pack, schema=out_schema)
 
 
+def shuffle_corpus(
+    docs: DataFrame,
+    n_shards: int,
+    seed: str = "",
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global corpus shuffle — the training-order export
+    step between curation and the data loader. Returns the input
+    columns plus (``shard_col``, ``pos_col``): reading shards in order
+    and rows by position within each shard replays ONE fixed
+    pseudorandom permutation of the corpus.
+
+    Everything derives from ``md5(seed | key)``: the shard is the
+    60-bit hash mod ``n_shards``, the in-shard position ranks the same
+    hash — a pure function of (seed, key), so the permutation is
+    byte-identical across reruns, engines, cluster sizes, and input
+    partitionings (``df.orderBy(rand())`` re-deals every run;
+    ``repartitionByRange`` samples its boundaries — neither can back a
+    resumable training run, where step N must see the same document
+    after a restart). A new ``seed`` is a fresh epoch's permutation.
+
+    Scale shape: ONE hash exchange on the shard id; the rank window's
+    groups are n/``n_shards`` rows, so the caller sizes ``n_shards``
+    to the task budget exactly like pack_sequences sizes its packing
+    groups (at 100 TB: tens of thousands of shards, each a few
+    hundred MB). md5 balances shards to within sampling noise —
+    no planted hot key can skew a shard because the shard key is a
+    hash the adversary's content doesn't reach.
+    """
+    if n_shards < 1:
+        raise ValueError(f"shuffle_corpus: n_shards must be >= 1, got {n_shards}")
+    seeded = F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))
+    skey = F.md5(seeded)
+    shard = (_md5_hash64(seeded) % n_shards).cast("int")
+
+    from pyspark.sql import Window as W
+
+    tagged = docs.withColumn(shard_col, shard)
+    w = W.partitionBy(shard_col).orderBy(skey, key_col)
+    return tagged.withColumn(pos_col, F.row_number().over(w))
+
+
 def stratified_exact_k(
     docs: DataFrame,
     k: int,

@@ -149,3 +149,41 @@ def test_chunk_overlap_reconstructs_documents(spark):
         chunks = list(grp.chunk)
         rebuilt = "".join(c[:150] for c in chunks[:-1]) + chunks[-1]
         assert rebuilt == text[doc_id], doc_id
+
+
+def test_shuffle_corpus_is_deterministic_and_complete(spark):
+    # One fixed permutation: the (key -> shard, pos) mapping must be
+    # identical whatever the input partitioning (the property
+    # orderBy(rand()) and repartitionByRange-based shuffles cannot
+    # give), every key appears exactly once, positions are dense
+    # 1..|shard| within each shard, and md5 keeps shards balanced.
+    from dug_data_ingest_spark.ext.curation import shuffle_corpus
+
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+
+    def mapping(df):
+        return {
+            r["doc_id"]: (r["shard"], r["pos"])
+            for r in shuffle_corpus(df, n_shards=8, seed="ep0").collect()
+        }
+
+    m1 = mapping(docs)
+    m2 = mapping(docs.repartition(7))
+    m3 = mapping(docs.repartition(1).sortWithinPartitions(F.desc("doc_id")))
+    assert m1 == m2 == m3
+    assert len(m1) == 500
+    by_shard: dict = {}
+    for shard, pos in m1.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8
+    assert max(sizes) <= 2 * (500 // 8)  # md5 balance, generous bound
+
+    # a different seed is a different epoch's permutation
+    m_ep1 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_corpus(docs, n_shards=8, seed="ep1").collect()
+    }
+    assert m_ep1 != m1
