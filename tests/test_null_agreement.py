@@ -79,3 +79,60 @@ def test_null_events_grade_identically(spark, tmp_path, slug):
         # all-NULL bucket stays NULL in both engines
         b = sp[sp["event_type"] == "b"].iloc[0]
         assert pd.isna(b["open"]) and pd.isna(b["close"])
+
+
+def _events_null_type_ties(tmp_path) -> str:
+    """Events where a NULL event_type TIES a real type per user — the
+    argmax/struct-max corner (Spark orders a NULL struct field
+    smallest; DuckDB's QUALIFY ... DESC puts NULLs last) — plus
+    multi-day NULL-type activity for the transition/cume rewrites."""
+    base = datetime.datetime(2025, 1, 1, 0, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = [
+        # user 1: NULL type x2 ties 'a' x2 — the tie NULL must lose in
+        # BOTH engines; 'b' x1 trails
+        (11, base, 1, None, 1.0, "{}"),
+        (12, base + day, 1, None, 1.0, "{}"),
+        (13, base, 1, "a", 1.0, "{}"),
+        (14, base + day, 1, "a", 1.0, "{}"),
+        (15, base + 2 * day, 1, "b", 1.0, "{}"),
+        # user 2: NULL type strictly wins the mode
+        (21, base, 2, None, 1.0, "{}"),
+        (22, base + day, 2, None, 1.0, "{}"),
+        (23, base, 2, "a", 1.0, "{}"),
+        # user 3: same-timestamp tie between NULL and 'a' (event_id
+        # breaks transition chains)
+        (31, base, 3, None, 1.0, "{}"),
+        (32, base, 3, "a", 1.0, "{}"),
+        (33, base + day, 3, "a", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize(
+    "slug", ["agg-mode-per-group", "events-path-transitions", "win-cume-distinct"]
+)
+def test_null_type_ties_grade_identically(spark, tmp_path, slug):
+    from dug_data_ingest_spark.queries import all_oracles, all_queries
+
+    sf_dir = _events_null_type_ties(tmp_path)
+    sp = all_queries()[slug](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    du = con.sql(all_oracles()[slug]).df()
+    assert len(sp) == len(du) and len(sp) > 0
+    assert _norm(sp) == _norm(du)
+    if slug == "agg-mode-per-group":
+        by_user = {r["user_id"]: r for _, r in sp.iterrows()}
+        # tie: NULL loses to 'a' in both engines (struct-max NULL-
+        # smallest == QUALIFY DESC NULLS LAST)
+        assert by_user[1]["mode_type"] == "a"
+        # strict winner: the NULL-type mode must be REPRESENTED, not
+        # silently replaced by the runner-up
+        assert pd.isna(by_user[2]["mode_type"]) and by_user[2]["mode_n"] == 2
