@@ -53,7 +53,17 @@ def _norm(df):
     return sorted(map(repr, df[cols].itertuples(index=False, name=None)))
 
 
-@pytest.mark.parametrize("slug", ["ts-resample-ohlc", "agg-sketch-rollup"])
+@pytest.mark.parametrize(
+    "slug",
+    [
+        "ts-resample-ohlc",
+        "agg-sketch-rollup",
+        # graded this round with the exact-decimal value sum: NULL
+        # values must be skipped identically by both engines' sums and
+        # an all-NULL bucket must sum to NULL on both sides
+        "stream-tumbling-agg",
+    ],
+)
 def test_null_events_grade_identically(spark, tmp_path, slug):
     from dug_data_ingest_spark.queries import all_oracles, all_queries
 
@@ -70,6 +80,11 @@ def test_null_events_grade_identically(spark, tmp_path, slug):
         # the NULL event_type group must be PRESENT (the old equi-join
         # silently dropped it)
         assert sp["event_type"].isna().any()
+    elif slug == "stream-tumbling-agg":
+        # NULL values are skipped by both engines' sums; the all-NULL
+        # bucket 'b' sums to NULL on both sides
+        b = sp[sp["event_type"] == "b"].iloc[0]
+        assert pd.isna(b["total_value"]) and b["n"] == 1
     else:
         # type-a bucket: open is the earliest NON-NULL price (5.0 at
         # t=60 with event_id tiebreak), close the latest (7.5 at
