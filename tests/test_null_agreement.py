@@ -129,7 +129,17 @@ def _events_null_type_ties(tmp_path) -> str:
 
 
 @pytest.mark.parametrize(
-    "slug", ["agg-mode-per-group", "events-path-transitions", "win-cume-distinct"]
+    "slug",
+    [
+        "agg-mode-per-group",
+        "events-path-transitions",
+        "win-cume-distinct",
+        # round-8-window regrades over the same table: NULL types must
+        # form a group (windowed aggs) / a dedup partition identically
+        "stream-sliding-agg",
+        "stream-dedup-first",
+        "stream-session-window",
+    ],
 )
 def test_null_type_ties_grade_identically(spark, tmp_path, slug):
     from dug_data_ingest_spark.queries import all_oracles, all_queries
