@@ -199,7 +199,9 @@ def run_dedup(spark: SparkSession, args) -> None:
                 F.col("est_jaccard") >= args.threshold
             )
         drop = non_canonical_ids(
-            pairs, jump=getattr(args, "jump", False)
+            # flag forces jumping from round 0; default None = adaptive
+            # (plain rounds first, jumping only if convergence drags)
+            pairs, jump=True if getattr(args, "jump", False) else None
         ).localCheckpoint()
         n_dropped = drop.count()
         survivors = docs.join(drop, "doc_id", "left_anti")
@@ -296,9 +298,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     dedup.add_argument(
         "--jump", action="store_true",
-        help="cluster strategies: pointer-jumped component labeling "
-        "(O(log diameter) rounds — for deep near-dup chains that "
-        "exhaust plain propagation's round budget)",
+        help="cluster strategies: pointer-jump component labeling from "
+        "round 0 (O(log diameter) rounds) for known-deep pair graphs; "
+        "without the flag jumping engages adaptively once plain "
+        "propagation fails to converge in its first rounds",
     )
     dedup.add_argument("--out", required=True)
 

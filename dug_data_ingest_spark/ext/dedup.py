@@ -501,7 +501,7 @@ def jaccard_scored_pairs(
 
 def non_canonical_ids(
     pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 20,
-    jump: bool = False,
+    jump: bool | None = None,
 ) -> DataFrame:
     """The drop set of a near-dup pair graph: every doc that belongs
     to a cluster but is not its canonical (min-id) member. Shared by
@@ -652,13 +652,20 @@ def simhash_near_pairs(
     )
 
 
+# Adaptive-jump escalation point: plain-propagation rounds before
+# pointer jumping switches on under jump=None. 4 covers the measured
+# depth of real near-dup clusters (stars/chains of 2-4) with one round
+# of slack, so the common case never builds the jump join at all.
+_AUTO_JUMP_AFTER = 4
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     id_col: str = "doc_id",
     max_iters: int = 20,
-    jump: bool = False,
+    jump: bool | None = None,
 ) -> DataFrame:
     """Connected components of the candidate-pair graph → one
     (doc_id, component) row per document that has a duplicate, where
@@ -679,20 +686,31 @@ def duplicate_clusters(
     scheduling overhead, not data volume, dominates once the pair
     graph is orders of magnitude smaller than the corpus.
 
-    ``jump=True`` is the deep-graph escape hatch the loud
-    non-convergence error points at: each round additionally
-    shortcuts every label through its label's label
-    (``comp ← min(comp, label[comp])`` — pointer jumping), so the
-    reach of the minimum roughly DOUBLES per round and convergence is
+    ``jump`` controls pointer jumping, the deep-graph mechanism: a
+    jumping round additionally shortcuts every label through its
+    label's label (``comp ← min(comp, label[comp])``), so the reach
+    of the minimum roughly DOUBLES per round and convergence is
     O(log diameter) rounds instead of O(diameter). A pathological
     near-dup CHAIN (A≈B≈C≈… — templated docs drifting one edit per
     step) has diameter ~n and would exhaust any fixed round budget
     under plain propagation; with jumping a million-link chain
-    converges in ~20 rounds. Costs one extra labels⋈labels hash join
-    per round (labels are id-pairs, orders of magnitude smaller than
-    the corpus), which is why the shallow-graph default stays plain.
-    Both modes reach the identical fixpoint — model-pinned against
-    union-find in tests/test_blocking_properties.py.
+    converges in ~20 rounds. Cost: one extra labels⋈labels hash join
+    per jumping round (labels are id-pairs, orders of magnitude
+    smaller than the corpus) — measured ~8% per round on a shallow
+    star graph, pure waste there since stars converge in 2-3 plain
+    rounds.
+
+    The default (``jump=None``) is ADAPTIVE: plain propagation for
+    the first ``_AUTO_JUMP_AFTER`` rounds — real near-dup clusters
+    are stars/chains of depth 2-4 and converge inside them, paying
+    zero jump cost — then jumping for every later round, so a deep
+    component costs ~4 + log2(diameter) rounds total instead of
+    failing the budget. ``jump=True`` jumps from round 0 (known-deep
+    graphs); ``jump=False`` never jumps (bit-identical round
+    sequence to the pre-adaptive engine, and the mode the loud
+    non-convergence error is phrased for). All three reach the
+    identical fixpoint — model-pinned against union-find in
+    tests/test_blocking_properties.py.
     """
     if max_iters < 1:
         raise ValueError("duplicate_clusters: max_iters must be >= 1")
@@ -708,7 +726,7 @@ def duplicate_clusters(
         .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for i in range(max_iters):
         nbr = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
@@ -721,7 +739,7 @@ def duplicate_clusters(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
             ).alias("comp"),
         )
-        if jump:
+        if jump is True or (jump is None and i >= _AUTO_JUMP_AFTER):
             # comp values are always node ids (mins over node ids), so
             # label[comp] exists; the left join + coalesce only guards
             # the same-round self-reference.
@@ -747,10 +765,15 @@ def duplicate_clusters(
         # chain in the pair graph is longer than max_iters and the
         # components returned would be silently wrong (split clusters
         # → duplicates survive dedup). Fail loudly instead.
+        hint = (
+            "raise max_iters (jumping needs only ~4 + log2(diameter) rounds)"
+            if jump is not False
+            else "enable pointer jumping (jump=None/True) or raise max_iters"
+        )
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iters} rounds "
             f"({changed} labels still changing); the pair graph has a "
-            f"component with diameter > {max_iters} — raise max_iters."
+            f"component deeper than the round budget — {hint}."
         )
     return labels.select(F.col("node").alias(id_col), F.col("comp").alias("component"))
 

@@ -839,4 +839,31 @@ def test_pointer_jump_converges_on_a_deep_chain(spark):
     }
     assert got == {(i, 0) for i in range(65)}
     with _pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(pairs, max_iters=6).collect()
+        duplicate_clusters(pairs, max_iters=6, jump=False).collect()
+
+
+def test_adaptive_jump_rescues_a_deep_chain_within_default_budget(spark):
+    # jump=None (the default) runs _AUTO_JUMP_AFTER plain rounds, then
+    # escalates to jumping: the same 64-link chain that exhausts a
+    # 6-round budget converges under the adaptive default well inside
+    # the default 20 (≈4 plain + log2(64) jumping + the zero-change
+    # confirmation round). A shallow star under the same default never
+    # reaches the escalation point, so the common case pays nothing —
+    # that's pinned by convergence within a 4-round jump=False budget.
+    from dug_data_ingest_spark.ext.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(chain, "a bigint, b bigint")
+    got = {
+        (r["doc_id"], r["component"])
+        for r in duplicate_clusters(pairs, max_iters=14).collect()
+    }
+    assert got == {(i, 0) for i in range(65)}
+
+    star = [(0, j) for j in range(1, 6)]
+    spairs = spark.createDataFrame(star, "a bigint, b bigint")
+    got_star = {
+        (r["doc_id"], r["component"])
+        for r in duplicate_clusters(spairs, max_iters=4, jump=False).collect()
+    }
+    assert got_star == {(j, 0) for j in range(6)}
