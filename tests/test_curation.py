@@ -189,6 +189,44 @@ def test_shuffle_corpus_is_deterministic_and_complete(spark):
     assert m_ep1 != m1
 
 
+def test_shuffle_corpus_matches_pure_python_model(spark):
+    # The contract is stronger than "deterministic": the (shard, pos)
+    # assignment is a PURE FUNCTION of (seed, key) — md5(seed|key)'s
+    # low 60 bits mod n_shards for the shard, rank of the full hex
+    # digest (key tiebreak) within the shard for the position. Pin the
+    # exact values against an independent hashlib walk so an engine- or
+    # expression-level drift (hash slice, concat separator, rank
+    # order) can't silently re-deal every training run's data order.
+    import hashlib
+
+    from dug_data_ingest_spark.ext.curation import shuffle_corpus
+
+    keys = [str(k) for k in range(97)] + ["a", "zz", "-1", "0x10"]
+    n_shards, seed = 5, "ep7"
+
+    def model():
+        tagged = []
+        for k in keys:
+            hexd = hashlib.md5(f"{seed}|{k}".encode()).hexdigest()
+            shard = int(hexd[:15], 16) % n_shards
+            tagged.append((shard, hexd, k))
+        out = {}
+        by_shard: dict = {}
+        for shard, hexd, k in tagged:
+            by_shard.setdefault(shard, []).append((hexd, k))
+        for shard, members in by_shard.items():
+            for pos, (_, k) in enumerate(sorted(members), start=1):
+                out[k] = (shard, pos)
+        return out
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id string")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_corpus(df, n_shards=n_shards, seed=seed).collect()
+    }
+    assert got == model()
+
+
 def test_shuffle_corpus_rejects_null_keys(spark):
     # concat_ws silently SKIPS NULLs, so without the in-plan guard every
     # NULL-keyed row would collide on skey=md5(seed) with a NULL
