@@ -499,6 +499,116 @@ def jaccard_scored_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via PPJoin prefix filtering — the
+    high-threshold scale path that needs neither the df cap's semantic
+    change nor a join on every shared shingle.
+
+    Same output contract as ``ngram_jaccard_pairs(max_doc_freq=None)``
+    (every (a, b, ROUND(jaccard, 4) >= threshold) pair, a < b), but
+    candidate generation joins only each document's PREFIX — its
+    ``n - ceil(t*n) + 1`` globally RAREST shingles under the total
+    order (corpus df asc, shingle). Two sets with true Jaccard >= t
+    must share the minimum element of their intersection inside BOTH
+    prefixes (if A's prefix missed it, >= |A| - ceil(t|A|) + 1
+    elements of A precede every common element, leaving < ceil(t|A|)
+    slots for an intersection that needs >= ceil(t * max(|A|,|B|)) —
+    contradiction; symmetric for B), so the prefix join is a complete
+    candidate generator and the exact verify on the full shingle
+    ARRAYS (array_intersect, no second explode-join) loses nothing.
+    The 1e-4 slack mirrors jaccard_scored_pairs: prefixes and the
+    length prune are sized for threshold - 1e-4 so a true value that
+    ROUNDs up onto the threshold still survives.
+
+    Scale shape vs the shared-shingle join:
+    - candidate pairs shrink from O(sum df^2 over all shingles) to
+      pairs sharing a ~(1-t)-fraction prefix (~4% of shingles at
+      t=0.8) — and a ubiquitous boilerplate shingle sorts LAST in df
+      order, so it almost never enters a prefix at all: the hot-token
+      m^2 bucket the df cap exists to kill structurally cannot form,
+      with EXACT semantics instead of the cap's filtered-Jaccard.
+    - costs one extra exchange: the exploded frame joins its corpus
+      df back on the shingle (the df aggregate itself is map-side
+      combined), then a doc-keyed row_number picks the prefix —
+      per-doc windows, bounded by a document's shingle count.
+    - the verify stage joins the (small) candidate pair list to the
+      checkpointed shingle-set arrays twice; AQE broadcasts the pair
+      side, so the corpus is never shuffled for verification.
+    - the shingle-set frame is localCheckpoint(eager=False)ed: it
+      feeds the df aggregate, the prefix join, and both verify sides,
+      and the regex shingle pipeline is the dominant CPU cost — at
+      cluster scale persist it explicitly instead.
+
+    Measured (sf0.1 documents, local[32], warmed, median-of-3,
+    t=0.8): 2.22 s vs 2.27 s for the capped shared-shingle join —
+    parity locally — while the candidate volume drops ~26x (1.13M
+    distinct sharing pairs / 469k post-length-prune join rows into
+    the base's pair groupBy, vs 43.5k prefix candidates into the
+    array verify); the win is the asymptote, not this corpus.
+    Reference behavior: scripts/heal and bdc pipelines dedup by exact
+    id only; near-dup semantics follow Lee et al. 2022 as cited on
+    ngram_jaccard_pairs.
+    """
+    t_eff = max(threshold - 1e-4, 0.0)
+    # NO size(sh) > 0 pre-filter: a filter on the generated array gets
+    # pushed below fan_out's repartition (InferFiltersFromGenerate —
+    # see doc_shingles) and inlines the interpreted shingle transform
+    # into the single-task pre-shuffle scan, measured ~5x on the whole
+    # query. Empty-set docs are harmless: they explode to no shingle
+    # rows, so they can never reach a candidate pair.
+    sets = (
+        doc_shingle_sets(docs, text_col, id_col, k)
+        .select(F.col(id_col), "sh", F.size("sh").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    ex = sets.select(F.col(id_col), "n", F.explode("sh").alias("shingle"))
+    df_tbl = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("__df", "shingle")
+    prefix_len = F.col("n") - F.ceil(F.lit(t_eff) * F.col("n")) + 1
+    pre = (
+        ex.join(df_tbl, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select(F.col(id_col), F.col("n"), "shingle")
+    )
+    a = pre.select(F.col(id_col).alias("a"), F.col("n").alias("na"), "shingle")
+    b = pre.select(F.col(id_col).alias("b"), F.col("n").alias("nb"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.least("na", "nb") >= t_eff * F.greatest("na", "nb"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("a"), F.col("sh").alias("__sha"))
+    sb = sets.select(F.col(id_col).alias("b"), F.col("sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("__i", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i")
+                / (F.size("__sha") + F.size("__shb") - F.col("__i")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def non_canonical_ids(
     pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 20,
     jump: bool | None = None,

@@ -281,6 +281,86 @@ def test_uncapped_jaccard_matches_set_model(spark, texts):
     assert got == want
 
 
+# --- prefix-filtered exact jaccard -------------------------------------------
+
+
+@given(
+    texts=st.lists(_doc, min_size=2, max_size=6),
+    threshold=st.sampled_from([0.0, 0.3, 0.5, 0.8, 1.0]),
+)
+@example(texts=["a b c d", "a b c d"], threshold=1.0)     # identical docs
+@example(texts=["a b c d e", "a b c d"], threshold=0.5)   # length-prune boundary
+@example(texts=["", "a b", "a b c"], threshold=0.0)       # below-k docs drop out
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_jaccard_equals_uncapped_exact(spark, texts, threshold):
+    """ngram_jaccard_pairs_prefix must return EXACTLY the uncapped
+    shared-shingle join's pairs and values at every threshold — the
+    prefix filter is a lossless candidate generator (min-element-of-
+    intersection argument), so any divergence is a completeness bug
+    (prefix too short, ordering not total, slack dropped)."""
+    from dug_data_ingest_spark.ext.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    want = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, threshold=threshold, max_doc_freq=None
+        ).collect()
+    }
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs_prefix(df, threshold=threshold).collect()
+    }
+    assert got == want
+
+
+def test_prefix_jaccard_round_boundary_survives_the_prune(spark):
+    # True jaccard exactly on a .xxxx5 rounding boundary relative to
+    # the threshold: 4/5 = 0.8 with threshold 0.8 must be emitted, and
+    # the slack-sized prefix/length prune must not have dropped the
+    # pair before the verify could round it.
+    from dug_data_ingest_spark.ext.dedup import ngram_jaccard_pairs_prefix
+
+    # 6-token docs sharing 4 of their 4-or-5 trigram shingles:
+    # "w1 w2 w3 w4 w5 w6" vs "w1 w2 w3 w4 w5 x" -> shingles 4+4,
+    # intersection 3, union 5 -> 0.6; build a J=0.8 pair instead:
+    # A = t1..t6 (4 shingles), B = t1..t7 (5 shingles), inter=4,
+    # union=5 -> 0.8 exactly.
+    a = "t1 t2 t3 t4 t5 t6"
+    b = "t1 t2 t3 t4 t5 t6 t7"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id int, text string")
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs_prefix(df, threshold=0.8).collect()
+    }
+    assert got == {(0, 1): 0.8}
+
+
+def test_prefix_jaccard_plan_shape(spark):
+    # The scale contract in the plan: a row_number prefix prune exists
+    # (doc-keyed window, never unpartitioned), candidates go through a
+    # distinct before the array verify, and the verify reads
+    # array_intersect — no second explode-join of the corpus.
+    from dug_data_ingest_spark.ext.dedup import ngram_jaccard_pairs_prefix
+    from tests.conftest import TEST_SF_DIR
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    out = ngram_jaccard_pairs_prefix(docs, threshold=0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" in plan, plan
+    assert "array_intersect" in plan, plan
+    # the prefix window partitions by the doc key (an unpartitioned
+    # window here would funnel the exploded corpus into one task)
+    assert "windowspecdefinition(doc_id" in plan, plan
+
+
 # --- minhash sketch: bit-exact vs the formula ---------------------------------
 
 import hashlib as _hashlib
