@@ -105,6 +105,7 @@ def main() -> int:
         minhash_candidate_pairs,
         minhash_signatures_wide,
         ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
         simhash64,
     )
     from dug_data_ingest_spark.ext.curation import stratified_exact_k
@@ -127,6 +128,14 @@ def main() -> int:
         ).count(),
         "dedup-ngram-jaccard": lambda: ngram_jaccard_pairs(
             docs, threshold=0.8, max_doc_freq=1000
+        ).count(),
+        # exact-semantics prefix-filtered path: under 'disjoint' the
+        # df-rarest prefixes stay unique per copy (linear growth);
+        # under 'clique' every copy's prefix collides with its K
+        # siblings — true output is ~K^2/2 pairs and candidates must
+        # track the OUTPUT, not the corpus
+        "dedup-ngram-prefix": lambda: ngram_jaccard_pairs_prefix(
+            docs, threshold=0.8
         ).count(),
         "dedup-cluster": lambda: duplicate_clusters(
             ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=1000)
