@@ -60,6 +60,33 @@ def test_clique_inflation_creates_cross_copy_duplicates(spark):
     assert big_pairs >= (K * (K - 1) // 2) * (n_docs // 2)
 
 
+def test_prefix_jaccard_tracks_base_under_both_inflations(spark):
+    # the smoke's prefix-jaccard row measures a path whose OUTPUT must
+    # equal the shared-shingle join's under both inflation modes —
+    # disjoint (copies share nothing, pairs scale exactly K) and
+    # clique (cross-copy near-dups, quadratic true output); if the
+    # prefix generator ever went lossy under inflation the wall-time
+    # comparison in SCALE.md would be comparing different queries.
+    from dug_data_ingest_spark.ext.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    for mode in ("disjoint", "clique"):
+        big = inflate_documents(spark, SF_DIR, K, mode).localCheckpoint()
+        want = {
+            (r.a, r.b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                big, threshold=0.8, max_doc_freq=None
+            ).collect()
+        }
+        got = {
+            (r.a, r.b, r.jaccard)
+            for r in ngram_jaccard_pairs_prefix(big, threshold=0.8).collect()
+        }
+        assert got == want, mode
+
+
 def test_stratified_output_is_strata_bounded_under_inflation(spark):
     # k-per-stratum output is bounded by |strata| x k whatever the
     # corpus volume: disjoint inflation grows every stratum K-fold but
