@@ -550,7 +550,20 @@ def ngram_jaccard_pairs_prefix(
     parity locally — while the candidate volume drops ~26x (1.13M
     distinct sharing pairs / 469k post-length-prune join rows into
     the base's pair groupBy, vs 43.5k prefix candidates into the
-    array verify); the win is the asymptote, not this corpus.
+    array verify); at 10x inflated volume the prefix path WINS
+    outright (6.75 vs 9.78 s disjoint, 5.77 vs 7.74 s clique —
+    tools/scale_smoke.py rows, outputs pinned identical).
+
+    Negative result, measured and intentionally NOT shipped: the
+    directional CONTAINMENT analogue. C(a→b) >= t bounds the
+    intersection only against |Sa|, so only the a side can be
+    prefix-pruned while b must index every shingle — the candidate
+    join stays corpus-wide on one side and the verify stage adds two
+    joins against the shingle-array frame on top. Measured 3.29 vs
+    2.42 s at sf0.1 and 42.7 vs 9.84 s at 10x volume (4.3x WORSE,
+    values identical): containment keeps the df-capped
+    shared-shingle join (ngram_containment_pairs), whose directional
+    length prune already bounds it.
     Reference behavior: scripts/heal and bdc pipelines dedup by exact
     id only; near-dup semantics follow Lee et al. 2022 as cited on
     ngram_jaccard_pairs.
