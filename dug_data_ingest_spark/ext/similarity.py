@@ -466,6 +466,69 @@ def cosine_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    jump: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): drop all-but-one of every group of embeddings
+    whose cosine similarity exceeds ``threshold``, comparing only
+    WITHIN k-means cells. Returns ``(survivors, drop)`` — survivors is
+    the input minus the drop set; drop is the (id)-frame of
+    non-canonical (non-min-id) members of each within-cell near-dup
+    component.
+
+    Composition of existing verified parts: ``kmeans_centroids``
+    (deterministic Lloyd; or pass precomputed ``centroids`` —
+    (cluster, centroid) rows — to skip training), ``_assign``
+    (broadcast-join argmin, corpus never shuffled),
+    ``cosine_dup_pairs`` blocked on the learned cell,
+    ``non_canonical_ids`` (min-label components, adaptive pointer
+    jumping), and a broadcast-friendly LEFT ANTI for the survivors.
+
+    Scale shape: centroids are k rows (always broadcast); the one
+    quadratic step is the within-cell pair join, ~ (n/k)^2 per cell —
+    size ``n_cells`` so a cell fits a task budget (the published
+    recipe uses k ~ 11k cells for a 100M-embedding corpus, the same
+    n/k arithmetic). The corpus is scanned per k-means iteration and
+    shuffled only on the cell id for the pair join.
+
+    Inherent recall caveat (the technique's, not this plan's): a
+    near-dup pair straddling a cell boundary is never compared —
+    SemDeDup trades that tail for tractability. Pinned in
+    tests/test_semantic_dedup.py so the trade stays visible.
+
+    Library surface, not a registered slug: learned-float centroids
+    are engine-inexact (see kmeans_centroids), so the gate is a model
+    pin with EXPLICIT centroids, not a DuckDB hash oracle.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings,
+            k=n_cells,
+            n_iters=n_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            with_centroids=True,
+        )
+    cents = centroids.select("cluster", "centroid")
+    assigned = _assign(embeddings, cents, id_col, vec_col)
+    pairs = cosine_dup_pairs(
+        assigned, threshold, block_col="cluster", id_col=id_col, vec_col=vec_col
+    )
+    from dug_data_ingest_spark.ext.dedup import non_canonical_ids
+
+    drop = non_canonical_ids(pairs, id_col=id_col, jump=jump)
+    survivors = embeddings.join(drop, id_col, "left_anti")
+    return survivors, drop
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): the 100-TB ANN memory answer. IVF prunes
 # WHICH vectors a query scans; PQ shrinks WHAT is scanned — each
