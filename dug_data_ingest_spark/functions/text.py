@@ -95,6 +95,112 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * length_term + 0.4 * stop_term + 0.2 * punct_term, 4)
 
 
+# the 8 high-frequency words Gopher's rule 7 requires >= 2 of — the
+# paper's exact list (Rae et al. 2021, A1.1 MassiveWeb filtering)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(text: Column) -> Column:
+    """The Gopher / MassiveWeb document-quality rules (Rae et al.
+    2021, arXiv:2112.11446 §A1.1) as ONE struct column of per-rule
+    booleans plus the conjunctive ``passes`` flag — pure codegen
+    Column expressions, no UDF, so the gate costs a projection at any
+    corpus size:
+
+    - ``n_words_ok``: 50 <= word count <= 100_000
+    - ``mean_word_len_ok``: mean word length in [3, 10]
+    - ``symbol_ratio_ok``: (# of '#' or '...' occurrences) / words <= 0.1
+    - ``bullet_lines_ok``: <= 90% of lines start with a bullet
+    - ``ellipsis_lines_ok``: <= 30% of lines end with an ellipsis
+    - ``alpha_words_ok``: >= 80% of words contain an alphabetic char
+    - ``stopwords_ok``: >= 2 distinct of GOPHER_STOPWORDS appear as
+      normalized words
+
+    NULL text yields NULL (gate with ``passes IS TRUE`` to drop it,
+    or quarantine NULLs upstream); an empty/whitespace document
+    counts 0 words and fails the word-count rule rather than
+    dividing by zero (ratios guard with nullif-style CASE).
+
+    Model-pinned against a pure-Python rule walk in
+    tests/test_gopher_rules.py — the thresholds are the paper's, and
+    a drifted constant is a silent corpus-composition change.
+    """
+    # filter empty tokens rather than trim(): Spark's trim strips only
+    # spaces, not \n/\t, so a whitespace-only document would otherwise
+    # count phantom words and sail past the ratio rules
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw_d = n_words.cast("double")
+    safe_nw = F.when(n_words > 0, nw_d)  # NULL when 0: ratios go NULL->fail
+
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_len = total_chars / safe_nw
+
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_nw
+
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines).cast("double")
+    # full whitespace strip (trim() stops at spaces; tabs would hide
+    # a bullet from the rule)
+    stripped = lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")  # noqa: E731
+    bullet = lambda l: (  # noqa: E731
+        l.startswith("-") | l.startswith("*") | l.startswith("•")
+    )
+    n_bullet = F.size(F.filter(lines, lambda l: bullet(stripped(l))))
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda l: stripped(l).endswith("...") | stripped(l).endswith("…"),
+        )
+    )
+
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(normalized_words(text)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+
+    n_words_ok = (n_words >= 50) & (n_words <= 100_000)
+    mean_word_len_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
+    symbol_ratio_ok = symbol_ratio <= 0.1
+    bullet_lines_ok = (n_bullet / n_lines) <= 0.9
+    ellipsis_lines_ok = (n_ell_end / n_lines) <= 0.3
+    alpha_words_ok = (n_alpha / safe_nw) >= 0.8
+    stopwords_ok = stop_hits >= 2
+
+    flags = {
+        "n_words_ok": n_words_ok,
+        "mean_word_len_ok": mean_word_len_ok,
+        "symbol_ratio_ok": symbol_ratio_ok,
+        "bullet_lines_ok": bullet_lines_ok,
+        "ellipsis_lines_ok": ellipsis_lines_ok,
+        "alpha_words_ok": alpha_words_ok,
+        "stopwords_ok": stopwords_ok,
+    }
+    # coalesce each ratio-rule to FALSE for 0-word docs (NULL ratio)
+    # so `passes` stays a real boolean wherever text is non-NULL
+    safe_flags = {
+        k: F.when(text.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.coalesce(v, F.lit(False))
+        )
+        for k, v in flags.items()
+    }
+    passes = safe_flags["n_words_ok"]
+    for k in list(safe_flags)[1:]:
+        passes = passes & safe_flags[k]
+    return F.struct(
+        *[v.alias(k) for k, v in safe_flags.items()], passes.alias("passes")
+    )
+
+
 def normalized_words(text: Column) -> Column:
     """lowercase, strip non-alphanumerics, split — the canonical token
     stream used by fingerprinting and shingling.

@@ -1,0 +1,111 @@
+"""Model pin for ``gopher_quality_flags`` (functions/text.py): the
+Rae et al. 2021 §A1.1 rules replayed by a pure-Python walk on
+adversarial documents — threshold drift or a ratio-guard slip is a
+silent corpus-composition change no oracle would catch (the rules are
+definitional, not relational).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from dug_data_ingest_spark.functions.text import GOPHER_STOPWORDS, gopher_quality_flags
+
+
+def _model(text: str | None) -> dict | None:
+    if text is None:
+        return None
+    words = [w for w in re.split(r"\s+", text.strip()) if w != ""] if text.strip() else []
+    nw = len(words)
+    lines = text.split("\n")
+
+    def ratio_ok(pred):
+        return pred() if nw > 0 else False
+
+    n_hash = text.count("#")
+    n_ell = text.count("...")
+    trimmed = [l.strip() for l in lines]
+    n_bullet = sum(1 for l in trimmed if l.startswith(("-", "*", "•")))
+    n_ell_end = sum(1 for l in trimmed if l.endswith("...") or l.endswith("…"))
+    norm = [
+        w
+        for w in re.sub(r"[^a-z0-9 ]", "", text.lower()).strip().split(" ")
+        if w != ""
+    ]
+    flags = {
+        "n_words_ok": 50 <= nw <= 100_000,
+        "mean_word_len_ok": ratio_ok(
+            lambda: 3.0 <= sum(len(w) for w in words) / nw <= 10.0
+        ),
+        "symbol_ratio_ok": ratio_ok(lambda: (n_hash + n_ell) / nw <= 0.1),
+        "bullet_lines_ok": n_bullet / len(lines) <= 0.9,
+        "ellipsis_lines_ok": n_ell_end / len(lines) <= 0.3,
+        "alpha_words_ok": ratio_ok(
+            lambda: sum(1 for w in words if re.search("[A-Za-z]", w)) / nw >= 0.8
+        ),
+        "stopwords_ok": len(set(norm) & set(GOPHER_STOPWORDS)) >= 2,
+    }
+    flags["passes"] = all(flags.values())
+    return flags
+
+
+_GOOD = (
+    "The quick brown fox jumps over the lazy dog and then continues to "
+    "run with great speed because it must have been chased by that "
+    "farmer who wanted to be rid of foxes near the barn. "
+) * 3  # ~100 words, prose-like
+
+_DOCS = [
+    _GOOD,                                        # passes everything
+    "",                                           # 0 words
+    "   \n \n ",                                  # whitespace only
+    "short text with the and of",                 # < 50 words
+    "x " * 60,                                    # mean word len < 3, no stopword pair... (x repeated)
+    ("supercalifragilistic " * 60),               # mean word len > 10
+    _GOOD + " ##### # # # # # # # # # # # # # # # # # # # ####",  # symbols
+    "\n".join(["- bullet item with the words of a list"] * 10),   # all bullets
+    "\n".join([_GOOD] + ["trailing thought..."] * 9),             # 90% ellipsis ends -> fail
+    ("42 " * 30 + "9000 " * 30).strip(),          # numeric words, alpha < 80%
+    _GOOD.replace("the", "le").replace("and", "et").replace("to", "a")
+    .replace("of", "de").replace("have", "ai").replace("that", "ce")
+    .replace("with", "avec").replace("be", "etre"),  # stopwords < 2
+    None,                                         # NULL text
+    "word\n" + ("nice the words of prose flowing onward " * 8),   # multiline pass-ish
+    "\n".join(["\t- tab-indented bullet of the list"] * 10),      # tabs hide bullets from trim()
+]
+
+
+def test_gopher_flags_match_model(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_DOCS)], "doc_id int, text string"
+    )
+    got_rows = (
+        df.select("doc_id", gopher_quality_flags(F.col("text")).alias("g"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    for row in got_rows:
+        want = _model(_DOCS[row["doc_id"]])
+        got = None if row["g"] is None or row["g"]["passes"] is None and _DOCS[row["doc_id"]] is None else row["g"].asDict()
+        if want is None:
+            # NULL text -> every field NULL
+            assert row["g"]["passes"] is None, row
+            continue
+        assert got == want, (row["doc_id"], got, want)
+
+
+def test_gopher_gate_is_pure_projection(spark):
+    # the gate must stay whole-stage-codegen: no UDFs, no exchange —
+    # a filter on passes is a scan-side predicate at any corpus size
+    from tests.conftest import TEST_SF_DIR
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    out = docs.select(
+        "doc_id", gopher_quality_flags(F.col("text")).alias("g")
+    ).filter(F.col("g.passes"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert out.count() >= 0
