@@ -201,6 +201,60 @@ def gopher_quality_flags(text: Column) -> Column:
     )
 
 
+def c4_clean(text: Column, min_line_words: int = 5, min_sentences: int = 3) -> Column:
+    """The C4 line/page cleaning rules (Raffel et al. 2020 §2.2) as
+    one codegen struct column — the other canonical public web-text
+    filter beside ``gopher_quality_flags``:
+
+    - keep only lines that end in a terminal punctuation mark
+      (``. ! ? "``, post-strip), have >= ``min_line_words`` words,
+      and do not contain the word "javascript" (case-insensitive —
+      the cookie/JS boilerplate rule);
+    - the PAGE is dropped (``page_ok = false``) when the original
+      text contains "lorem ipsum" (case-insensitive) or a ``{``
+      (code), or when fewer than ``min_sentences`` kept lines remain
+      (the paper counts sentences; kept terminal-punctuated lines are
+      the standard DataFrame-friendly proxy, documented here so the
+      approximation is explicit).
+
+    Returns ``struct(text_clean, n_kept_lines, page_ok)``;
+    ``text_clean`` is the kept lines re-joined with newlines. NULL
+    text stays NULL throughout. Pure Column expressions — the whole
+    filter is a projection; gate with ``WHERE c.page_ok`` and write
+    ``c.text_clean``.
+
+    Model-pinned against a pure-Python walk in
+    tests/test_gopher_rules.py.
+    """
+    strip = lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")  # noqa: E731
+
+    def keep(line: Column) -> Column:
+        s = strip(line)
+        terminal = (
+            s.endswith(".") | s.endswith("!") | s.endswith("?") | s.endswith('"')
+        )
+        enough_words = (
+            F.size(F.filter(F.split(s, r"\s+"), lambda w: w != ""))
+            >= min_line_words
+        )
+        no_js = ~F.lower(s).contains("javascript")
+        return terminal & enough_words & no_js
+
+    kept = F.filter(F.split(text, r"\n"), keep)
+    kept_stripped = F.transform(kept, strip)
+    n_kept = F.size(kept)
+    page_ok = (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (n_kept >= min_sentences)
+    )
+    return F.struct(
+        F.array_join(kept_stripped, "\n").alias("text_clean"),
+        n_kept.alias("n_kept_lines"),
+        page_ok.alias("page_ok"),
+    )
+
+
 def normalized_words(text: Column) -> Column:
     """lowercase, strip non-alphanumerics, split — the canonical token
     stream used by fingerprinting and shingling.

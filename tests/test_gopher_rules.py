@@ -96,6 +96,64 @@ def test_gopher_flags_match_model(spark):
         assert got == want, (row["doc_id"], got, want)
 
 
+def _c4_model(text: str | None, min_line_words=5, min_sentences=3):
+    if text is None:
+        return None
+    kept = []
+    for raw in text.split("\n"):
+        s = raw.strip()
+        words = [w for w in re.split(r"\s+", s) if w]
+        if (
+            s.endswith((".", "!", "?", '"'))
+            and len(words) >= min_line_words
+            and "javascript" not in s.lower()
+        ):
+            kept.append(s)
+    page_ok = (
+        "lorem ipsum" not in text.lower()
+        and "{" not in text
+        and len(kept) >= min_sentences
+    )
+    return {"text_clean": "\n".join(kept), "n_kept_lines": len(kept), "page_ok": page_ok}
+
+
+_C4_DOCS = [
+    "Good first sentence here today.\nShort line.\nPlease enable javascript to view this.\n"
+    "Another quite long and proper sentence!\nAnd a third full sentence for the page?\n"
+    "no terminal punctuation on this one",
+    "This page contains lorem ipsum filler text in the body.\n"
+    "A perfectly fine sentence follows it here.\nAnd another one to make three lines total.\n"
+    "Plus one more complete sentence right here.",
+    "function() { return 1; } is code.\nA fine sentence follows the code block here.\n"
+    "And another full sentence closes the page now.\nOne more proper sentence for good measure.",
+    'He said "stop right there, friend."\nShe quoted back "fine, you win the argument!"\n'
+    'A closing line that ends with a quote mark."',
+    "",
+    None,
+    "\tIndented sentence with enough words to count.\nSecond proper sentence of this tidy page.\n"
+    "Third full sentence keeps the page alive today.",
+]
+
+
+def test_c4_clean_matches_model(spark):
+    from dug_data_ingest_spark.functions.text import c4_clean
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_C4_DOCS)], "doc_id int, text string"
+    )
+    rows = (
+        df.select("doc_id", c4_clean(F.col("text")).alias("c"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    for row in rows:
+        want = _c4_model(_C4_DOCS[row["doc_id"]])
+        if want is None:
+            assert row["c"]["page_ok"] is None, row
+            continue
+        assert row["c"].asDict() == want, (row["doc_id"], row["c"].asDict(), want)
+
+
 def test_gopher_gate_is_pure_projection(spark):
     # the gate must stay whole-stage-codegen: no UDFs, no exchange —
     # a filter on passes is a scan-side predicate at any corpus size
