@@ -201,6 +201,149 @@ def gopher_quality_flags(text: Column) -> Column:
     )
 
 
+def _run_stats(arr: Column) -> Column:
+    """Duplicate/top statistics of a string array in ONE row-local
+    O(n log n) pass: ``struct(n, dup_n, total_chars, dup_chars,
+    top_chars)`` where dup_* counts occurrences BEYOND THE FIRST of
+    each distinct value and top_chars is occurrences×length of the
+    most-repeated value. array_sort puts equal values adjacent, then
+    a struct-accumulator aggregate walks the runs — no explode, no
+    shuffle, JVM-side."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run_chars"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(0).cast("bigint").alias("dup_n"),
+        F.lit(0).cast("bigint").alias("total"),
+        F.lit(0).cast("bigint").alias("dup"),
+        F.lit(0).cast("bigint").alias("top"),
+    )
+
+    def step(acc, x):
+        same = acc.prev.eqNullSafe(x)
+        ln = F.length(x).cast("bigint")
+        run_chars = F.when(same, acc.run_chars + ln).otherwise(ln)
+        return F.struct(
+            x.alias("prev"),
+            run_chars.alias("run_chars"),
+            (acc.n + 1).alias("n"),
+            F.when(same, acc.dup_n + 1).otherwise(acc.dup_n).alias("dup_n"),
+            (acc.total + ln).alias("total"),
+            F.when(same, acc.dup + ln).otherwise(acc.dup).alias("dup"),
+            F.greatest(acc.top, run_chars).alias("top"),
+        )
+
+    st = F.aggregate(s, init, step)
+    return F.struct(
+        st.n.alias("n"),
+        st.dup_n.alias("dup_n"),
+        st.total.alias("total_chars"),
+        st.dup.alias("dup_chars"),
+        st.top.alias("top_chars"),
+    )
+
+
+# (rule name, n-gram width, threshold) — the paper's Table A1 values
+_GOPHER_TOP_NGRAM = [("top2gram_ok", 2, 0.20), ("top3gram_ok", 3, 0.18), ("top4gram_ok", 4, 0.16)]
+_GOPHER_DUP_NGRAM = [
+    ("dup5gram_ok", 5, 0.15), ("dup6gram_ok", 6, 0.14), ("dup7gram_ok", 7, 0.13),
+    ("dup8gram_ok", 8, 0.12), ("dup9gram_ok", 9, 0.11), ("dup10gram_ok", 10, 0.10),
+]
+
+
+def gopher_repetition_flags(text: Column, words: Column | None = None) -> Column:
+    """The repetition half of the Gopher filter (Rae et al. 2021
+    Table A1) as one codegen struct column, completing
+    ``gopher_quality_flags``:
+
+    - ``dup_line_frac_ok``: <= 30% of lines are repeats (occurrences
+      beyond the first of an identical line)
+    - ``dup_para_frac_ok``: <= 30% of paragraphs (blank-line-split)
+      are repeats
+    - ``dup_line_char_frac_ok`` / ``dup_para_char_frac_ok``: <= 20%
+      of line/paragraph characters sit in those repeats
+    - ``top{2,3,4}gram_ok``: the most frequent word n-gram holds
+      <= 20/18/16% of n-gram characters
+    - ``dup{5..10}gram_ok``: characters in repeated n-grams hold
+      <= 15/14/13/12/11/10%
+
+    Denominator convention (documented because published
+    implementations differ): line/paragraph fractions are over the
+    doc's own lines/paragraphs and their summed characters; n-gram
+    fractions are over the summed characters of the doc's n-gram
+    array itself (normalized words, overlapping shingles — the
+    array this engine's dedup stack already builds). All fractions
+    are row-local array aggregates (``_run_stats``) — the whole
+    filter is a projection, no shuffle, no Python. NULL text yields
+    NULL flags; a doc with no content fails closed (FALSE), matching
+    gopher_quality_flags.
+
+    Perf note: the six shingle widths each reference the word array
+    inside a lambda, and higher-order functions re-evaluate an INLINE
+    argument per element (see shingles_of). For corpus-scale use,
+    project the word array once and pass it in::
+
+        docs.withColumn("__w", normalized_words(F.col("text")))
+            .select(gopher_repetition_flags(F.col("text"), F.col("__w")))
+
+    The default (``words=None``) derives it inline — correct, just
+    slower on long documents.
+    """
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")),
+        lambda l: l != "",
+    )
+    paras = F.filter(
+        F.transform(F.split(text, r"\n{2,}"), lambda p: F.regexp_replace(p, r"^\s+|\s+$", "")),
+        lambda p: p != "",
+    )
+    if words is None:
+        words = normalized_words(text)
+
+    def frac_flags(stats: Column, frac_name: str, char_name: str) -> dict:
+        n_d = stats.getField("n").cast("double")
+        tot_d = stats.getField("total_chars").cast("double")
+        safe_n = F.when(stats.getField("n") > 0, n_d)
+        safe_tot = F.when(stats.getField("total_chars") > 0, tot_d)
+        return {
+            frac_name: (stats.getField("dup_n") / safe_n) <= 0.30,
+            char_name: (stats.getField("dup_chars") / safe_tot) <= 0.20,
+        }
+
+    flags: dict[str, Column] = {}
+    flags.update(frac_flags(_run_stats(lines), "dup_line_frac_ok", "dup_line_char_frac_ok"))
+    flags.update(frac_flags(_run_stats(paras), "dup_para_frac_ok", "dup_para_char_frac_ok"))
+    # a doc too short to form any n-gram has nothing to repeat: the
+    # n-gram rules pass vacuously (published implementations agree),
+    # unlike the fail-closed empty-doc line rules
+    for name, k, thr in _GOPHER_TOP_NGRAM:
+        st = _run_stats(shingles_of(words, k))
+        tot = F.when(st.getField("total_chars") > 0, st.getField("total_chars").cast("double"))
+        flags[name] = F.when(st.getField("n") == 0, F.lit(True)).otherwise(
+            (st.getField("top_chars") / tot) <= thr
+        )
+    for name, k, thr in _GOPHER_DUP_NGRAM:
+        st = _run_stats(shingles_of(words, k))
+        tot = F.when(st.getField("total_chars") > 0, st.getField("total_chars").cast("double"))
+        flags[name] = F.when(st.getField("n") == 0, F.lit(True)).otherwise(
+            (st.getField("dup_chars") / tot) <= thr
+        )
+
+    safe_flags = {
+        k: F.when(text.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.coalesce(v, F.lit(False))
+        )
+        for k, v in flags.items()
+    }
+    passes = None
+    for v in safe_flags.values():
+        passes = v if passes is None else (passes & v)
+    return F.struct(
+        *[v.alias(k) for k, v in safe_flags.items()], passes.alias("passes")
+    )
+
+
 def c4_clean(text: Column, min_line_words: int = 5, min_sentences: int = 3) -> Column:
     """The C4 line/page cleaning rules (Raffel et al. 2020 §2.2) as
     one codegen struct column — the other canonical public web-text

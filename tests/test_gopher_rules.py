@@ -154,6 +154,125 @@ def test_c4_clean_matches_model(spark):
         assert row["c"].asDict() == want, (row["doc_id"], row["c"].asDict(), want)
 
 
+def _rep_model(text: str | None):
+    if text is None:
+        return None
+
+    def run_stats(items):
+        from collections import Counter
+
+        c = Counter(items)
+        n = len(items)
+        dup_n = sum(v - 1 for v in c.values())
+        total = sum(len(x) for x in items)
+        dup = sum((v - 1) * len(x) for x, v in c.items())
+        top = max((v * len(x) for x, v in c.items()), default=0)
+        return n, dup_n, total, dup, top
+
+    def frac(a, b):
+        return a / b if b else None
+
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    paras = [p.strip() for p in re.split(r"\n{2,}", text) if p.strip()]
+    norm = [
+        w
+        for w in re.sub(r"[^a-z0-9 ]", "", text.lower()).strip().split(" ")
+        if w != ""
+    ]
+
+    def grams(k):
+        if len(norm) < k or norm == []:
+            return []
+        return [" ".join(norm[i : i + k]) for i in range(len(norm) - k + 1)]
+
+    flags = {}
+    for name_f, name_c, items in [
+        ("dup_line_frac_ok", "dup_line_char_frac_ok", lines),
+        ("dup_para_frac_ok", "dup_para_char_frac_ok", paras),
+    ]:
+        n, dup_n, total, dup, _ = run_stats(items)
+        fr, cf = frac(dup_n, n), frac(dup, total)
+        flags[name_f] = fr is not None and fr <= 0.30
+        flags[name_c] = cf is not None and cf <= 0.20
+    for name, k, thr in [("top2gram_ok", 2, 0.20), ("top3gram_ok", 3, 0.18), ("top4gram_ok", 4, 0.16)]:
+        g = grams(k)
+        if not g:
+            flags[name] = True
+            continue
+        n, _, total, _, top = run_stats(g)
+        tf = frac(top, total)
+        flags[name] = tf is not None and tf <= thr
+    for name, k, thr in [
+        ("dup5gram_ok", 5, 0.15), ("dup6gram_ok", 6, 0.14), ("dup7gram_ok", 7, 0.13),
+        ("dup8gram_ok", 8, 0.12), ("dup9gram_ok", 9, 0.11), ("dup10gram_ok", 10, 0.10),
+    ]:
+        g = grams(k)
+        if not g:
+            flags[name] = True
+            continue
+        n, _, total, dup, _ = run_stats(g)
+        df_ = frac(dup, total)
+        flags[name] = df_ is not None and df_ <= thr
+    flags["passes"] = all(flags.values())
+    return flags
+
+
+_VARIED = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+    "omega one two three four five six seven eight nine ten eleven "
+    "twelve thirteen fourteen fifteen sixteen."
+)
+
+_REP_DOCS = [
+    _VARIED,                                       # varied prose: all pass
+    "same line here.\nsame line here.\nsame line here.\nunique one.",  # dup lines
+    ("para one stands alone.\n\n" + "repeated paragraph body.\n\n" * 4).strip(),
+    "the cat sat " * 30,                           # one dominant 3-gram
+    ("unique words once " + _VARIED + " ") * 1 + ("repeat this exact five gram block " * 6),
+    "",                                            # empty: line rules fail closed, grams vacuous
+    None,
+    "tiny doc.",                                   # too short for 5-grams -> vacuous pass
+]
+
+
+def test_gopher_repetition_flags_match_model(spark):
+    from dug_data_ingest_spark.functions.text import gopher_repetition_flags
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_REP_DOCS)], "doc_id int, text string"
+    )
+    rows = (
+        df.select("doc_id", gopher_repetition_flags(F.col("text")).alias("g"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    for row in rows:
+        want = _rep_model(_REP_DOCS[row["doc_id"]])
+        if want is None:
+            assert row["g"]["passes"] is None, row
+            continue
+        assert row["g"].asDict() == want, (row["doc_id"], row["g"].asDict(), want)
+
+
+def test_gopher_repetition_prematerialized_words_equal_inline(spark):
+    # the documented perf escape hatch must not change values
+    from dug_data_ingest_spark.functions.text import (
+        gopher_repetition_flags,
+        normalized_words,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_REP_DOCS) if t is not None],
+        "doc_id int, text string",
+    )
+    inline = df.select("doc_id", gopher_repetition_flags(F.col("text")).alias("g"))
+    pre = df.withColumn("__w", normalized_words(F.col("text"))).select(
+        "doc_id", gopher_repetition_flags(F.col("text"), F.col("__w")).alias("g")
+    )
+    assert sorted(map(repr, inline.collect())) == sorted(map(repr, pre.collect()))
+
+
 def test_gopher_gate_is_pure_projection(spark):
     # the gate must stay whole-stage-codegen: no UDFs, no exchange —
     # a filter on passes is a scan-side predicate at any corpus size
