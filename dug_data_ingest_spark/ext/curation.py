@@ -114,6 +114,70 @@ def with_token_counts(
     )
 
 
+def gate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    reason_col: str = "reject_reason",
+    use_c4_page_rule: bool = True,
+) -> DataFrame:
+    """Quarantine-style gate over the NAMED public web-text filters:
+    every input row comes back with ``reason_col`` = NULL (keep) or
+    the first failing rule's name — ``operators.filters.
+    required_fields_reason``'s idiom applied to content quality, so
+    the same ``split_valid_quarantine`` downstream splits corpus from
+    rejects and nothing silently vanishes.
+
+    Rule order (first failure names the reason, so the order is the
+    triage order, cheap-and-decisive first): NULL text →
+    ``null_text``; the Gopher quality rules (functions/text.py::
+    gopher_quality_flags) each under ``gopher:<flag>``; the Gopher
+    repetition rules under ``gopher_rep:<flag>``; optionally the C4
+    page gate under ``c4:page``. All pure Column expressions — the
+    gate is one projection; the word array is materialized ONCE and
+    shared by the repetition shingles (the documented
+    gopher_repetition_flags perf contract).
+    """
+    from dug_data_ingest_spark.functions.text import (
+        c4_clean,
+        gopher_quality_flags,
+        gopher_repetition_flags,
+        normalized_words,
+    )
+
+    text = F.col(text_col)
+    words_col = "__gate_words"
+    while words_col in docs.columns:
+        words_col += "_"
+    staged = (
+        docs.withColumn(words_col, normalized_words(text))
+        .withColumn("__gate_q", gopher_quality_flags(text))
+        .withColumn(
+            "__gate_r", gopher_repetition_flags(text, F.col(words_col))
+        )
+    )
+    reason = F.when(text.isNull(), F.lit("null_text"))
+    q_fields = [f.name for f in staged.schema["__gate_q"].dataType.fields if f.name != "passes"]
+    for name in q_fields:
+        reason = reason.when(
+            ~F.col(f"__gate_q.{name}"), F.lit(f"gopher:{name}")
+        )
+    r_fields = [f.name for f in staged.schema["__gate_r"].dataType.fields if f.name != "passes"]
+    for name in r_fields:
+        reason = reason.when(
+            ~F.col(f"__gate_r.{name}"), F.lit(f"gopher_rep:{name}")
+        )
+    if use_c4_page_rule:
+        staged = staged.withColumn("__gate_c4", c4_clean(text))
+        reason = reason.when(
+            ~F.col("__gate_c4.page_ok"), F.lit("c4:page")
+        )
+    return staged.withColumn(
+        reason_col, reason.otherwise(F.lit(None).cast("string"))
+    ).drop(words_col, "__gate_q", "__gate_r", *(
+        ["__gate_c4"] if use_c4_page_rule else []
+    ))
+
+
 def pack_sequences(
     docs: DataFrame,
     cap: int = 256,

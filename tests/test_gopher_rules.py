@@ -273,6 +273,48 @@ def test_gopher_repetition_prematerialized_words_equal_inline(spark):
     assert sorted(map(repr, inline.collect())) == sorted(map(repr, pre.collect()))
 
 
+def test_gate_documents_names_the_first_failing_rule(spark):
+    from dug_data_ingest_spark.ext.curation import gate_documents
+    from dug_data_ingest_spark.operators.filters import split_valid_quarantine
+
+    prose_50 = (
+        "The quick brown fox jumps over the lazy dog and then continues "
+        "to run with great speed because it must have been chased by "
+        "that farmer who wanted to be rid of all foxes near the barn. "
+        "It was quite the chase to behold on that morning, with dust "
+        "flying and hens scattering everywhere across the yard."
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, prose_50),                          # keeps (c4 off below)
+            (1, None),                              # null_text
+            (2, "too short with the and of."),      # gopher:n_words_ok
+            (3, ("the same exact line of prose with words repeated today.\n" * 40).strip()),
+        ],
+        "doc_id int, text string",
+    )
+    out = gate_documents(docs, use_c4_page_rule=False)
+    reasons = {r["doc_id"]: r["reject_reason"] for r in out.collect()}
+    assert reasons[0] is None
+    assert reasons[1] == "null_text"
+    assert reasons[2] == "gopher:n_words_ok"
+    assert reasons[3].startswith("gopher_rep:dup_line"), reasons[3]
+    # the staging columns must not leak
+    assert set(out.columns) == {"doc_id", "text", "reject_reason"}
+
+    valid, quarantine = split_valid_quarantine(out)
+    assert {r["doc_id"] for r in valid.collect()} == {0}
+    assert {r["doc_id"] for r in quarantine.collect()} == {1, 2, 3}
+
+    # with the C4 page rule on, prose without terminal-punctuated
+    # 5-word lines... doc 0 HAS terminal punctuation and 3+ kept
+    # sentences only if line-split sees them — it is one long line
+    # ending in '.', so n_kept_lines = 1 < 3 -> c4:page
+    with_c4 = gate_documents(docs)
+    r0 = {r["doc_id"]: r["reject_reason"] for r in with_c4.collect()}[0]
+    assert r0 == "c4:page"
+
+
 def test_gopher_gate_is_pure_projection(spark):
     # the gate must stay whole-stage-codegen: no UDFs, no exchange —
     # a filter on passes is a scan-side predicate at any corpus size
