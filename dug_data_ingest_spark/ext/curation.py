@@ -51,6 +51,40 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The audit artifact ``decontaminate`` doesn't emit: WHICH eval
+    document leaked into WHICH training document, and how strongly —
+    ``(train_id, eval_id, n_shared_shingles)`` for every pair sharing
+    at least one k-word shingle. ``decontaminate`` answers "give me a
+    clean corpus"; this answers "show me the leak" (benchmark-eval
+    forensics, contamination dashboards, deciding whether a hit is a
+    quotation or a verbatim copy by its shingle count).
+
+    Same scale shape as decontaminate: the eval side is
+    benchmark-sized and broadcasts WITH its ids; the train side is
+    scanned once, never shuffled on the shingle (the pair groupBy
+    shuffles only actual hits). Consistency with decontaminate is
+    pinned in tests: the report's distinct train ids ARE the dropped
+    set.
+    """
+    eval_sh = doc_shingles(eval_docs, text_col, id_col, k).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    hits = doc_shingles(train, text_col, id_col, k).join(
+        F.broadcast(eval_sh), "shingle"
+    )
+    return (
+        hits.groupBy(F.col(id_col).alias("train_id"), "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def hash_sample(
     docs: DataFrame,
     pct: int,

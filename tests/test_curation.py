@@ -78,6 +78,55 @@ def test_decontaminate_drops_shingle_overlap_only(spark):
     assert kept == [2, 3, 4]
 
 
+def test_contamination_report_matches_model_and_decontaminate(spark):
+    from dug_data_ingest_spark.ext.curation import (
+        contamination_report,
+        decontaminate,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),   # hits eval 10 (3 shingles)
+            (2, "one two three four five six"),               # clean
+            (3, "alpha beta gamma delta qq rr"),              # hits eval 10 (1 shingle)
+            (4, None),                                        # null text: no shingles
+        ],
+        "doc_id int, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"), (11, "seven eight nine ten eleven")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared_shingles"]
+        for r in contamination_report(train, eval_docs, k=5).collect()
+    }
+
+    # model: 5-gram shingle sets intersected pairwise
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)} if len(w) >= 5 else set()
+
+    texts = {1: "alpha beta gamma delta epsilon zeta eta",
+             2: "one two three four five six",
+             3: "alpha beta gamma delta qq rr",
+             4: ""}
+    evals = {10: "alpha beta gamma delta epsilon", 11: "seven eight nine ten eleven"}
+    want = {}
+    for ti, tt in texts.items():
+        for ei, et in evals.items():
+            n = len(sh(tt) & sh(et))
+            if n:
+                want[(ti, ei)] = n
+    assert got == want
+
+    # consistency: the report's distinct train ids ARE decontaminate's drop set
+    survivors = {r["doc_id"] for r in decontaminate(train, eval_docs, k=5).collect()}
+    reported = {t for t, _ in got}
+    assert reported == {1}  # only doc 1 shares a full 5-gram
+    assert survivors == {1, 2, 3, 4} - reported
+
+
 def test_hash_sample_partition_invariant_and_bounded(spark):
     docs = _docs(spark, [(i, "t", "s") for i in range(200)])
     a = sorted(r.doc_id for r in hash_sample(docs, 10).collect())
