@@ -191,6 +191,17 @@ _REGRADE_BEFORE_ROUND = {
     # (ext/curation.py::stratified_exact_k) — same exact values (the
     # oracle IS the naive form), but the executed plan changed
     "sample-stratified-exact": 9,
+    # r10: the symmetric jaccard family switched onto the PPJoin
+    # prefix path (ext/dedup.py::ngram_jaccard_pairs_prefix) with
+    # EXACT-semantics oracles (the capped oracle minus its QUALIFY) —
+    # the rehearsed round-9 switch. Values identical on the driver
+    # data (the sf0.01 df cap was a no-op), but query AND oracle both
+    # changed, so the r8/r9 greens graded a pair that no longer
+    # exists. No defer marker: these lead the r10 window at vintage -1
+    # (the verdict's plan: 3 changed pairs + 47 oldest regrades).
+    "dedup-ngram-jaccard": 10,
+    "dedup-cluster": 10,
+    "dedup-survivors": 10,
 }
 
 

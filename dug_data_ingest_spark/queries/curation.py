@@ -535,8 +535,11 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Reuse the k=3 shingle + df-cap CTEs (and the cap constant) from
-# extensions so dedup-ngram-jaccard / dedup-containment / this slug
-# can never silently diverge in shingle construction or cap value.
+# extensions so dedup-containment / this slug can never silently
+# diverge in shingle construction or cap value. (dedup-ngram-jaccard
+# moved onto the exact prefix path in r10; the batch×corpus join here
+# keeps the df cap — the probe side is a small batch, so the cap's
+# filtered-Jaccard trade is the right one for incremental ingest.)
 from dug_data_ingest_spark.queries.extensions import (  # noqa: E402
     _JACCARD_CAP,
     _KEPT_CTE,

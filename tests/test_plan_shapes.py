@@ -87,9 +87,10 @@ def test_minhash_sketch_is_single_shuffle(queries, spark):
 
 
 def test_jaccard_candidate_join_never_sort_merges_at_test_scale(queries, spark):
-    # At test scale the shingle self-join's build side is small, so the
-    # planner must pick broadcast (build-side recompute is cheaper than
-    # two shuffles); at real scale both sides become identical
+    # Since r10 the graded path is the PPJoin prefix filter: the
+    # candidate self-join joins only each doc's rarest-shingle prefix,
+    # and at test scale its build side is small, so the planner must
+    # pick broadcast; at real scale both sides become identical
     # hashpartitioning(shingle) exchanges and ReuseExchange kicks in.
     # Either way a SortMergeJoin of a recomputed side is never right.
     plan = _plan(queries["dedup-ngram-jaccard"](spark, SF_DIR))
@@ -97,18 +98,30 @@ def test_jaccard_candidate_join_never_sort_merges_at_test_scale(queries, spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_prefix_jaccard_verify_never_cartesian(queries, spark):
+    # The exact-verify stage joins the candidate pair list back to the
+    # checkpointed shingle-set arrays twice, by doc id — equi-joins
+    # only. A CartesianProduct / BroadcastNestedLoopJoin anywhere means
+    # the verify regressed to pairwise scoring.
+    plan = _plan(queries["dedup-ngram-jaccard"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 @pytest.mark.parametrize("slug", ["dedup-ngram-jaccard", "dedup-containment"])
 def test_shingle_self_join_reuses_pipeline_in_final_plan(queries, spark, slug):
     # The claim pinned here is the one that matters at 100 TB: the
-    # heavy corpus pipeline (scan -> shingle explode -> df-cap
-    # anti-join -> doc_id shuffle for the set-size window) is computed
-    # ONCE, and the self-join's second side feeds from a ReusedExchange
-    # of it — only the cheap Window re-runs per side. AQE performs this
-    # reuse at stage materialization, so it is only visible in the
-    # FINALIZED plan: the query must be executed via its OWN plan
-    # (df.collect(); df.count() would build a separate QueryExecution
-    # and leave this one at isFinalPlan=false showing two full
-    # pipelines — the measurement trap documented in SCALE.md).
+    # heavy per-side pipeline — for containment the scan -> shingle
+    # explode -> df-cap anti-join; for the prefix path the
+    # explode+df-join+doc_id shuffle that feeds the prefix window — is
+    # computed ONCE, and the self-join's second side feeds from a
+    # ReusedExchange of it (only the cheap Window/projection re-runs
+    # per side). AQE performs this reuse at stage materialization, so
+    # it is only visible in the FINALIZED plan: the query must be
+    # executed via its OWN plan (df.collect(); df.count() would build
+    # a separate QueryExecution and leave this one at
+    # isFinalPlan=false showing two full pipelines — the measurement
+    # trap documented in SCALE.md).
     df = queries[slug](spark, SF_DIR)
     df.collect()
     plan = _plan(df)
@@ -438,10 +451,12 @@ def test_sessionize_single_window_exchange(queries, spark):
 )
 def test_shingle_join_keeps_ppjoin_length_filter(queries, spark, slug):
     # The PPJoin length filter (J <= min/max of the set sizes, the
-    # directional nb >= t*na for containment) sits between the shingle
-    # join and the pair groupBy, cutting the candidate shuffle by the
-    # mismatched-size fraction (63% on the sf0.1 corpus). It is
-    # result-preserving, so only a plan pin can catch its silent loss.
+    # directional nb >= t*na for containment) sits between the
+    # candidate join and the downstream stage — on the r10 prefix path
+    # it prunes candidate pairs before the distinct+verify; on the
+    # capped paths it cuts the candidate shuffle by the mismatched-size
+    # fraction (63% on the sf0.1 corpus). It is result-preserving, so
+    # only a plan pin can catch its silent loss.
     plan = _plan(queries[slug](spark, SF_DIR))
     symmetric = re.search(r"least\(na#\d+L?, n[bc]#\d+L?\)", plan)
     directional = re.search(

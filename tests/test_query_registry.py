@@ -189,7 +189,17 @@ def test_window_projection_on_real_registry(tmp_path, monkeypatch):
 
     _write(tmp_path, mx + 1, {s: GOOD for s in this_window})
     next_window = Q._prioritized(slugs)[:50]
-    # marker expiry: the waiting registrations become never-graded leads
-    assert set(next_window[: len(waiting)]) == waiting
+    # marker expiry: the waiting registrations become never-graded
+    # leads — alongside any slug whose regrade cutoff is still ahead
+    # of the simulated round (a cutoff beyond mx+1 means even the
+    # fresh simulated green graded a pair older than the cutoff's
+    # semantic change, so the slug legitimately stays at vintage -1;
+    # e.g. the r10 prefix-switch cutoffs under this r7 snapshot)
+    still_invalid = {
+        s for s in this_window if Q._REGRADE_BEFORE_ROUND.get(s, 0) > mx + 1
+    }
+    leads = waiting | still_invalid
+    assert set(next_window[: len(leads)]) == leads
     # and nothing freshly graded re-enters the very next window
-    assert not (set(next_window) & set(this_window))
+    # (except the still-invalidated, which must)
+    assert set(next_window) & set(this_window) == still_invalid

@@ -132,11 +132,26 @@ def _load(spec: str) -> tuple[str, dict]:
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
+    # hand-rolled parse: `--threshold 1.4` consumes its value token so
+    # it never lands in the positional list (`--threshold=1.4` works
+    # too; a bare trailing --threshold is an error)
+    args: list[str] = []
     threshold = 1.5
-    for a in argv:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+            if "=" in a:
+                threshold = float(a.split("=", 1)[1])
+            else:
+                if i + 1 >= len(argv):
+                    print("--threshold requires a value", file=sys.stderr)
+                    return 2
+                threshold = float(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     base_spec = args[0] if len(args) > 0 else "history"
     head_spec = args[1] if len(args) > 1 else "clean"
     base_name, base = _load(base_spec)

@@ -126,10 +126,13 @@ def main() -> int:
             # the fused sketch path the graded query uses
             minhash_band_keys(minhash_signatures_wide(doc_shingles(docs)))
         ).count(),
+        # the df-capped shared-shingle join: still the graded shape for
+        # dedup-containment and the incremental-dedup batch×corpus join
         "dedup-ngram-jaccard": lambda: ngram_jaccard_pairs(
             docs, threshold=0.8, max_doc_freq=1000
         ).count(),
-        # exact-semantics prefix-filtered path: under 'disjoint' the
+        # exact-semantics prefix-filtered path (the graded
+        # dedup-ngram-jaccard shape since r10): under 'disjoint' the
         # df-rarest prefixes stay unique per copy (linear growth);
         # under 'clique' every copy's prefix collides with its K
         # siblings — true output is ~K^2/2 pairs and candidates must
@@ -137,8 +140,9 @@ def main() -> int:
         "dedup-ngram-prefix": lambda: ngram_jaccard_pairs_prefix(
             docs, threshold=0.8
         ).count(),
+        # graded dedup-cluster consumes prefix pairs since r10
         "dedup-cluster": lambda: duplicate_clusters(
-            ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=1000)
+            ngram_jaccard_pairs_prefix(docs, threshold=0.8)
         ).count(),
         "dedup-simhash": lambda: simhash64(docs).count(),
         # span-level verbatim dedup: under 'clique' inflation every
