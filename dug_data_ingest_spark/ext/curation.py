@@ -179,36 +179,44 @@ def gate_documents(
     )
 
     text = F.col(text_col)
-    words_col = "__gate_words"
-    while words_col in docs.columns:
-        words_col += "_"
+
+    # every staging column gets the same suffix-until-free guard: an
+    # input that already carries __gate_q / __gate_r / __gate_c4 /
+    # __gate_words must come back with those columns intact, not
+    # silently overwritten and dropped
+    def _free(base: str) -> str:
+        name = base
+        while name in docs.columns:
+            name += "_"
+        return name
+
+    words_col = _free("__gate_words")
+    q_col, r_col, c4_col = _free("__gate_q"), _free("__gate_r"), _free("__gate_c4")
     staged = (
         docs.withColumn(words_col, normalized_words(text))
-        .withColumn("__gate_q", gopher_quality_flags(text))
-        .withColumn(
-            "__gate_r", gopher_repetition_flags(text, F.col(words_col))
-        )
+        .withColumn(q_col, gopher_quality_flags(text))
+        .withColumn(r_col, gopher_repetition_flags(text, F.col(words_col)))
     )
     reason = F.when(text.isNull(), F.lit("null_text"))
-    q_fields = [f.name for f in staged.schema["__gate_q"].dataType.fields if f.name != "passes"]
+    q_fields = [f.name for f in staged.schema[q_col].dataType.fields if f.name != "passes"]
     for name in q_fields:
         reason = reason.when(
-            ~F.col(f"__gate_q.{name}"), F.lit(f"gopher:{name}")
+            ~F.col(q_col).getField(name), F.lit(f"gopher:{name}")
         )
-    r_fields = [f.name for f in staged.schema["__gate_r"].dataType.fields if f.name != "passes"]
+    r_fields = [f.name for f in staged.schema[r_col].dataType.fields if f.name != "passes"]
     for name in r_fields:
         reason = reason.when(
-            ~F.col(f"__gate_r.{name}"), F.lit(f"gopher_rep:{name}")
+            ~F.col(r_col).getField(name), F.lit(f"gopher_rep:{name}")
         )
     if use_c4_page_rule:
-        staged = staged.withColumn("__gate_c4", c4_clean(text))
+        staged = staged.withColumn(c4_col, c4_clean(text))
         reason = reason.when(
-            ~F.col("__gate_c4.page_ok"), F.lit("c4:page")
+            ~F.col(c4_col).getField("page_ok"), F.lit("c4:page")
         )
     return staged.withColumn(
         reason_col, reason.otherwise(F.lit(None).cast("string"))
-    ).drop(words_col, "__gate_q", "__gate_r", *(
-        ["__gate_c4"] if use_c4_page_rule else []
+    ).drop(words_col, q_col, r_col, *(
+        [c4_col] if use_c4_page_rule else []
     ))
 
 

@@ -109,7 +109,11 @@ def gopher_quality_flags(text: Column) -> Column:
 
     - ``n_words_ok``: 50 <= word count <= 100_000
     - ``mean_word_len_ok``: mean word length in [3, 10]
-    - ``symbol_ratio_ok``: (# of '#' or '...' occurrences) / words <= 0.1
+    - ``hash_ratio_ok``: (# of '#' occurrences) / words <= 0.1
+    - ``ellipsis_ratio_ok``: (# of '...' occurrences) / words <= 0.1
+      (the paper thresholds each symbol's ratio SEPARATELY — a doc
+      with 0.06 hash + 0.06 ellipsis passes both rules; a combined
+      0.12 ratio would wrongly fail it)
     - ``bullet_lines_ok``: <= 90% of lines start with a bullet
     - ``ellipsis_lines_ok``: <= 30% of lines end with an ellipsis
     - ``alpha_words_ok``: >= 80% of words contain an alphabetic char
@@ -142,7 +146,8 @@ def gopher_quality_flags(text: Column) -> Column:
     n_ellipsis = (
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
     ) / 3
-    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_nw
+    hash_ratio = n_hash.cast("double") / safe_nw
+    ellipsis_ratio = n_ellipsis.cast("double") / safe_nw
 
     lines = F.split(text, r"\n")
     n_lines = F.size(lines).cast("double")
@@ -170,7 +175,8 @@ def gopher_quality_flags(text: Column) -> Column:
 
     n_words_ok = (n_words >= 50) & (n_words <= 100_000)
     mean_word_len_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
-    symbol_ratio_ok = symbol_ratio <= 0.1
+    hash_ratio_ok = hash_ratio <= 0.1
+    ellipsis_ratio_ok = ellipsis_ratio <= 0.1
     bullet_lines_ok = (n_bullet / n_lines) <= 0.9
     ellipsis_lines_ok = (n_ell_end / n_lines) <= 0.3
     alpha_words_ok = (n_alpha / safe_nw) >= 0.8
@@ -179,7 +185,8 @@ def gopher_quality_flags(text: Column) -> Column:
     flags = {
         "n_words_ok": n_words_ok,
         "mean_word_len_ok": mean_word_len_ok,
-        "symbol_ratio_ok": symbol_ratio_ok,
+        "hash_ratio_ok": hash_ratio_ok,
+        "ellipsis_ratio_ok": ellipsis_ratio_ok,
         "bullet_lines_ok": bullet_lines_ok,
         "ellipsis_lines_ok": ellipsis_lines_ok,
         "alpha_words_ok": alpha_words_ok,

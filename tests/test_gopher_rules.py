@@ -39,7 +39,10 @@ def _model(text: str | None) -> dict | None:
         "mean_word_len_ok": ratio_ok(
             lambda: 3.0 <= sum(len(w) for w in words) / nw <= 10.0
         ),
-        "symbol_ratio_ok": ratio_ok(lambda: (n_hash + n_ell) / nw <= 0.1),
+        # the paper thresholds each symbol's ratio SEPARATELY (Rae et
+        # al. 2021 A1.1): 0.06 hash + 0.06 ellipsis passes both
+        "hash_ratio_ok": ratio_ok(lambda: n_hash / nw <= 0.1),
+        "ellipsis_ratio_ok": ratio_ok(lambda: n_ell / nw <= 0.1),
         "bullet_lines_ok": n_bullet / len(lines) <= 0.9,
         "ellipsis_lines_ok": n_ell_end / len(lines) <= 0.3,
         "alpha_words_ok": ratio_ok(
@@ -64,7 +67,11 @@ _DOCS = [
     "short text with the and of",                 # < 50 words
     "x " * 60,                                    # mean word len < 3, no stopword pair... (x repeated)
     ("supercalifragilistic " * 60),               # mean word len > 10
-    _GOOD + " ##### # # # # # # # # # # # # # # # # # # # ####",  # symbols
+    _GOOD + " ##### # # # # # # # # # # # # # # # # # # # ####",  # hash ratio > 0.1
+    _GOOD + " " + "... " * 20,                    # ellipsis ratio > 0.1 alone
+    # the per-symbol discriminator: ~0.06 hash + ~0.06 ellipsis ratios
+    # pass BOTH paper rules (a combined 0.12 ratio would wrongly fail)
+    _GOOD + " " + "# " * 9 + "... " * 9,
     "\n".join(["- bullet item with the words of a list"] * 10),   # all bullets
     "\n".join([_GOOD] + ["trailing thought..."] * 9),             # 90% ellipsis ends -> fail
     ("42 " * 30 + "9000 " * 30).strip(),          # numeric words, alpha < 80%
@@ -313,6 +320,29 @@ def test_gate_documents_names_the_first_failing_rule(spark):
     with_c4 = gate_documents(docs)
     r0 = {r["doc_id"]: r["reject_reason"] for r in with_c4.collect()}[0]
     assert r0 == "c4:page"
+
+
+def test_gate_documents_preserves_colliding_staging_columns(spark):
+    # an input already carrying __gate_q / __gate_r / __gate_c4 /
+    # __gate_words must come back with those columns INTACT — the
+    # suffix-until-free guard applies to every staging column, not
+    # just the words array
+    from dug_data_ingest_spark.ext.curation import gate_documents
+
+    docs = spark.createDataFrame(
+        [(0, None, "q0", "r0", "c0", "w0")],
+        "doc_id int, text string, __gate_q string, __gate_r string,"
+        " __gate_c4 string, __gate_words string",
+    )
+    out = gate_documents(docs)
+    assert set(out.columns) == {
+        "doc_id", "text", "__gate_q", "__gate_r", "__gate_c4",
+        "__gate_words", "reject_reason",
+    }
+    row = out.collect()[0]
+    assert (row["__gate_q"], row["__gate_r"], row["__gate_c4"],
+            row["__gate_words"]) == ("q0", "r0", "c0", "w0")
+    assert row["reject_reason"] == "null_text"
 
 
 def test_gopher_gate_is_pure_projection(spark):
