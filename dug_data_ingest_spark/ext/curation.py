@@ -14,7 +14,7 @@ packing group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -479,4 +479,179 @@ def vocab_topk(
         )
         .orderBy(F.desc("n_total"), F.asc("token"))
         .limit(n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+# distribution looks like a (small) target corpus. The public recipe
+# behind "select pretraining data that matches Wikipedia/books":
+# bag-of-hashed-n-grams models p_target / p_raw, per-document
+# importance log-weight sum(count_i * (log p_t[i] - log p_r[i])),
+# Gumbel-top-k resampling without replacement.
+#
+# Spark shape at 100 TB: features are row-local md5-bucket ids (no
+# vocabulary, no fitting state beyond B counts), each distribution is
+# ONE map-side-combined groupBy bounded by B buckets at any corpus
+# size, the B log-ratios ride a 1-row broadcast join, and scoring is
+# a pure projection (F.aggregate over the doc's bucket array). The
+# raw corpus is scanned twice (distribution + scoring); at real scale
+# fit the raw distribution on a hash_sample() slice instead — the
+# estimator only needs proportions, and the docstring of
+# dsir_log_weights spells the contract.
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_ids(
+    words: Column, n_buckets: int = 4096
+) -> Column:
+    """Row-local DSIR feature extractor: the md5-derived hash-bucket
+    id of every unigram AND bigram of ``words``, as ``array<int>``
+    (duplicates preserved — the weight is count-weighted). NULL or
+    empty ``words`` yields an empty array, never NULL, so downstream
+    folds see a 0.0 weight instead of a NULL hole.
+
+    md5-prefix hashing (ext/dedup.py::_md5_hash64) keeps the bucket
+    assignment reproducible across engines, partitionings and reruns
+    — the property every other sampling op in this module guarantees.
+    """
+    # normalized_words("") is [""] (split of an empty string), so
+    # empty tokens are filtered here — a phantom-unigram bucket would
+    # otherwise poison both distributions and every empty doc's weight
+    w = F.filter(
+        F.coalesce(words, F.array().cast("array<string>")),
+        lambda x: x != "",
+    )
+    n = F.size(w)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(w, bigrams)
+    return F.transform(
+        grams, lambda g: (_md5_hash64(g) % n_buckets).cast("int")
+    )
+
+
+def bucket_distribution(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(bucket, cnt) hashed-n-gram counts over a corpus — ONE
+    map-side-combined groupBy whose result is bounded by
+    ``n_buckets`` rows at any corpus size."""
+    ids = hashed_ngram_ids(normalized_words(F.col(text_col)), n_buckets)
+    return (
+        docs.select(F.explode(ids).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    weight_col: str = "dsir_log_weight",
+) -> DataFrame:
+    """``raw`` plus a ``weight_col`` importance log-weight per row:
+    sum over the document's hashed n-grams of
+    ``log p_target[bucket] - log p_raw[bucket]`` with add-``alpha``
+    smoothed bucket probabilities (so a bucket absent from one corpus
+    is a finite penalty, not -inf).
+
+    The two bucket distributions are collected driver-side — bounded
+    by ``n_buckets`` (default 4096) rows regardless of corpus size,
+    the same boundedness contract as stratified_exact_k's rollup —
+    and the B log-ratios are shipped back as ONE broadcast row, so
+    scoring is a row-local array fold: the raw corpus never shuffles.
+    Raw is scanned twice (distribution + scoring); at 100 TB fit the
+    raw side on ``hash_sample(raw, pct)`` — proportions are all the
+    estimator uses — and score the full corpus.
+
+    Deterministic: md5 buckets + a fixed left-to-right fold order
+    (array order), so the weight replays bit-for-bit on reruns and
+    repartitionings; model-pinned against a pure-Python walk in
+    tests/test_dsir.py.
+    """
+    import math
+
+    def _probs(df: DataFrame) -> list[float]:
+        rows = bucket_distribution(df, text_col, n_buckets).collect()
+        counts = [0] * n_buckets
+        for r in rows:
+            counts[r["bucket"]] = r["cnt"]
+        total = sum(counts) + alpha * n_buckets
+        return [math.log((c + alpha) / total) for c in counts]
+
+    lp_t, lp_r = _probs(target), _probs(raw)
+    ratios = [lp_t[i] - lp_r[i] for i in range(n_buckets)]
+    spark = raw.sparkSession
+    ratio_row = spark.createDataFrame(
+        [(ratios,)], T.StructType([
+            T.StructField("__dsir_ratios", T.ArrayType(T.DoubleType()))
+        ])
+    )
+    ids = hashed_ngram_ids(normalized_words(F.col(text_col)), n_buckets)
+    scored = (
+        raw.crossJoin(F.broadcast(ratio_row))  # 1-row scalar broadcast
+        .withColumn(
+            weight_col,
+            F.aggregate(
+                ids,
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at("__dsir_ratios", i + 1),
+            ),
+        )
+        .drop("__dsir_ratios")
+    )
+    return scored
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling WITHOUT replacement (the
+    paper's sampling rule): keep the ``k`` documents maximizing
+    ``log_weight + Gumbel(doc_id, seed)``, where the Gumbel noise is
+    md5-derived from (id, seed) — reproducible across engines,
+    reruns and repartitionings, unlike rand(seed) whose draws move
+    with the partitioning.
+
+    Top-k via orderBy().limit() so the physical plan is
+    TakeOrderedAndProject (per-partition heaps + a k-row driver
+    merge), never a global sort. Ties broken by id for full
+    determinism.
+    """
+    scored = dsir_log_weights(
+        raw, target, text_col=text_col, n_buckets=n_buckets, alpha=alpha
+    )
+    # u in (0,1): 60-bit md5 hash scaled with a half-bucket offset so
+    # u is never exactly 0 or 1 (log(-log(u)) stays finite)
+    m = 1 << 60
+    u = (
+        (_md5_hash64(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(str(seed)))) % m)
+        .cast("double") + 0.5
+    ) / float(m)
+    gumbel = -F.log(-F.log(u))
+    return (
+        scored.withColumn("__dsir_score", F.col("dsir_log_weight") + gumbel)
+        .orderBy(F.desc("__dsir_score"), F.asc(id_col))
+        .limit(k)
+        .drop("__dsir_score")
     )
