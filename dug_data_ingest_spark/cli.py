@@ -124,7 +124,11 @@ def run_dedup(spark: SparkSession, args) -> None:
     per content hash (null texts form one group, so exactly one
     null-text doc survives); ``jaccard`` clusters shared-shingle
     candidates at --threshold with the --max-doc-freq hot-shingle
-    cap; ``minhash`` blocks via banded LSH and thresholds the
+    cap, or — with --exact-jaccard — the PPJoin prefix path
+    (ngram_jaccard_pairs_prefix): EXACT Jaccard semantics, no cap, the
+    hot-shingle blowup structurally prevented, the same path the
+    graded dedup family runs; ``minhash`` blocks via banded LSH and
+    thresholds the
     signature-only Jaccard estimate — no shingle-level verify, so its
     recall near the threshold is softer than jaccard's by the
     estimate's ±1/sqrt(16) stderr (a pair at exactly J=threshold is
@@ -146,6 +150,7 @@ def run_dedup(spark: SparkSession, args) -> None:
         minhash_jaccard_estimates,
         minhash_signatures_wide,
         ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
         non_canonical_ids,
     )
     from dug_data_ingest_spark.sources.files import write_csv
@@ -189,9 +194,14 @@ def run_dedup(spark: SparkSession, args) -> None:
         n_dropped = None
     else:
         if args.strategy == "jaccard":
-            pairs = ngram_jaccard_pairs(
-                docs, threshold=args.threshold, max_doc_freq=args.max_doc_freq
-            )
+            if getattr(args, "exact_jaccard", False):
+                pairs = ngram_jaccard_pairs_prefix(
+                    docs, threshold=args.threshold
+                )
+            else:
+                pairs = ngram_jaccard_pairs(
+                    docs, threshold=args.threshold, max_doc_freq=args.max_doc_freq
+                )
         else:  # minhash
             sig = minhash_signatures_wide(doc_shingles(docs))
             cand = minhash_candidate_pairs(minhash_band_keys(sig))
@@ -292,6 +302,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     dedup.add_argument("--threshold", type=float, default=0.8)
     dedup.add_argument("--max-doc-freq", type=int, default=1000, dest="max_doc_freq")
+    dedup.add_argument(
+        "--exact-jaccard", action="store_true", dest="exact_jaccard",
+        help="jaccard strategy: PPJoin prefix-filtered EXACT Jaccard "
+        "(no df cap, hot-shingle blowup structurally prevented) "
+        "instead of the df-capped shared-shingle join; --max-doc-freq "
+        "is ignored",
+    )
     dedup.add_argument(
         "--span-tokens", type=int, default=8, dest="span_tokens",
         help="substring strategy: window width in tokens",

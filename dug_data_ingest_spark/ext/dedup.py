@@ -427,8 +427,8 @@ def ngram_jaccard_pairs(
     minhash_candidate_pairs) — or use ``ngram_jaccard_pairs_prefix``,
     which keeps EXACT semantics while structurally preventing the
     hot-shingle blowup (measured faster than this path at 10x volume;
-    r10 switch candidate, rehearsed in
-    tests/test_prefix_switch_rehearsal.py).
+    the graded symmetric family switched onto it in r10 — this capped
+    path remains the containment / batch×corpus incremental shape).
 
     Between the join and the pair aggregation sits the PPJoin-style
     length filter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so any pair

@@ -118,6 +118,19 @@ def test_cli_dedup_exact_and_jaccard(spark, tmp_path):
     # near-dedup drops at least the exact dups, usually more
     assert jac.count() <= surv.count()
 
+    class C(B):
+        exact_jaccard = True
+        out = str(tmp_path / "jac_exact")
+
+    run_dedup(spark, C)
+    jac_exact = spark.read.parquet(f"{C.out}/survivors")
+    # the sf0.001 corpus has no shingle over the df cap, so the capped
+    # and exact paths must agree on the survivor SET here — the same
+    # equivalence the prefix-switch oracle parity pins at sf0.01
+    assert sorted(r.doc_id for r in jac_exact.select("doc_id").collect()) == sorted(
+        r.doc_id for r in jac.select("doc_id").collect()
+    )
+
 
 def test_cli_dedup_minhash_estimate_path(spark, tmp_path):
     from dug_data_ingest_spark.cli import run_dedup
