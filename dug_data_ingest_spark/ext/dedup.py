@@ -1212,3 +1212,139 @@ def hot_spans(
         .orderBy(F.desc("n_occurrences"), F.asc("span"))
         .limit(top)
     )
+
+
+def normalized_paragraph(para: Column) -> Column:
+    """CCNet's dedup normalization (Wenzek et al. 2020, arXiv:
+    1911.00359 §3.1; reference pipeline scripts share no analogue —
+    this is LLM-pipeline surface): lowercase, every digit collapsed
+    to ``0`` (so ``v2``/``v3`` and dateline variants hash together),
+    punctuation removed, whitespace collapsed. ASCII-bounded like
+    ``normalized_words`` — the one normalization family every text
+    oracle in the repo can replay in DuckDB."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(para), r"[0-9]", "0"),
+                r"[^a-z0 ]",
+                "",
+            ),
+            r" +",
+            " ",
+        )
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    keep: str = "first",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicate-PARAGRAPH removal — the first stage of
+    CCNet (Wenzek et al. 2020): split each document on ``sep``, hash
+    the CCNet-normalized form of every paragraph, and rebuild each
+    document with duplicated paragraphs dropped. This is what strips
+    web boilerplate (cookie banners, navigation chrome, footers) that
+    repeats across pages without the pages being near-duplicates —
+    the paragraph-granularity sibling of ``strip_duplicated_spans``
+    (k-token spans) and ``exact_dedup_groups`` (whole docs).
+
+    Semantics:
+    - a paragraph is *duplicated* when its normalized hash occurs
+      >= ``min_count`` times corpus-wide (within-doc repeats count);
+    - ``keep="first"`` (CCNet): the corpus-wide first occurrence by
+      (doc_id, pos) survives, every other occurrence is dropped;
+      ``keep="none"``: all occurrences drop (Dolma-style boilerplate
+      scrub, Soldaini et al. 2024);
+    - paragraphs whose normalized form is EMPTY (blank lines,
+      pure-punctuation separators) are document structure, not
+      content: always kept, never counted as duplicates;
+    - the RAW paragraph text is what survives into ``clean_text`` —
+      normalization exists only for matching (unlike the span
+      stripper, which operates post-normalization by contract).
+
+    Output: one row per input document —
+      (id_col, clean_text, n_paras, n_dropped)
+    with NULL-text documents passed through (NULL clean_text, 0/0).
+
+    Scale shape — same posture as ``duplicated_span_stats``: NO
+    pairwise join anywhere; a paragraph repeated ten million times
+    costs a count, not 10M² pairs. One groupBy(hash) with map-side
+    partial aggregation (the canonical first-site rides the same
+    aggregate as the count via min(struct), costing nothing extra), a
+    hash-keyed left join back against the paragraph stream (hot
+    boilerplate hashes skew PROBE-side and AQE splits them; the
+    empty-normalized rows take a per-row synthetic key so they neither
+    collide into one NULL/md5("") partition nor match the build side),
+    then one doc-keyed aggregation to reassemble and a doc-keyed join
+    back to the corpus for NULL-text passthrough. Rebuild state is
+    bounded by paragraphs-per-document, never by corpus size.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    paras = fan_out(docs).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    hashed = paras.withColumn("pnorm", normalized_paragraph(F.col("para")))
+    # Empty-normalized paragraphs never participate in dedup: give
+    # them a per-row key that cannot match the duplicated-hash table
+    # (and cannot pile into a single md5("")/NULL partition).
+    hashed = hashed.withColumn(
+        "ph",
+        F.when(F.col("pnorm") != "", F.md5("pnorm")).otherwise(
+            F.concat_ws(":", F.lit("__struct__"), F.col(id_col), F.col("pos"))
+        ),
+    )
+    dup = (
+        hashed.where(F.col("pnorm") != "")
+        .groupBy("ph")
+        .agg(
+            F.count("*").alias("n_ph"),
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("c"),
+        )
+        .where(F.col("n_ph") >= min_count)
+        .select("ph", "c")
+    )
+    kept_rule = F.col("c").isNull()
+    if keep == "first":
+        kept_rule = kept_rule | (
+            (F.col(id_col) == F.col("c.d")) & (F.col("pos") == F.col("c.p"))
+        )
+    tagged = hashed.join(dup, "ph", "left").withColumn("kept", kept_rule)
+    rebuilt = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "kept", "para"))
+            ).alias("ps"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.filter("ps", lambda x: x["kept"]), lambda x: x["para"]
+                ),
+            ).alias("clean_text"),
+            "n_paras",
+            "n_dropped",
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("clean_text"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
