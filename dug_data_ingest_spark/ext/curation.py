@@ -655,3 +655,96 @@ def dsir_resample(
         .limit(k)
         .drop("__dsir_score")
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str | None = "lang",
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    ascending: bool = True,
+    accuracy: int = 10000,
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's quality bucketing (Wenzek et al. 2020, arXiv:1911.00359
+    §3.3): split each language's documents into head/middle/tail by
+    per-LANGUAGE score quantiles — the partition the paper uses to
+    train on "head" web text and the step that completes this repo's
+    CCNet arc (paragraph_dedup -> text-langid -> text-lm-score ->
+    these buckets).
+
+    ``score_col`` is any fluency score. ``ascending=True`` is the
+    paper's perplexity convention (LOW score = head); for this repo's
+    ``text-lm-score`` avg_logprob (HIGH = fluent) pass
+    ``ascending=False``. ``fractions`` are cumulative cut fractions
+    (len(labels) == len(fractions) + 1); cuts are computed per
+    ``group_col`` stratum (NULL group is its own stratum — unknown-
+    language docs bucket against each other, never against English),
+    or globally when ``group_col`` is None. NULL scores get a NULL
+    bucket (unscored is not "tail").
+
+    Scale shape: ONE groupBy(group) ``percentile_approx`` rollup —
+    Greenwald-Khanna sketch state bounded by ``accuracy`` per stratum,
+    never a sort of the corpus — then the |strata|-row cut table
+    broadcast-joins back and assignment is a row-local projection. No
+    global sort, no window over the corpus, same posture at any SF.
+    At the default accuracy the cuts are EXACT whenever a stratum has
+    fewer than ``accuracy/2`` rows (GK's eps·n < 1/2 regime), which is
+    what makes the small-scale pins deterministic; at 100 TB the cuts
+    are approximate by design — the paper's buckets are statistical,
+    not exact ranks.
+    """
+    if len(labels) != len(fractions) + 1:
+        raise ValueError(
+            f"need len(labels) == len(fractions)+1, got {len(labels)} labels "
+            f"for {len(fractions)} cut fractions"
+        )
+    if list(fractions) != sorted(set(fractions)) or not all(
+        0.0 < f < 1.0 for f in fractions
+    ):
+        raise ValueError(f"fractions must be strictly increasing in (0,1): {fractions}")
+    if bucket_col in docs.columns:
+        raise ValueError(f"docs already has a {bucket_col!r} column")
+    # staging columns are collision-guarded like gate_documents' (a
+    # caller's own __ppl_* column must come back intact, never be
+    # silently consumed)
+    cuts_col, key_col = "__ppl_cuts", "__ppl_g"
+    while cuts_col in docs.columns:
+        cuts_col += "_"
+    while key_col in docs.columns:
+        key_col += "_"
+    # one internal orientation: bucket by s = score (ascending) or
+    # s = -score (descending), so cuts and comparisons share a code path
+    s = F.col(score_col) if ascending else -F.col(score_col)
+    gcols = [group_col] if group_col is not None else []
+    cuts = (
+        docs.where(F.col(score_col).isNotNull())
+        .groupBy(*gcols)
+        .agg(
+            F.percentile_approx(
+                s, F.array(*[F.lit(f) for f in fractions]), F.lit(accuracy)
+            ).alias(cuts_col)
+        )
+    )
+    if group_col is not None:
+        # null-safe equi-join: the NULL-language stratum must find its
+        # own cuts row, not fall out of the inner join. The cuts side's
+        # key is RENAMED before joining — cuts derives from docs, so a
+        # docs[group_col] == cuts[group_col] condition is the ambiguous
+        # self-reference Spark only best-effort disambiguates (it warns
+        # "trivially true predicate"); distinct names make it exact.
+        cuts = cuts.withColumnRenamed(group_col, key_col)
+        joined = docs.join(
+            F.broadcast(cuts), F.col(group_col).eqNullSafe(F.col(key_col)), "left"
+        ).drop(key_col)
+    else:
+        joined = docs.crossJoin(F.broadcast(cuts))  # 1-row scalar broadcast
+    bucket = F.lit(labels[-1])
+    for i in range(len(fractions) - 1, -1, -1):
+        bucket = F.when(
+            s <= F.element_at(cuts_col, i + 1), F.lit(labels[i])
+        ).otherwise(bucket)
+    return joined.withColumn(
+        bucket_col, F.when(F.col(score_col).isNotNull(), bucket)
+    ).drop(cuts_col)

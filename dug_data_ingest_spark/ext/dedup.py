@@ -1348,3 +1348,188 @@ def paragraph_dedup(
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+def bloom_parameters(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
+    """Optimal Bloom sizing for ``n_keys`` at target false-positive
+    rate ``fpr``: ``m = -n ln p / (ln 2)^2`` bits (rounded up to a
+    multiple of 64) and ``k = (m/n) ln 2`` hash functions (>= 1).
+
+    Pure driver-side arithmetic — use it to size ``bloom_build``
+    before scanning anything. 13M keys at 1% come out to ~15 MiB of
+    bitmap and k=7; 1B keys at 1% is ~1.1 GiB, at which point shard
+    the key space (e.g. one bloom per md5-bucket of the key) rather
+    than growing a single broadcast.
+    """
+    import math
+
+    if n_keys <= 0:
+        raise ValueError(f"n_keys must be positive, got {n_keys}")
+    if not (0.0 < fpr < 1.0):
+        raise ValueError(f"fpr must be in (0, 1), got {fpr}")
+    m = math.ceil(-n_keys * math.log(fpr) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k
+
+
+def _signed64(x: int) -> int:
+    """Reinterpret an unsigned 64-bit value as Spark's signed BIGINT."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _bit_masks() -> Column:
+    """array<bigint> literal of the 64 single-bit masks (index i ->
+    1<<i, with bit 63 as the BIGINT sign bit). Spark's shiftleft
+    wrapper only takes a literal shift, so variable shifts become an
+    element_at into this constant — codegen folds it to a lookup."""
+    return F.array(*[F.lit(_signed64(1 << b)).cast("bigint") for b in range(64)])
+
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> Column:
+    """array<bigint> of ``k_hashes`` md5-derived bit positions in
+    [0, m_bits) for a non-NULL key — the j-th position is
+    md5("bloom{j}|" + key) taken as a 60-bit integer mod m_bits, so
+    any engine with md5 + hex parsing replays the exact bit layout
+    (the model pin in tests/test_bloom_dedup.py is a hashlib walk)."""
+    return F.array(
+        *[
+            _md5_hash64(F.concat_ws("|", F.lit(f"bloom{j}"), key)) % m_bits
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    docs: DataFrame,
+    key_col: str = "text",
+    m_bits: int = 1 << 23,
+    k_hashes: int = 7,
+) -> list[int]:
+    """Scan a corpus ONCE into an ``m_bits``-wide Bloom bitmap,
+    returned as ``m_bits/64`` signed 64-bit words (store them as a
+    tiny parquet/JSON sidecar and re-use across batches — that is the
+    point: the history corpus is never rescanned per batch).
+
+    This is the Dolma-style membership state for incremental dedup
+    (Soldaini et al. 2024 use a Bloom filter for exactly this; the
+    reference pipeline's manifest anti-join at
+    ``scripts/bdc/get_bdc_studies_from_gen3.py`` is the exact-match
+    sibling). False negatives are impossible; false positives (new
+    docs wrongly flagged as seen, hence over-dropped) occur at the
+    rate ``bloom_parameters`` was sized for — when over-dropping is
+    unacceptable, escalate flagged rows through the exact anti-join
+    (``pipeline-incremental-dedup``), now probing only ~fpr of the
+    batch.
+
+    Scale shape: explode k positions per key -> ONE map-side-combined
+    ``groupBy(word_index).agg(bit_or)`` bounded by ``m_bits/64`` groups
+    at ANY corpus size -> driver assembly of the word list (bounded by
+    the same). NULL keys carry no content and are ignored (probe
+    returns NULL for them).
+    """
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k_hashes <= 0:
+        raise ValueError(f"k_hashes must be positive, got {k_hashes}")
+    key = F.col(key_col)
+    pos = (
+        fan_out(docs)
+        .where(key.isNotNull())
+        .select(
+            F.explode(
+                _bloom_positions(key.cast("string"), m_bits, k_hashes)
+            ).alias("p")
+        )
+    )
+    rows = (
+        pos.select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("widx"),
+            F.element_at(
+                _bit_masks(), F.col("p").bitwiseAND(F.lit(63)).cast("int") + 1
+            ).alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("w"))
+        .collect()  # bounded by m_bits/64 rows, never by corpus size
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["widx"]] = r["w"]
+    return words
+
+
+def bloom_probe(
+    batch: DataFrame,
+    words: list[int],
+    key_col: str = "text",
+    k_hashes: int = 7,
+    flag_col: str = "maybe_seen",
+) -> DataFrame:
+    """``batch`` plus a ``flag_col`` boolean: True when the key's k
+    Bloom bits are all set in ``words`` (seen before, up to the
+    filter's false-positive rate), False when definitely unseen, NULL
+    for NULL keys.
+
+    The bitmap ships as ONE broadcast row (the repo's 1-row scalar
+    crossJoin idiom) and the probe is a pure row-local projection —
+    no join against history, no shuffle of the batch, whatever the
+    history size was.
+    """
+    m_bits = len(words) * 64
+    if not words:
+        raise ValueError("words must be a non-empty bitmap")
+    if k_hashes <= 0:
+        raise ValueError(f"k_hashes must be positive, got {k_hashes}")
+    from pyspark.sql import types as T
+
+    spark = batch.sparkSession
+    words_row = spark.createDataFrame(
+        [(words,)],
+        T.StructType(
+            [T.StructField("__bloom_words", T.ArrayType(T.LongType(), False))]
+        ),
+    )
+    key = F.col(key_col)
+    masks = _bit_masks()
+    hit = F.aggregate(
+        _bloom_positions(key.cast("string"), m_bits, k_hashes),
+        F.lit(True),
+        lambda acc, p: acc
+        & (
+            F.element_at(
+                F.col("__bloom_words"), F.shiftright(p, 6).cast("int") + 1
+            ).bitwiseAND(
+                F.element_at(masks, p.bitwiseAND(F.lit(63)).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+    return (
+        batch.crossJoin(F.broadcast(words_row))  # 1-row scalar broadcast
+        .withColumn(flag_col, F.when(key.isNotNull(), hit))
+        .drop("__bloom_words")
+    )
+
+
+def bloom_dedup_flags(
+    batch: DataFrame,
+    history: DataFrame,
+    key_col: str = "text",
+    m_bits: int = 1 << 23,
+    k_hashes: int = 7,
+    flag_col: str = "maybe_seen",
+) -> DataFrame:
+    """One-shot convenience: build the bitmap from ``history`` and
+    flag ``batch`` rows whose key was (probably) seen. Size
+    ``m_bits``/``k_hashes`` with ``bloom_parameters`` when the history
+    cardinality is known; for a standing ingest, call ``bloom_build``
+    once, persist the words, and OR successive batches' bitmaps in
+    (word-wise ``|`` — the driver-side merge is exactly list-zip)."""
+    return bloom_probe(
+        batch,
+        bloom_build(history, key_col=key_col, m_bits=m_bits, k_hashes=k_hashes),
+        key_col=key_col,
+        k_hashes=k_hashes,
+        flag_col=flag_col,
+    )
