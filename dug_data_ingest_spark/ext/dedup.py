@@ -1533,3 +1533,56 @@ def bloom_dedup_flags(
         k_hashes=k_hashes,
         flag_col=flag_col,
     )
+
+
+def bloom_prefilter_exact(
+    batch: DataFrame,
+    history: DataFrame,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k_hashes: int = 7,
+    flag_col: str = "seen_exact",
+    words: list[int] | None = None,
+) -> DataFrame:
+    """The over-drop-safe escalation bloom_build's docstring promises,
+    as code: probe the batch against the history bloom, then confirm
+    ONLY the flagged slice with an exact semi-join — so ``flag_col``
+    equals true exact membership (false positives are cleared by the
+    confirm join; false negatives are structurally impossible), while
+    the exact join's probe side shrinks to ~(dup_rate + fpr) of the
+    batch instead of all of it. NULL keys flag NULL (unknown), as in
+    bloom_probe; pass a persisted ``words`` bitmap to skip the build
+    scan (the standing-ingest mode).
+
+    Pinned in tests/test_bloom_dedup.py to be EXACTLY equal to the
+    plain exact semi-join on every row — the bloom is a performance
+    prefilter, never a semantics change.
+    """
+    if words is None:
+        words = bloom_build(
+            history, key_col=key_col, m_bits=m_bits, k_hashes=k_hashes
+        )
+    probed = bloom_probe(
+        batch, words, key_col=key_col, k_hashes=k_hashes, flag_col="__bloom"
+    )
+    hist_keys = history.select(
+        F.col(key_col).cast("string").alias("__hk")
+    ).where(F.col("__hk").isNotNull())
+    confirmed = (
+        probed.where(F.col("__bloom"))
+        .select(F.col(id_col), F.col(key_col).cast("string").alias("__bk"))
+        .join(hist_keys, F.col("__bk") == F.col("__hk"), "left_semi")
+        .select(F.col(id_col))
+        .withColumn("__confirmed", F.lit(True))
+    )
+    return (
+        probed.join(confirmed, id_col, "left")
+        .withColumn(
+            flag_col,
+            F.when(F.col(key_col).isNull(), F.lit(None).cast("boolean"))
+            .when(F.col("__confirmed"), F.lit(True))
+            .otherwise(F.lit(False)),
+        )
+        .drop("__bloom", "__confirmed")
+    )

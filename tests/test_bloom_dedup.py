@@ -162,6 +162,34 @@ def test_bloom_merge_is_wordwise_or(spark):
     assert merged == bloom_build(hist.unionAll(batch), m_bits=M, k_hashes=K)
 
 
+def test_bloom_prefilter_exact_equals_plain_semi_join(spark):
+    # the escalation is a PERFORMANCE prefilter: its flag must equal
+    # true exact membership row-for-row (false positives cleared by
+    # the confirm join, false negatives impossible), NULL keys NULL.
+    # Undersized filter (M=64 bits for 505 keys) maximizes false
+    # positives so the confirm join actually has work to do.
+    from dug_data_ingest_spark.ext.dedup import bloom_prefilter_exact
+
+    hist, batch = _frames(spark)
+    big_hist = hist.unionAll(
+        spark.createDataFrame(
+            [(100 + i, f"filler history doc {i}") for i in range(500)],
+            "doc_id int, text string",
+        )
+    )
+    got = {
+        r["doc_id"]: r["seen_exact"]
+        for r in bloom_prefilter_exact(
+            batch, big_hist, m_bits=64, k_hashes=3
+        ).collect()
+    }
+    hist_keys = {t for _, t in HISTORY if t is not None} | {
+        f"filler history doc {i}" for i in range(500)
+    }
+    for doc_id, text in BATCH:
+        assert got[doc_id] == (None if text is None else text in hist_keys)
+
+
 def test_bloom_probe_plan_is_projection_over_broadcast(spark):
     # the probe must not shuffle the batch or join history: the only
     # allowed exchange is the 1-row bitmap BroadcastExchange
