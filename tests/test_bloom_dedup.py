@@ -136,6 +136,26 @@ def test_bloom_parameters_shapes():
         bloom_parameters(10, fpr=1.5)
 
 
+def test_minhash_lsh_parameters_recall_biased():
+    from dug_data_ingest_spark.ext.dedup import minhash_lsh_parameters
+
+    # confirms the repo default: 16 hashes at the graded t=0.8 family
+    # -> r=4, b=4, s50 ~ 0.707 (the high-recall side of 0.8)
+    assert minhash_lsh_parameters(16, 0.8) == (4, 4, 0.7071)
+    # the case the 2x above-threshold penalty exists for: plain
+    # closest-midpoint would pick r=16/b=8 (s50=0.878, ~20% catch at
+    # t=0.8); the generator must take r=8/b=16 (~95% catch)
+    r, b, s50 = minhash_lsh_parameters(128, 0.8)
+    assert (r, b) == (8, 16) and s50 < 0.8
+    assert 1 - (1 - 0.8**r) ** b > 0.9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_parameters(0, 0.8)
+    with _pytest.raises(ValueError):
+        minhash_lsh_parameters(16, 1.0)
+
+
 def test_bloom_build_validates_arguments(spark):
     hist, _ = _frames(spark)
     with pytest.raises(ValueError):

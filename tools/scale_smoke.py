@@ -159,6 +159,13 @@ def main() -> int:
         # scales with K is two corpus scans + a 256-bucket rollup, the
         # rank window stays candidate-bounded
         "sample-stratified": lambda: stratified_exact_k(docs, k=5).count(),
+        # Bloom membership: build over half the inflated corpus (one
+        # m/64-bounded bit_or aggregate — work is one scan + k md5s
+        # per key at any K), probe the other half (row-local over the
+        # 1-row broadcast). Output = flagged count; under disjoint
+        # inflation the halves share no text, so flags ≈ fpr·n/2 —
+        # growth must track the SCAN, never a pairwise structure
+        "bloom-build-probe": lambda: _bloom_half(docs),
         # PQ corpus-sized work: encode + ADC-score a query against
         # cached codebooks (codebooks are a build artifact bounded by
         # m*k — what scales with the corpus is encode and scoring)
@@ -170,6 +177,16 @@ def main() -> int:
             m=8,
         ).count(),
     }
+
+    def _bloom_half(frame):
+        from dug_data_ingest_spark.ext.dedup import bloom_build, bloom_probe
+
+        hist = frame.where(F.col("doc_id") % 2 == 0)
+        batch = frame.where(F.col("doc_id") % 2 == 1)
+        words = bloom_build(hist, key_col="text", m_bits=1 << 23, k_hashes=7)
+        return bloom_probe(batch, words, key_col="text", k_hashes=7).where(
+            "maybe_seen"
+        ).count()
 
     _books_cache = []
 
