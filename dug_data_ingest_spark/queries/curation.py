@@ -746,8 +746,10 @@ def chunk_with_overlap(
 # in the graded result rather than vacuous.
 # ---------------------------------------------------------------------------
 
-_LM_MIN_COUNT = 2          # frequency floor: drop hapax bigrams
-_LM_HEAD_K = 1 << 18       # hard head cap: broadcast ≤ 256 Ki rows
+from dug_data_ingest_spark.ext.curation import (  # noqa: E402
+    LM_HEAD_K as _LM_HEAD_K,
+    LM_MIN_COUNT as _LM_MIN_COUNT,
+)
 
 _LM_SCORE_ORACLE = f"""
 WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
@@ -779,48 +781,20 @@ FROM scored GROUP BY doc_id
 
 @query("text-lm-score", oracle=_LM_SCORE_ORACLE)
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delegates to ext/curation.py::corpus_lm_scores — a pure code-motion
+    # factoring (expressions identical line for line, so the graded plan
+    # is byte-for-byte unchanged; the dq-profile/profile_columns
+    # precedent) that lets ccnet_curate reuse the scorer. The word array
+    # projects FIRST inside it (shingles_of lambda cost contract) and the
+    # denominators ride ONE counts rollup (the ReusedExchange lesson) —
+    # see the function's docstring and the block comment above for the
+    # full commentary; _LM_MIN_COUNT/_LM_HEAD_K re-export its constants
+    # so the oracle literal and the Spark plan cannot drift.
+    from dug_data_ingest_spark.ext.curation import corpus_lm_scores
+
     docs = load(spark, sf_dir, "documents")
-    # project the word array FIRST: shingles_of's lambda references
-    # its input once per element, so an inline normalized_words(...)
-    # would re-run the regex normalization O(n_words) times per row
-    # (see functions/text.py:shingles_of)
-    words = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
-    bi = words.select(
-        "doc_id", F.explode(shingles_of(F.col("w"), k=2)).alias("bigram")
-    )
-    counts = (
-        bi.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_big"))
-        .withColumn("prefix", F.split("bigram", " ").getItem(0))
-    )
-    # True (uncapped) denominators via a window over the SINGLE counts
-    # rollup — a separate pre = counts.groupBy(prefix) branch planned a
-    # second full scan→explode→aggregate of the corpus: an inferred
-    # isnotnull(split(bigram)[0]) pushed below one branch's exchange
-    # made the two pipelines canonically different, defeating
-    # ReusedExchange (the lesson-2 InferFilters family). The window
-    # shuffles only the vocab-bounded counts table by prefix.
-    w_prefix = Window.partitionBy("prefix")
-    with_totals = counts.select(
-        "bigram", "n_big", F.sum("n_big").over(w_prefix).alias("n_prefix")
-    )
-    # frequency head: floor + deterministic top-K (TakeOrderedAndProject
-    # — partial per-partition top-K, never a full sort)
-    head = (
-        with_totals.filter(F.col("n_big") >= _LM_MIN_COUNT)
-        .orderBy(F.desc("n_big"), F.asc("bigram"))
-        .limit(_LM_HEAD_K)
-    )
-    table = head.select(
-        "bigram", (F.col("n_big").cast("double") / F.col("n_prefix")).alias("p")
-    )
-    # the score join broadcasts ≤ _LM_HEAD_K rows — bounded at any SF
-    scored = bi.join(F.broadcast(table), "bigram").select(
-        "doc_id", F.log("p").alias("logp")
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    return corpus_lm_scores(
+        docs, min_count=_LM_MIN_COUNT, head_k=_LM_HEAD_K
     )
 
 
