@@ -1625,3 +1625,97 @@ def minhash_lsh_parameters(
             best = (key, r, b, s50)
     _, r, b, s50 = best
     return r, b, round(s50, 4)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): the bounded-density sibling of
+    ``verbatim_window_fingerprints``. Instead of one fingerprint per
+    k-gram position, each sliding window of ``w`` consecutive k-gram
+    hashes records only its RIGHTMOST MINIMAL hash — expected density
+    2/(w+1) fingerprints per token with the paper's guarantee intact:
+    any verbatim match of at least ``w + k - 1`` tokens contributes at
+    least one SHARED fingerprint on both sides, so a w-fold-smaller
+    fingerprint index loses no match of the guarantee length (it loses
+    only the sub-window tail the caller chose to trade).
+
+    Output: (id, pos, fp) — pos is the 1-based token offset of the
+    SELECTED k-gram, fp its 60-bit md5 hash (cross-engine replayable);
+    one row per selected position (adjacent windows that select the
+    same position collapse, per the paper). Docs with fewer than
+    ``w + k - 1`` tokens emit nothing — shorter texts cannot meet the
+    guarantee and belong to the plain k-gram path.
+
+    Scale shape: ENTIRELY row-local — the windows fold over each
+    document's own hash array (one O(n·w) higher-order expression per
+    row; w is small by construction), then one explode of the
+    selected-position array. No shuffle, no join, no Python; the
+    downstream candidate join inherits the count-then-join /
+    df-capped postures of the k-gram family, now over a ~w/2-fold
+    smaller index. Model pin: tests/test_winnowing.py replays the
+    selection against a pure-Python winnow, pins the density bound
+    and the shared-fingerprint guarantee on constructed overlaps, and
+    pins the no-exchange plan.
+    """
+    if k <= 0 or w <= 1:
+        raise ValueError(
+            f"winnow_fingerprints: need k >= 1 and w >= 2, got k={k} w={w} "
+            "(w=1 is every position - use verbatim_window_fingerprints)"
+        )
+    words = fan_out(docs).select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("w_")
+    )
+    n = F.size("w_")
+    # per-position k-gram hashes: hs[i] = hash of tokens [i+1 .. i+k]
+    hs = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: _md5_hash64(
+            F.concat_ws(" ", F.slice("w_", i, F.lit(k).cast("int")))
+        ),
+    )
+    hashed = words.where(n >= w + k - 1).select(
+        F.col(id_col), hs.alias("hs")
+    )
+    # window j covers hs[j .. j+w-1]; select the rightmost minimum:
+    # fold positions left to right keeping (h, pos) when h <= acc.h
+    # (ties move the pick right, per the paper's tie rule)
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - w + 1),
+        lambda j: F.aggregate(
+            F.sequence(j, j + w - 1),
+            F.struct(
+                F.lit(None).cast("bigint").alias("h"),
+                F.lit(0).alias("p"),
+            ),
+            lambda acc, p: F.when(
+                acc["h"].isNull()
+                | (F.element_at("hs", p) <= acc["h"]),
+                F.struct(
+                    F.element_at("hs", p).alias("h"), p.alias("p")
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    # adjacent windows picking the same position collapse to one row.
+    # explode_outer, NOT explode: plain explode makes
+    # InferFiltersFromGenerate inline the ENTIRE sel expression into a
+    # size(sel) > 0 filter pushed below the length guard, where its
+    # sequence(1, n-k+1) goes descending (start 0) on short docs and
+    # slice() aborts the job — the doc_shingles lesson; explode_outer
+    # is exempt and the null-row filter above the Generate is free
+    return (
+        hashed.select(F.col(id_col), F.array_distinct(sel).alias("sel"))
+        .select(F.col(id_col), F.explode_outer("sel").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("s.p").cast("int").alias("pos"),
+            F.col("s.h").alias("fp"),
+        )
+    )
