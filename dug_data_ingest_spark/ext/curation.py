@@ -877,3 +877,87 @@ def ccnet_curate(
         ascending=False,
         accuracy=accuracy,
     )
+
+
+def temperature_mix_rates(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    rate_buckets: int = 10000,
+) -> list:
+    """Per-stratum keep rates for temperature-based mixture sampling
+    (the alpha-sampling rule of multilingual pretraining — Raffel et
+    al. 2020 / Conneau et al. 2020 use alpha ~ 0.3): target mixture
+    q_l ∝ p_l^alpha with p_l the stratum's corpus share, realized as
+    WITHOUT-replacement keep rates r_l <= 1 at the largest feasible
+    total (the stratum with the scarcest supply relative to its
+    target saturates at r = 1; alpha < 1 upsamples low-resource
+    strata RELATIVELY by downsampling the head). alpha = 1 keeps the
+    natural mixture; alpha = 0 targets uniform.
+
+    Returns a sorted list of rows
+    ``(stratum, n_docs, rate, pct)`` with ``pct`` the integer
+    out-of-``rate_buckets`` rate ``mix_sample`` consumes. Driver-side
+    state is strata-bounded (ONE map-side-combined groupBy — the
+    bucket_distribution posture); NULL strata form their own row.
+    Rates are a pure function of the counts, so the mix is as
+    reproducible (and nested across alpha revisions) as the md5
+    buckets underneath. NULL strata are EXCLUDED from the mixture
+    (no language, no target share): they get no rates row, and
+    ``temperature_mix`` drops them via mix_sample's default_pct=0 —
+    route unknown-language docs through langid (or an explicit
+    stratum) before mixing.
+    """
+    import math
+
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    rows = (
+        docs.where(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = sorted((r[0], r[1]) for r in rows)
+    if not counts:
+        return []
+    total = sum(n for _, n in counts)
+    q = [(s, (n / total) ** alpha, n) for s, n in counts]
+    zq = sum(w for _, w, _ in q)
+    # largest feasible output total T: every stratum must supply its
+    # target q_l*T from n_l docs, so T = min_l n_l / (q_l/Z)
+    T = min(n / (w / zq) for _, w, n in q)
+    out = []
+    for s, w, n in q:
+        rate = (w / zq) * T / n
+        rate = min(rate, 1.0)  # float guard at the saturating stratum
+        out.append((s, n, rate, math.floor(rate * rate_buckets)))
+    return out
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    rate_buckets: int = 10000,
+) -> DataFrame:
+    """Apply ``temperature_mix_rates`` through the md5-bucket keep
+    rule (``mix_sample`` with fine-grained buckets): one
+    strata-bounded count, one broadcast of the rate table, a
+    row-local keep decision — the corpus never shuffles, and the
+    sample NESTS across alpha revisions exactly like mix_sample's
+    (raising a stratum's rate only ever ADDS documents)."""
+    rates = temperature_mix_rates(docs, alpha, strata_col, rate_buckets)
+    spark = docs.sparkSession
+    weights = spark.createDataFrame(
+        [(s, p) for s, _, _, p in rates], f"{strata_col} string, pct int"
+    )
+    return mix_sample(
+        docs,
+        weights,
+        default_pct=0,
+        key_col=key_col,
+        strata_col=strata_col,
+        n_buckets=rate_buckets,
+    )
