@@ -931,7 +931,13 @@ def temperature_mix_rates(
     for s, w, n in q:
         rate = (w / zq) * T / n
         rate = min(rate, 1.0)  # float guard at the saturating stratum
-        out.append((s, n, rate, math.floor(rate * rate_buckets)))
+        # every non-NULL stratum has rate > 0 (n > 0 and alpha-powered
+        # shares are positive), so clamp the integer pct to >= 1: a
+        # head stratum whose keep rate falls below 1/rate_buckets
+        # (huge corpus share, alpha near 0) is kept at the floor rate
+        # instead of silently vanishing from the mix — only NULL
+        # strata are excluded, exactly as the docstring promises
+        out.append((s, n, rate, max(1, math.floor(rate * rate_buckets))))
     return out
 
 
@@ -948,10 +954,21 @@ def temperature_mix(
     row-local keep decision — the corpus never shuffles, and the
     sample NESTS across alpha revisions exactly like mix_sample's
     (raising a stratum's rate only ever ADDS documents)."""
+    from pyspark.sql import types as T
+
     rates = temperature_mix_rates(docs, alpha, strata_col, rate_buckets)
     spark = docs.sparkSession
+    # derive the strata field's type from the input schema (a DDL
+    # f-string would hardcode string — implicitly casting, or failing
+    # outright, on int/backtick-needing strata columns)
     weights = spark.createDataFrame(
-        [(s, p) for s, _, _, p in rates], f"{strata_col} string, pct int"
+        [(s, p) for s, _, _, p in rates],
+        T.StructType(
+            [
+                T.StructField(strata_col, docs.schema[strata_col].dataType),
+                T.StructField("pct", T.IntegerType()),
+            ]
+        ),
     )
     return mix_sample(
         docs,

@@ -1483,11 +1483,17 @@ def bloom_probe(
         raise ValueError(f"k_hashes must be positive, got {k_hashes}")
     from pyspark.sql import types as T
 
+    # suffix-until-free staging guard (the gate_documents convention):
+    # a batch already carrying __bloom_words must come back intact, not
+    # collide ambiguously with the broadcast row's column
+    words_col = "__bloom_words"
+    while words_col in batch.columns:
+        words_col += "_"
     spark = batch.sparkSession
     words_row = spark.createDataFrame(
         [(words,)],
         T.StructType(
-            [T.StructField("__bloom_words", T.ArrayType(T.LongType(), False))]
+            [T.StructField(words_col, T.ArrayType(T.LongType(), False))]
         ),
     )
     key = F.col(key_col)
@@ -1498,7 +1504,7 @@ def bloom_probe(
         lambda acc, p: acc
         & (
             F.element_at(
-                F.col("__bloom_words"), F.shiftright(p, 6).cast("int") + 1
+                F.col(words_col), F.shiftright(p, 6).cast("int") + 1
             ).bitwiseAND(
                 F.element_at(masks, p.bitwiseAND(F.lit(63)).cast("int") + 1)
             )
@@ -1508,7 +1514,7 @@ def bloom_probe(
     return (
         batch.crossJoin(F.broadcast(words_row))  # 1-row scalar broadcast
         .withColumn(flag_col, F.when(key.isNotNull(), hit))
-        .drop("__bloom_words")
+        .drop(words_col)
     )
 
 
@@ -1557,34 +1563,58 @@ def bloom_prefilter_exact(
 
     Pinned in tests/test_bloom_dedup.py to be EXACTLY equal to the
     plain exact semi-join on every row — the bloom is a performance
-    prefilter, never a semantics change.
+    prefilter, never a semantics change. The confirm verdict is
+    joined back BY THE KEY ITSELF (the distinct confirmed-key set),
+    never routed through ``id_col`` — duplicate or NULL ids cannot
+    fan out or lose their flag (``id_col`` is retained in the
+    signature for call-site compatibility but unused).
     """
+    del id_col  # flags ride the key, not the row id — see docstring
     if words is None:
         words = bloom_build(
             history, key_col=key_col, m_bits=m_bits, k_hashes=k_hashes
         )
+
+    # suffix-until-free staging guard (the gate_documents convention)
+    def _free(base: str) -> str:
+        name = base
+        while name in batch.columns:
+            name += "_"
+        return name
+
+    bloom_col, bk_col, conf_col = (
+        _free("__bloom"),
+        _free("__bk"),
+        _free("__confirmed"),
+    )
     probed = bloom_probe(
-        batch, words, key_col=key_col, k_hashes=k_hashes, flag_col="__bloom"
+        batch, words, key_col=key_col, k_hashes=k_hashes, flag_col=bloom_col
     )
     hist_keys = history.select(
         F.col(key_col).cast("string").alias("__hk")
     ).where(F.col("__hk").isNotNull())
+    # distinct flagged keys (~(dup_rate + fpr) of the batch's key set)
+    # -> exact-confirm semi-join -> small build side for the flag join
     confirmed = (
-        probed.where(F.col("__bloom"))
-        .select(F.col(id_col), F.col(key_col).cast("string").alias("__bk"))
-        .join(hist_keys, F.col("__bk") == F.col("__hk"), "left_semi")
-        .select(F.col(id_col))
-        .withColumn("__confirmed", F.lit(True))
+        probed.where(F.col(bloom_col))
+        .select(F.col(key_col).cast("string").alias(bk_col))
+        .distinct()
+        .join(hist_keys, F.col(bk_col) == F.col("__hk"), "left_semi")
+        .withColumn(conf_col, F.lit(True))
     )
     return (
-        probed.join(confirmed, id_col, "left")
+        probed.join(
+            confirmed,
+            F.col(key_col).cast("string") == F.col(bk_col),
+            "left",
+        )
         .withColumn(
             flag_col,
             F.when(F.col(key_col).isNull(), F.lit(None).cast("boolean"))
-            .when(F.col("__confirmed"), F.lit(True))
+            .when(F.col(conf_col), F.lit(True))
             .otherwise(F.lit(False)),
         )
-        .drop("__bloom", "__confirmed")
+        .drop(bloom_col, bk_col, conf_col)
     )
 
 

@@ -225,3 +225,52 @@ def test_bloom_probe_plan_is_projection_over_broadcast(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bloom_prefilter_exact_duplicate_and_null_ids(spark):
+    # the r10 advisor finding: the confirm verdict must ride the KEY,
+    # not id_col — duplicate ids must not cross-flag sibling rows and
+    # NULL-id rows must still flag correctly
+    from dug_data_ingest_spark.ext.dedup import bloom_prefilter_exact
+
+    hist = spark.createDataFrame(
+        [(0, "seen alpha"), (1, "seen beta")], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (7, "seen alpha"),  # same id, seen
+            (7, "never seen gamma"),  # same id, unseen — must flag False
+            (None, "seen beta"),  # NULL id, seen — must flag True
+            (None, "novel delta"),  # NULL id, unseen
+            (8, None),  # NULL key -> NULL flag
+        ],
+        "doc_id int, text string",
+    )
+    rows = bloom_prefilter_exact(batch, hist, m_bits=64, k_hashes=3).collect()
+    got = {(r["doc_id"], r["text"]): r["seen_exact"] for r in rows}
+    assert len(rows) == 5  # no fanout from the flag join
+    assert got == {
+        (7, "seen alpha"): True,
+        (7, "never seen gamma"): False,
+        (None, "seen beta"): True,
+        (None, "novel delta"): False,
+        (8, None): None,
+    }
+
+
+def test_bloom_staging_columns_survive(spark):
+    # suffix-until-free guard: a batch already carrying the staging
+    # names must come back with those columns INTACT
+    from dug_data_ingest_spark.ext.dedup import bloom_prefilter_exact
+
+    hist = spark.createDataFrame([(0, "seen alpha")], "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(1, "seen alpha", 11, 12, 13, 14)],
+        "doc_id int, text string, __bloom int, __bk int, "
+        "__confirmed int, __bloom_words int",
+    )
+    out = bloom_prefilter_exact(batch, hist, m_bits=64, k_hashes=3)
+    row = out.collect()[0]
+    assert (row["__bloom"], row["__bk"], row["__confirmed"]) == (11, 12, 13)
+    assert row["__bloom_words"] == 14
+    assert row["seen_exact"] is True

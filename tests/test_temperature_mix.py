@@ -103,3 +103,30 @@ def test_validation(spark):
     assert temperature_mix_rates(
         _df(spark).where("lang is null")
     ) == []
+
+
+def test_head_stratum_never_rounds_to_zero(spark):
+    # the r10 advisor finding: a stratum whose keep rate falls below
+    # 1/rate_buckets must clamp to pct=1, not silently vanish — only
+    # NULL strata are excluded from the mix
+    df = _df(spark)
+    rates = temperature_mix_rates(df, alpha=0.0, rate_buckets=10)
+    # alpha=0 targets uniform: en (800 docs) keeps 10/800 = 0.0125,
+    # which floors to pct=0 at 10 buckets without the clamp
+    pcts = {s: pct for s, _, _, pct in rates}
+    assert all(p >= 1 for p in pcts.values()), pcts
+    kept = temperature_mix(df, alpha=0.0, rate_buckets=10)
+    langs_kept = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs_kept == set(N)  # every non-NULL stratum represented
+
+
+def test_non_string_strata_column(spark):
+    # weights schema derives from the input schema: an int strata
+    # column must join without an implicit cast (or a DDL failure)
+    df = spark.createDataFrame(
+        [(i, i % 3, "txt") for i in range(300)],
+        "doc_id int, src int, text string",
+    )
+    out = temperature_mix(df, alpha=0.5, strata_col="src")
+    assert out.count() > 0
+    assert dict(out.dtypes)["src"] == "int"
