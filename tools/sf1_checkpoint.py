@@ -1,0 +1,125 @@
+"""One-shot sf1.0 scale checkpoint for the dedup/curation family
+(VERDICT r10 item 5): inflate sf0.1 documents 10x in DISJOINT mode
+(every word copy-tagged, so per-copy near-dup structure is preserved
+while volume grows — the linear-scaling stress), write a scratch
+sf-layout directory, then run the heaviest REGISTERED slugs
+unmodified against it, recording wall time and executor shuffle
+read/write bytes per query.
+
+    python tools/sf1_checkpoint.py [sf_dir] [scratch_dir]
+
+Prints one JSON line per query plus a trailing summary line; paste
+the summary into SCALE.md. Shuffle bytes come from the
+ExecutorMetrics totals of a dedicated job group per query (delta of
+the JVM-wide shuffle counters around the action), so numbers are
+per-query as long as nothing else runs concurrently (this tool runs
+queries serially).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from dug_data_ingest_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "dedup-ngram-jaccard",
+    "dedup-cluster",
+    "dedup-substring",
+    "dedup-strip-spans",
+    "pipeline-incremental-dedup",
+    "pipeline-curate-corpus",
+    "text-lm-score",
+    "text-keyword-tfidf",
+]
+
+
+def _shuffle_totals(sc) -> tuple[int, int]:
+    """JVM-wide cumulative shuffle (read, write) bytes across all
+    completed stages, via the status store."""
+    store = sc._jsc.sc().statusStore()
+    read = write = 0
+    it = store.stageList(None).iterator()
+    while it.hasNext():
+        s = it.next()
+        read += s.shuffleReadBytes()
+        write += s.shuffleWriteBytes()
+    return read, write
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scratch = (
+        sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
+    )
+    spark = get_spark("sf1-checkpoint")
+    sc = spark.sparkContext
+
+    docs_path = os.path.join(scratch, "documents.parquet")
+    if not os.path.exists(docs_path):
+        os.makedirs(scratch, exist_ok=True)
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        copies = [
+            base.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"c{i}$1").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            for i in range(10)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(docs_path)
+        # the other tables ride along unchanged (the facts axis is
+        # covered by scale_smoke facts mode); copy cheaply via link
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events embeddings".split()
+        ):
+            src = f"{sf_dir}/{t}.parquet"
+            dst = os.path.join(scratch, f"{t}.parquet")
+            if os.path.exists(src) and not os.path.exists(dst):
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst)
+                else:
+                    shutil.copy(src, dst)
+
+    n_docs = spark.read.parquet(docs_path).count()
+    print(json.dumps({"scratch": scratch, "n_docs": n_docs}))
+
+    from dug_data_ingest_spark.queries import all_queries
+
+    queries = all_queries()
+    results = {}
+    for slug in HEAVY:
+        fn = queries[slug]
+        spark.catalog.clearCache()
+        r0, w0 = _shuffle_totals(sc)
+        t0 = time.time()
+        n = fn(spark, scratch).count()
+        wall = time.time() - t0
+        r1, w1 = _shuffle_totals(sc)
+        results[slug] = {
+            "wall_s": round(wall, 2),
+            "rows": n,
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+        }
+        print(json.dumps({slug: results[slug]}))
+    print(json.dumps({"sf1_checkpoint": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
