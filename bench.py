@@ -156,6 +156,17 @@ HEADLINE = [
     # round-7 close: span-level verbatim dedup (count-then-join, no
     # pairwise stage — the boilerplate-hunting scale shape)
     "dedup-substring",
+    # round-11 promotions. sim-ivf-pq-topk is deliberately NOT
+    # benched: each run retrains the coarse quantizer + m codebooks
+    # (the one-time index-build cost, ~8 s), which would dominate its
+    # timing and say nothing about the probe-bounded ADC scan the slug
+    # exists to demonstrate — the same reasoning as
+    # join-bucketed-colocated above; its plan shape is pinned in
+    # tests and its quality gate runs per-round in CORRECTNESS.
+    "dedup-paragraph",
+    "dedup-winnow",
+    "dedup-bloom-exact",
+    "curate-temperature-mix",
 ]
 
 

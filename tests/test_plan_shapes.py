@@ -934,3 +934,81 @@ def test_strip_spans_plan_shape(queries, spark):
     # split("Window")[1] check would only see the first)
     assert plan.count("Window") == 2, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_paragraph_dedup_plan_shape(queries, spark):
+    # CCNet paragraph dedup: count-then-join, NO pairwise stage — a
+    # paragraph repeated 10M times costs a count, never m² pairs. 3
+    # pruned scans (dup-hash build + probe + doc_id passthrough,
+    # scan_audit KNOWN), the duplicated-hash table and the rebuild
+    # join both broadcast at test scale, and no global exchange.
+    df = queries["dedup-paragraph"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("FileScan") <= 3, plan
+    assert "SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # exactly the two designed aggregation shuffles: the ph-keyed dup
+    # count and the doc-keyed rebuild
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_winnow_plan_is_row_local(queries, spark):
+    # winnowing is ENTIRELY row-local by design (one O(n*w) fold per
+    # document + one explode): no aggregation/join exchange, no
+    # Python, one pruned scan — the fan-out repartition is the only
+    # exchange allowed.
+    df = queries["dedup-winnow"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_bloom_exact_flag_join_converts_to_broadcast(queries, spark):
+    # the probe is a row-local projection over the 1-row bitmap
+    # broadcast (BroadcastNestedLoopJoin on a 1-row side is the
+    # scalar-crossJoin idiom, not a cartesian risk). The confirm
+    # verdict's size is data-dependent (~(dup_rate + fpr) of the
+    # batch's key set), so the flag join is AQE-DELEGATED by design
+    # (the repo's r7-r8 posture): at any realistic dup rate AQE
+    # converts it to a broadcast at runtime — asserted here — leaving
+    # only the planning-time probe-side exchange as a local shuffle
+    # read; a sort-merge in the FINAL plan would mean the conversion
+    # regressed. The only other hash exchange is the flagged-key
+    # distinct (__bk), bounded by the flagged slice.
+    df = queries["dedup-bloom-exact"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("FileScan") <= 3, plan
+    assert "BroadcastHashJoin [fp_key" in plan, plan
+    import re as _re
+
+    keys = {
+        m.group(1).split("#")[0]
+        for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan)
+    }
+    assert keys <= {"__bk", "fp_key"}, (keys, plan)
+
+
+def test_temperature_mix_corpus_never_shuffles(queries, spark):
+    # one pruned corpus scan, one broadcast of the strata-bounded
+    # rate table, a row-local keep decision — zero hash exchanges
+    # (the rates come from a separate strata-bounded driver job, by
+    # design; the returned plan must not re-shuffle the corpus).
+    df = queries["curate-temperature-mix"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -40,6 +40,20 @@ KNOWN = {
     # pruned columnar re-scan beats materializing a corpus-sized
     # shuffle to share it. Plan-pinned in test_plan_shapes.py.
     "dedup-strip-spans",
+    # r11: same count-then-join anatomy as dedup-strip-spans — the
+    # paragraph stream is derived twice (dup-hash build side + probe
+    # side, keeping hot boilerplate hashes PROBE-side for AQE skew
+    # splitting) plus one doc_id-only pruned scan for the NULL-text
+    # passthrough join; materializing the hashed stream to share it
+    # would cost a corpus-sized shuffle instead of a pruned re-scan.
+    "dedup-paragraph",
+    # r11: history is scanned twice (once into the m/64-bounded bloom
+    # bitmap aggregate, once for the exact-confirm semi-join keys —
+    # the confirm is the operator's whole point) + the batch scan.
+    # In the standing-ingest deployment the bitmap is persisted
+    # (words param), so the first history scan amortizes to zero;
+    # here batch and history happen to be slices of the same table.
+    "dedup-bloom-exact",
 }
 
 
