@@ -104,6 +104,13 @@ def _load_history_median() -> tuple[str, dict]:
     import statistics
 
     rows = _history_rows()
+    # entries audited as host-contaminated (r10 verdict: the six
+    # contamination-era runs, numpy calib up to 3.4x its median) carry
+    # "noisy_host": true and are excluded from the median base — they
+    # would drag every per-query median upward and mask real drift
+    clean = [r for r in rows if not r.get("noisy_host")]
+    if clean:
+        rows = clean
     prior = rows[:-1] or rows
     per_q: dict[str, list[float]] = {}
     calibs: list[float] = []
