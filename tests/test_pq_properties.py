@@ -335,3 +335,75 @@ def test_ivf_pq_recall_on_planted_clusters(spark):
     ).collect()
     assert all(r.vec_id >= 10 for r in top)
     assert top[0].vec_id == 10
+
+
+def test_ivf_pq_rerank_is_exact_within_probed_cells(spark):
+    # the reranked composition (the graded sim-ivf-pq-topk shape):
+    # with the shortlist covering the probed cells entirely, the
+    # result must be the EXACT L2 top-k over those cells' members —
+    # quantization error never decides the final ranking
+    import pyspark.sql.functions as F
+
+    from dug_data_ingest_spark.ext.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk,
+        ivf_pq_topk_reranked,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_corpus(), "vec_id int, embedding array<double>"
+    )
+    cells, books, coded = ivf_pq_index(
+        df, n_cells=2, m=M, k=2, n_iters=2, dim=DIM
+    )
+    query = [0.1] * DIM
+    got = [
+        (r.vec_id, round(r.dist2, 6))
+        for r in ivf_pq_topk_reranked(
+            df, coded, cells, books.collect(), query,
+            k=3, shortlist=12, nprobe=1, m=M,
+        ).collect()
+    ]
+    # ground truth: exact L2 over the probed cell's members
+    probed_ids = {
+        r.vec_id
+        for r in ivf_pq_topk(
+            coded, cells, books.collect(), query, k=12, nprobe=1, m=M
+        ).collect()
+    }
+    q = F.lit(query).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    want = [
+        (r.vec_id, round(r.dist2, 6))
+        for r in df.where(F.col("vec_id").isin(list(probed_ids)))
+        .select("vec_id", d2.alias("dist2"))
+        .orderBy("dist2", "vec_id")
+        .limit(3)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_ivf_pq_rerank_rejects_shortlist_below_k(spark):
+    import pytest as _pytest
+
+    from dug_data_ingest_spark.ext.similarity import (
+        ivf_pq_index,
+        ivf_pq_topk_reranked,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_corpus(), "vec_id int, embedding array<double>"
+    )
+    cells, books, coded = ivf_pq_index(
+        df, n_cells=2, m=M, k=2, n_iters=2, dim=DIM
+    )
+    with _pytest.raises(ValueError, match="shortlist"):
+        ivf_pq_topk_reranked(
+            df, coded, cells, books.collect(), [0.0] * DIM,
+            k=5, shortlist=3, m=M,
+        )

@@ -44,14 +44,15 @@ HEAVY = [
 
 def _shuffle_totals(sc) -> tuple[int, int]:
     """JVM-wide cumulative shuffle (read, write) bytes across all
-    completed stages, via the status store."""
+    executors (local mode: the one driver executor), via the status
+    store's executor summaries."""
     store = sc._jsc.sc().statusStore()
     read = write = 0
-    it = store.stageList(None).iterator()
+    it = store.executorList(False).iterator()
     while it.hasNext():
-        s = it.next()
-        read += s.shuffleReadBytes()
-        write += s.shuffleWriteBytes()
+        e = it.next()
+        read += e.totalShuffleRead()
+        write += e.totalShuffleWrite()
     return read, write
 
 
@@ -104,17 +105,36 @@ def main() -> int:
     results = {}
     for slug in HEAVY:
         fn = queries[slug]
-        spark.catalog.clearCache()
-        r0, w0 = _shuffle_totals(sc)
-        t0 = time.time()
+        # noop sink, not count(): count() lets Catalyst prune every
+        # expensive output column (observed: strip-spans' clean_text
+        # rebuild optimized away entirely), under-measuring the op.
+        # The DataFrame is REBUILT fresh inside each timed rep: a
+        # reused plan instance replays its AQE-materialized stages
+        # and localCheckpoints for free (observed: rep 2 of
+        # dedup-cluster at 0.04 s), and some queries do eager work at
+        # construction. Two reps, min taken (host noise waves); rows
+        # counted untimed afterwards.
+        walls = []
+        reads, writes = [], []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            r0, w0 = _shuffle_totals(sc)
+            t0 = time.time()
+            fn(spark, scratch).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls.append(time.time() - t0)
+            r1, w1 = _shuffle_totals(sc)
+            reads.append(r1 - r0)
+            writes.append(w1 - w0)
+        pick = walls.index(min(walls))
         n = fn(spark, scratch).count()
-        wall = time.time() - t0
-        r1, w1 = _shuffle_totals(sc)
         results[slug] = {
-            "wall_s": round(wall, 2),
+            "wall_s": round(walls[pick], 2),
+            "walls": [round(w, 2) for w in walls],
             "rows": n,
-            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
-            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+            "shuffle_read_mb": round(reads[pick] / 1e6, 1),
+            "shuffle_write_mb": round(writes[pick] / 1e6, 1),
         }
         print(json.dumps({slug: results[slug]}))
     print(json.dumps({"sf1_checkpoint": results}))
