@@ -167,6 +167,7 @@ HEADLINE = [
     "dedup-winnow",
     "dedup-bloom-exact",
     "curate-temperature-mix",
+    "text-kn-lm-score",
 ]
 
 

@@ -446,6 +446,7 @@ _EST_COST = {
     "dedup-paragraph": 20.2,
     "dedup-winnow": 20.3,
     "sim-ivf-pq-topk": 20.4,
+    "text-kn-lm-score": 20.5,
 }
 
 

@@ -931,3 +931,60 @@ def curate_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(
         docs, alpha=0.3, strata_col="lang", key_col="doc_id"
     ).select("doc_id", "lang", "source", "pct", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring — the KenLM-shaped upgrade of
+# text-lm-score (CCNet's quality model is a KN-smoothed n-gram LM,
+# Wenzek et al. 2020 §3.3). No head cap: EVERY observed bigram scores
+# through max(c-D,0)/c(w1·) + (D·N1+(w1·)/c(w1·))·N1+(·w2)/N1+(··),
+# so no doc goes unscored (self-scoring keeps every probability
+# strictly positive). The oracle replays counts, both continuation
+# tables, and the exact operation order of the probability expression
+# (ext/curation.py::kneser_ney_bigram_scores); ROUND(·,4) on the mean
+# log-prob absorbs summation-order ulps, the text-lm-score precedent.
+# Scale: one bigram explode -> ONE groupBy(bigram); prefix/
+# continuation tables are vocabulary-bounded aggregates OF the counts
+# table; the scoring join is UNHINTED (AQE broadcasts while the
+# vocabulary fits, token-keyed shuffle beyond — the tfidf posture).
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+_KN_LM_ORACLE = f"""
+WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+bi AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                ELSE []::VARCHAR[] END) AS bigram
+  FROM words),
+counts AS (
+  SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2, COUNT(*) AS n_big
+  FROM bi GROUP BY bigram),
+prefix AS (
+  SELECT w1, SUM(n_big) AS c1dot, COUNT(*) AS n1p_fw
+  FROM counts GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1p_end FROM counts GROUP BY w2),
+types AS (SELECT COUNT(*) AS n_types FROM counts),
+tbl AS (
+  SELECT c.bigram,
+         GREATEST(CAST(c.n_big AS DOUBLE) - {_KN_D}, 0.0) / p.c1dot
+           + (({_KN_D} * p.n1p_fw) / p.c1dot)
+             * (CAST(n.n1p_end AS DOUBLE) / t.n_types) AS p
+  FROM counts c JOIN prefix p USING (w1) JOIN cont n USING (w2)
+  CROSS JOIN types t),
+scored AS (
+  SELECT b.doc_id, ln(tbl.p) AS logp FROM bi b JOIN tbl USING (bigram))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(logp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text-kn-lm-score", oracle=_KN_LM_ORACLE)
+def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import kneser_ney_bigram_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return kneser_ney_bigram_scores(docs, discount=_KN_D)

@@ -1012,3 +1012,20 @@ def test_temperature_mix_corpus_never_shuffles(queries, spark):
     assert plan.count("BroadcastExchange") == 1, plan
     assert "EvalPython" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_kn_lm_score_counts_materialize_once(queries, spark):
+    # counts feeds four consumers through a lazy localCheckpoint —
+    # the corpus-wide bigram explode must NOT re-derive per consumer
+    # (pre-fix: 5 parquet scans; the checkpoint leaves one visible
+    # scan for the probe side, the build side rides the materialized
+    # RDD). Table-assembly joins are vocabulary-bounded and broadcast
+    # at test scale; no sort-merge, no Python, and the only
+    # single-partition exchange is the 1-row bigram-type total.
+    df = queries["text-kn-lm-score"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
