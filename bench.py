@@ -168,6 +168,7 @@ HEADLINE = [
     "dedup-bloom-exact",
     "curate-temperature-mix",
     "text-kn-lm-score",
+    "text-kn-score-heldout",
 ]
 
 

@@ -1068,3 +1068,107 @@ def kneser_ney_bigram_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("avg_logprob"),
     )
+
+
+def _kn_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bigram) stream — normalized-word 2-shingles with
+    duplicates, the unit both KN paths score."""
+    from dug_data_ingest_spark.functions.text import (
+        normalized_words,
+        shingles_of,
+    )
+
+    words = docs.select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("w")
+    )
+    return words.select(
+        F.col(id_col), F.explode(shingles_of(F.col("w"), k=2)).alias("bigram")
+    )
+
+
+def kneser_ney_score_batch(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score a FOREIGN batch under a KN bigram LM trained on
+    ``corpus`` — the deployment shape ``kneser_ney_bigram_scores``'
+    docstring promises (that function self-scores, where every bigram
+    is corpus-observed; here the interpolation's backoff tiers
+    actually fire):
+
+    - pair seen in corpus: the full interpolated-KN probability;
+    - pair unseen, w1 seen as a prefix: backoff mass only,
+      (D · N1+(w1·)/c(w1·)) · P_cont(w2);
+    - w1 unseen, w2 seen as a continuation: P_cont(w2) alone;
+    - w2 never observed as a continuation: OUT-OF-MODEL — no
+      probability mass exists for it, so it is excluded from the mean
+      and counted in ``n_oov`` instead of faking a floor score.
+
+    Output: (id, n_bigrams, n_oov, avg_logprob) — avg over the
+    in-model bigrams, NULL when every bigram is OOV; docs with <2
+    tokens have no row (join semantics, as in the self-scoring path).
+
+    Scale shape: the corpus builds the same checkpointed
+    vocabulary-bounded tables as the self-scoring path (one corpus
+    scan); the batch bigram stream LEFT-joins pair/prefix/
+    continuation tables — three token-keyed joins, each UNHINTED so
+    AQE broadcasts while the vocabulary fits; the batch is scanned
+    once and only shuffles on the bigram/w1/w2 join keys.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(
+            f"kneser_ney_score_batch: discount must be in (0, 1), "
+            f"got {discount}"
+        )
+    corpus_bi = _kn_bigrams(corpus, text_col, id_col)
+    counts = (
+        corpus_bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+    ).localCheckpoint(eager=False)  # four consumers, one derivation
+    prefix = counts.groupBy("w1").agg(
+        F.sum("n_big").alias("c1dot"),
+        F.count(F.lit(1)).alias("n1p_fw"),
+    )
+    cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_end"))
+    types_row = counts.agg(F.count(F.lit(1)).alias("n_types"))
+
+    bi = _kn_bigrams(batch, text_col, id_col).select(
+        F.col(id_col),
+        F.col("bigram"),
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+    d = F.lit(float(discount))
+    joined = (
+        bi.join(counts.select("bigram", "n_big"), "bigram", "left")
+        .join(prefix, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(types_row))
+    )
+    pcont = F.col("n1p_end").cast("double") / F.col("n_types")
+    p = (
+        F.when(
+            F.col("n_big").isNotNull(),
+            F.greatest(F.col("n_big").cast("double") - d, F.lit(0.0))
+            / F.col("c1dot")
+            + ((d * F.col("n1p_fw")) / F.col("c1dot")) * pcont,
+        )
+        .when(
+            F.col("c1dot").isNotNull() & F.col("n1p_end").isNotNull(),
+            ((d * F.col("n1p_fw")) / F.col("c1dot")) * pcont,
+        )
+        .when(F.col("n1p_end").isNotNull(), pcont)
+    )
+    scored = joined.select(F.col(id_col), F.log(p).alias("logp"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )

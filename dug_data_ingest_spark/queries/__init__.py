@@ -447,6 +447,7 @@ _EST_COST = {
     "dedup-winnow": 20.3,
     "sim-ivf-pq-topk": 20.4,
     "text-kn-lm-score": 20.5,
+    "text-kn-score-heldout": 20.6,
 }
 
 

@@ -988,3 +988,73 @@ def text_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return kneser_ney_bigram_scores(docs, discount=_KN_D)
+
+
+# ---------------------------------------------------------------------------
+# Held-out KN scoring — the deployment shape of the KN model: train on
+# half the corpus (doc_id % 2 = 0), score the OTHER half, where the
+# interpolation's backoff tiers actually fire (pair seen -> full KN;
+# pair unseen but prefix seen -> backoff mass * continuation; prefix
+# unseen -> continuation alone; continuation unseen -> OUT-OF-MODEL,
+# excluded from the mean and counted in n_oov rather than faking a
+# floor score). ext/curation.py::kneser_ney_score_batch; same
+# replay/ROUND(,4) posture as text-kn-lm-score.
+# ---------------------------------------------------------------------------
+
+_KN_HELDOUT_ORACLE = f"""
+WITH words AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+allbi AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                ELSE []::VARCHAR[] END) AS bigram
+  FROM words),
+cbi AS (SELECT * FROM allbi WHERE doc_id % 2 = 0),
+bbi AS (
+  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM allbi WHERE doc_id % 2 = 1),
+counts AS (
+  SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2, COUNT(*) AS n_big
+  FROM cbi GROUP BY bigram),
+prefix AS (
+  SELECT w1, SUM(n_big) AS c1dot, COUNT(*) AS n1p_fw
+  FROM counts GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1p_end FROM counts GROUP BY w2),
+types AS (SELECT COUNT(*) AS n_types FROM counts),
+scored AS (
+  SELECT b.doc_id,
+         ln(CASE
+           WHEN c.n_big IS NOT NULL THEN
+             GREATEST(CAST(c.n_big AS DOUBLE) - {_KN_D}, 0.0) / p.c1dot
+               + (({_KN_D} * p.n1p_fw) / p.c1dot)
+                 * (CAST(n.n1p_end AS DOUBLE) / t.n_types)
+           WHEN p.c1dot IS NOT NULL AND n.n1p_end IS NOT NULL THEN
+             (({_KN_D} * p.n1p_fw) / p.c1dot)
+               * (CAST(n.n1p_end AS DOUBLE) / t.n_types)
+           WHEN n.n1p_end IS NOT NULL THEN
+             CAST(n.n1p_end AS DOUBLE) / t.n_types
+           END) AS logp
+  FROM bbi b
+  LEFT JOIN counts c ON c.bigram = b.bigram
+  LEFT JOIN prefix p ON p.w1 = b.w1
+  LEFT JOIN cont n ON n.w2 = b.w2
+  CROSS JOIN types t)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN logp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(AVG(logp), 4) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text-kn-score-heldout", oracle=_KN_HELDOUT_ORACLE)
+def text_kn_score_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import kneser_ney_score_batch
+
+    docs = load(spark, sf_dir, "documents")
+    return kneser_ney_score_batch(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        discount=_KN_D,
+    )
