@@ -169,6 +169,7 @@ HEADLINE = [
     "curate-temperature-mix",
     "text-kn-lm-score",
     "text-kn-score-heldout",
+    "agg-sketch-partial-merge",
 ]
 
 

@@ -448,6 +448,7 @@ _EST_COST = {
     "sim-ivf-pq-topk": 20.4,
     "text-kn-lm-score": 20.5,
     "text-kn-score-heldout": 20.6,
+    "agg-sketch-partial-merge": 20.7,
 }
 
 
