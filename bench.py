@@ -170,6 +170,7 @@ HEADLINE = [
     "text-kn-lm-score",
     "text-kn-score-heldout",
     "agg-sketch-partial-merge",
+    "graph-pagerank",
 ]
 
 

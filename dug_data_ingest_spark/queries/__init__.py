@@ -449,6 +449,7 @@ _EST_COST = {
     "text-kn-lm-score": 20.5,
     "text-kn-score-heldout": 20.6,
     "agg-sketch-partial-merge": 20.7,
+    "graph-pagerank": 20.8,
 }
 
 

@@ -2865,3 +2865,82 @@ def agg_sketch_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.round(F.col("n_exact") * 0.05), F.lit(3))
         ).alias("merged_within_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the event-type transition graph — the
+# iterative-join pattern (GraphX's core shape) done Spark-right: the
+# corpus contributes exactly ONE pass (the same per-user lag window
+# events-path-transitions grades), the resulting edge table is
+# |types|²-bounded and checkpointed, and every PageRank iteration is
+# a join among bounded broadcast-sized tables — at 100 TB the fact
+# table is scanned once and the iterations cost nothing that scales
+# with it. Damping 0.85, 3 fixed iterations (deterministic — no
+# convergence test, so the oracle unrolls the same three), dangling
+# mass redistributed uniformly. ROUND(,4) absorbs aggregation-order
+# ulps (the zipf-slope precedent).
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """
+seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+edges AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_steps
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT prev_type AS node FROM edges
+    UNION ALL SELECT next_type FROM edges)),
+outw AS (SELECT prev_type, SUM(n_steps) AS w_out FROM edges
+         GROUP BY prev_type),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f""",
+c{i} AS (
+  SELECT e.next_type AS node,
+         SUM(r.rank * (CAST(e.n_steps AS DOUBLE) / o.w_out)) AS cin
+  FROM edges e JOIN outw o USING (prev_type)
+  JOIN {prev} r ON r.node = e.prev_type
+  GROUP BY e.next_type),
+d{i} AS (
+  SELECT COALESCE(SUM(rank), 0.0) AS dang FROM {prev} p
+  WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.prev_type = p.node)),
+r{i} AS (
+  SELECT n.node,
+         (1.0 - 0.85) / nn.n
+           + 0.85 * (COALESCE(c.cin, 0.0) + d{i}.dang / nn.n) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node, nn, d{i})"""
+
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _PR_EDGES_SQL.strip()
+    + _pr_iter_sql(1)
+    + _pr_iter_sql(2)
+    + _pr_iter_sql(3)
+    + " SELECT node, ROUND(rank, 4) AS pagerank FROM r3"
+)
+
+
+@query("graph-pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.graph import pagerank_weighted
+
+    edges = path_transitions(load(spark, sf_dir, "events"))
+    return pagerank_weighted(
+        edges,
+        src_col="prev_type",
+        dst_col="next_type",
+        weight_col="n_steps",
+        damping=0.85,
+        n_iters=3,
+    )
