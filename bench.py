@@ -171,6 +171,7 @@ HEADLINE = [
     "text-kn-score-heldout",
     "agg-sketch-partial-merge",
     "graph-pagerank",
+    "layout-zorder",
 ]
 
 

@@ -450,6 +450,7 @@ _EST_COST = {
     "text-kn-score-heldout": 20.6,
     "agg-sketch-partial-merge": 20.7,
     "graph-pagerank": 20.8,
+    "layout-zorder": 20.9,
 }
 
 

@@ -2944,3 +2944,63 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=0.85,
         n_iters=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering quality — the multi-dimensional layout op behind
+# Delta's OPTIMIZE ZORDER / Iceberg z-curves (functions/zorder.py):
+# Morton-interleave (l_orderkey, l_partkey) onto a 32-bit curve, cut
+# it into 16 equal z-ranges (the file-boundary stand-ins), and report
+# each range's row count and min/max ENVELOPE in both dimensions —
+# tight spans are exactly what lets per-file skip indexes prune scans
+# on EITHER key. All integer/fixed-order-IEEE math, replayed term for
+# term by the oracle. Scale shape: one min/max aggregate collapsed to
+# a broadcast row, a row-local z projection, ONE 16-group map-side-
+# combined aggregate; the fact table is scanned once, shuffled never.
+# ---------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+WITH s AS (
+  SELECT min(l_orderkey) AS xmin, max(l_orderkey) AS xmax,
+         min(l_partkey) AS ymin, max(l_partkey) AS ymax
+  FROM lineitem),
+g AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(floor((CAST(l_orderkey - s.xmin AS DOUBLE) * 65535.0)
+              / CAST(s.xmax - s.xmin AS DOUBLE)) AS BIGINT) AS sx,
+         CAST(floor((CAST(l_partkey - s.ymin AS DOUBLE) * 65535.0)
+              / CAST(s.ymax - s.ymin AS DOUBLE)) AS BIGINT) AS sy
+  FROM lineitem, s),
+z AS (
+  SELECT l_orderkey, l_partkey,
+         list_sum([((sx >> i) & 1) * (1::BIGINT << (2 * i))
+                   + ((sy >> i) & 1) * (1::BIGINT << (2 * i + 1))
+                   for i in range(0, 16)]) AS zval
+  FROM g)
+SELECT CAST(zval >> 28 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(max(l_orderkey) - min(l_orderkey) AS BIGINT) AS o_span,
+       CAST(max(l_partkey) - min(l_partkey) AS BIGINT) AS p_span
+FROM z GROUP BY bucket
+"""
+
+
+@query("layout-zorder", oracle=_ZORDER_ORACLE)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.functions.zorder import zorder_key_2d
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    z = zorder_key_2d(li, "l_orderkey", "l_partkey", bits=16)
+    return (
+        z.withColumn("bucket", F.shiftright("zval", 28).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("l_orderkey") - F.min("l_orderkey"))
+            .cast("bigint")
+            .alias("o_span"),
+            (F.max("l_partkey") - F.min("l_partkey"))
+            .cast("bigint")
+            .alias("p_span"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Pins for functions/zorder.py — Morton interleave, min/max grid
+normalization, and the layout contract (tight two-dimensional
+envelopes per z-range, the property that makes skip indexes prune on
+either key).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dug_data_ingest_spark.functions.zorder import (
+    normalize_to_bits,
+    z_value_2d,
+    zorder_key_2d,
+)
+
+
+def _interleave(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_bit_model(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (5, 3), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = [
+        r["z"]
+        for r in df.select(
+            z_value_2d(F.col("x"), F.col("y"), bits=16).alias("z")
+        ).collect()
+    ]
+    assert got == [_interleave(x, y, 16) for x, y in rows]
+
+
+def test_z_locality_orders_quadrants(spark):
+    # the curve's defining property: the four 2x2 quadrants of a
+    # [0,2^b)^2 grid occupy disjoint, ordered z-ranges
+    b = 8
+    half = 1 << (b - 1)
+    quads = [(0, 0), (half, 0), (0, half), (half, half)]
+    df = spark.createDataFrame(quads, "x long, y long")
+    zs = [
+        r["z"]
+        for r in df.select(
+            z_value_2d(F.col("x"), F.col("y"), bits=b).alias("z")
+        ).collect()
+    ]
+    assert zs == sorted(zs)  # (0,0) < (half,0) < (0,half) < (half,half)
+
+
+def test_normalize_degenerate_span_maps_to_zero(spark):
+    df = spark.createDataFrame([(7,), (7,)], "x long")
+    out = df.select(
+        normalize_to_bits(
+            F.col("x"), F.lit(7), F.lit(7), bits=16
+        ).alias("s")
+    ).collect()
+    assert [r["s"] for r in out] == [0, 0]
+
+
+def test_zorder_key_plan_is_scan_plus_broadcast(spark):
+    # one fact scan, the min/max row broadcast back, a row-local z
+    # projection — no hash exchange of the fact table
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 997).alias("y")
+    )
+    out = zorder_key_2d(df, "x", "y", bits=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_zorder_buckets_are_tight_in_both_dims(spark):
+    # the layout payoff: cutting the z-curve into 16 ranges yields
+    # per-range envelopes whose AVERAGE span is well under the global
+    # span in BOTH dimensions (a single-key sort is tight in one
+    # dimension only — its secondary-key spans stay ~global)
+    n = 4096
+    df = spark.range(0, n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 2654435761) % n).alias("y"),  # decorrelated
+    )
+    z = zorder_key_2d(df, "x", "y", bits=16).withColumn(
+        "bucket", F.shiftright("zval", 28)
+    )
+    spans = z.groupBy("bucket").agg(
+        (F.max("x") - F.min("x")).alias("xs"),
+        (F.max("y") - F.min("y")).alias("ys"),
+    ).collect()
+    avg_xs = sum(r["xs"] for r in spans) / len(spans)
+    avg_ys = sum(r["ys"] for r in spans) / len(spans)
+    assert avg_xs < 0.5 * (n - 1), avg_xs
+    assert avg_ys < 0.5 * (n - 1), avg_ys
+
+
+def test_bits_validation(spark):
+    with pytest.raises(ValueError, match="bits"):
+        z_value_2d(F.lit(1), F.lit(1), bits=0)
