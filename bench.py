@@ -172,6 +172,7 @@ HEADLINE = [
     "agg-sketch-partial-merge",
     "graph-pagerank",
     "layout-zorder",
+    "dedup-winnow-pairs",
 ]
 
 

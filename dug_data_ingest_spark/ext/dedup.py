@@ -1749,3 +1749,63 @@ def winnow_fingerprints(
             F.col("s.h").alias("fp"),
         )
     )
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — MOSS's actual detection step (Schleimer et al. 2003 §4: fan the
+    fingerprint index into shared-hash candidate pairs, rank by match
+    count). Each shared fingerprint certifies a verbatim run of at
+    least ``w + k - 1`` tokens on both sides, so ``n_shared`` is a
+    lower bound on distinct shared runs — the plagiarism/mirror-page
+    signal at a ~w/2-fold smaller index than the every-position
+    k-gram family.
+
+    Output: (a, b, n_shared) with a < b, both ``id_col``-typed.
+
+    Scale shape: the fingerprint stream is winnow-sparse by
+    construction (expected density 2/(w+1) per token); candidate
+    pairs come only from shared fingerprints (never a cross product),
+    and fingerprints in more than ``max_doc_freq`` documents are
+    dropped BOTH sides first — boilerplate every page shares would
+    otherwise form an m²-row join bucket (the ngram_jaccard_pairs df
+    cap, same tiny broadcast anti-join, same armed warning). The
+    self-join's two sides derive from one pipeline, so AQE reuses the
+    exchange (the dedup-ngram-jaccard plan property).
+    """
+    if min_shared < 1:
+        raise ValueError(
+            f"winnow_candidate_pairs: min_shared must be >= 1, "
+            f"got {min_shared}"
+        )
+    fps = winnow_fingerprints(
+        docs, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col), F.col("fp")).distinct()
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("fp")
+        )
+        hot = _arm_cap_signal(
+            hot, max_doc_freq, caller="winnow_candidate_pairs"
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    left = fps.select(F.col(id_col).alias("a"), "fp")
+    right = fps.select(F.col(id_col).alias("b"), "fp")
+    return (
+        left.join(right, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -451,6 +451,7 @@ _EST_COST = {
     "agg-sketch-partial-merge": 20.7,
     "graph-pagerank": 20.8,
     "layout-zorder": 20.9,
+    "dedup-winnow-pairs": 21.0,
 }
 
 

@@ -1477,3 +1477,55 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(confinement)
         .select("n_results", "probe_confined", "recall_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing candidate pairs — MOSS's detection step over the
+# dedup-winnow fingerprint index: pairs sharing >= 2 fingerprints,
+# each shared fingerprint certifying a verbatim run of >= w+k-1 = 11
+# tokens on both sides. Same df-cap posture as the shingle family
+# (fingerprints in > 100 docs dropped both sides — a no-op on the
+# driver corpus, structurally required against boilerplate m²
+# buckets); the self-join's sides share one pipeline (ReusedExchange
+# at scale). ext/dedup.py::winnow_candidate_pairs.
+# ---------------------------------------------------------------------------
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+  WHERE text IS NOT NULL AND len({_WORDS}) >= 11
+),
+hs AS (
+  SELECT doc_id, i,
+         {_HASH64.format(x="array_to_string(list_slice(w, i, i + 7), ' ')")}
+           AS h,
+         len(w) - 7 AS nh
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) t(i)
+),
+win AS (
+  SELECT doc_id, u.j, i, h,
+         row_number() OVER (PARTITION BY doc_id, u.j
+                            ORDER BY h ASC, i DESC) AS rk
+  FROM hs, UNNEST(generate_series(GREATEST(1, i - 3), LEAST(i, nh - 3))) u(j)
+),
+fps AS (SELECT DISTINCT doc_id, h AS fp FROM win WHERE rk = 1),
+kept AS (
+  SELECT doc_id, fp FROM fps
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 100
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept x JOIN kept y USING (fp)
+WHERE x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("dedup-winnow-pairs", oracle=_WINNOW_PAIRS_ORACLE)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        load(spark, sf_dir, "documents"), k=8, w=4, min_shared=2
+    )

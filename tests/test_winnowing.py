@@ -129,3 +129,85 @@ def test_plan_is_row_local(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+# --- candidate pairs (winnow_candidate_pairs) -------------------------------
+
+
+def test_candidate_pairs_find_the_planted_overlap(spark):
+    # docs 0 and 5 share a 10-token verbatim span (>= w+k-1): the
+    # guarantee gives >= 1 shared fingerprint, and MOSS's pair step
+    # must surface the pair at min_shared=1
+    from dug_data_ingest_spark.ext.dedup import winnow_candidate_pairs
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    pairs = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in winnow_candidate_pairs(
+            df, k=K, w=W, min_shared=1, max_doc_freq=None
+        ).collect()
+    }
+    assert (0, 5) in pairs
+    # unrelated docs share nothing
+    assert (0, 1) not in pairs and (1, 5) not in pairs
+
+
+def test_candidate_pairs_match_set_model(spark):
+    # n_shared equals the intersection size of the distinct
+    # fingerprint sets — replayed from winnow_fingerprints itself
+    from dug_data_ingest_spark.ext.dedup import winnow_candidate_pairs
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    fps = _got(spark)
+    sets = {d: {fp for _, fp in v} for d, v in fps.items()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n >= 1:
+                want[(a, b)] = n
+    got = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in winnow_candidate_pairs(
+            df, k=K, w=W, min_shared=1, max_doc_freq=None
+        ).collect()
+    }
+    assert got == want
+
+
+def test_candidate_pairs_df_cap_drops_boilerplate(spark):
+    # a fingerprint present in every doc is boilerplate: with
+    # max_doc_freq below the corpus size it must not generate pairs
+    from dug_data_ingest_spark.ext.dedup import winnow_candidate_pairs
+
+    boiler = "exactly the same boilerplate sentence repeated verbatim here"
+    docs = [(i, f"{boiler} unique tail {i} " + " ".join(
+        f"w{i}x{j}" for j in range(8))) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    capped = winnow_candidate_pairs(df, k=K, w=W, min_shared=1, max_doc_freq=3)
+    uncapped = winnow_candidate_pairs(
+        df, k=K, w=W, min_shared=1, max_doc_freq=None
+    )
+    assert uncapped.count() == 15  # all C(6,2) pairs share boilerplate
+    # the all-doc boilerplate fingerprints (df = 6 > 3) are dropped;
+    # only boundary k-grams straddling the boilerplate/tail junction
+    # (whose distinct digits keep their df under the cap) survive, so
+    # the pair list shrinks and every surviving pair carries strictly
+    # fewer shared fingerprints than its uncapped twin
+    n_capped = capped.count()
+    assert n_capped < 15, n_capped
+    cap_map = {(r["a"], r["b"]): r["n_shared"] for r in capped.collect()}
+    full_map = {(r["a"], r["b"]): r["n_shared"] for r in uncapped.collect()}
+    for pair, n in cap_map.items():
+        assert n < full_map[pair], (pair, n, full_map[pair])
+
+
+def test_candidate_pairs_validation(spark):
+    import pytest as _pytest
+
+    from dug_data_ingest_spark.ext.dedup import winnow_candidate_pairs
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with _pytest.raises(ValueError, match="min_shared"):
+        winnow_candidate_pairs(df, min_shared=0)
