@@ -1014,40 +1014,13 @@ def kneser_ney_bigram_scores(
     keyed shuffle join when the vocabulary outgrows it (the
     text-keyword-tfidf posture). Hot bigrams skew PROBE-side.
     """
-    from dug_data_ingest_spark.functions.text import (
-        normalized_words,
-        shingles_of,
-    )
-
     if not (0.0 < discount < 1.0):
         raise ValueError(
             f"kneser_ney_bigram_scores: discount must be in (0, 1), "
             f"got {discount}"
         )
-    words = docs.select(
-        F.col(id_col), normalized_words(F.col(text_col)).alias("w")
-    )
-    bi = words.select(
-        F.col(id_col), F.explode(shingles_of(F.col("w"), k=2)).alias("bigram")
-    )
-    counts = (
-        bi.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_big"))
-        .withColumn("w1", F.split("bigram", " ").getItem(0))
-        .withColumn("w2", F.split("bigram", " ").getItem(1))
-    # localCheckpoint: counts feeds FOUR consumers (prefix, cont,
-    # types, the table assembly) — uncheckpointed, each re-derives
-    # the corpus-wide bigram explode + aggregation (measured: 5
-    # corpus scans in the executed plan; 2 after). Vocabulary-
-    # bounded, so the materialization is small; lazy — the first
-    # consumer materializes it (the ivf_pq_index residuals idiom).
-    ).localCheckpoint(eager=False)
-    prefix = counts.groupBy("w1").agg(
-        F.sum("n_big").alias("c1dot"),
-        F.count(F.lit(1)).alias("n1p_fw"),
-    )
-    cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_end"))
-    types_row = counts.agg(F.count(F.lit(1)).alias("n_types"))
+    bi = _kn_bigrams(docs, text_col, id_col)
+    counts, prefix, cont, types_row = _kn_tables(bi)
     d = F.lit(float(discount))
     p = (
         F.greatest(F.col("n_big").cast("double") - d, F.lit(0.0))
@@ -1084,6 +1057,37 @@ def _kn_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return words.select(
         F.col(id_col), F.explode(shingles_of(F.col("w"), k=2)).alias("bigram")
     )
+
+
+def _kn_tables(
+    corpus_bi: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """KN model tables from a (id, bigram) stream — the single
+    definition both the self-scoring and foreign-batch paths share
+    (they must stay in lockstep with each other AND both SQL oracles):
+    (counts, prefix, cont, types_row) =
+    (c(w1w2) keyed by bigram/w1/w2, [c(w1·), N1+(w1·)] by w1,
+    N1+(·w2) by w2, the 1-row N1+(··) total).
+
+    localCheckpoint: counts feeds FOUR consumers (prefix, cont, types,
+    the scoring join) — uncheckpointed, each re-derives the
+    corpus-wide bigram explode + aggregation (measured: 5 corpus scans
+    in the executed plan; 2 after). Vocabulary-bounded, so the
+    materialization is small; lazy — the first consumer materializes
+    it (the ivf_pq_index residuals idiom)."""
+    counts = (
+        corpus_bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+    ).localCheckpoint(eager=False)
+    prefix = counts.groupBy("w1").agg(
+        F.sum("n_big").alias("c1dot"),
+        F.count(F.lit(1)).alias("n1p_fw"),
+    )
+    cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_end"))
+    types_row = counts.agg(F.count(F.lit(1)).alias("n_types"))
+    return counts, prefix, cont, types_row
 
 
 def kneser_ney_score_batch(
@@ -1123,19 +1127,9 @@ def kneser_ney_score_batch(
             f"kneser_ney_score_batch: discount must be in (0, 1), "
             f"got {discount}"
         )
-    corpus_bi = _kn_bigrams(corpus, text_col, id_col)
-    counts = (
-        corpus_bi.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_big"))
-        .withColumn("w1", F.split("bigram", " ").getItem(0))
-        .withColumn("w2", F.split("bigram", " ").getItem(1))
-    ).localCheckpoint(eager=False)  # four consumers, one derivation
-    prefix = counts.groupBy("w1").agg(
-        F.sum("n_big").alias("c1dot"),
-        F.count(F.lit(1)).alias("n1p_fw"),
+    counts, prefix, cont, types_row = _kn_tables(
+        _kn_bigrams(corpus, text_col, id_col)
     )
-    cont = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_end"))
-    types_row = counts.agg(F.count(F.lit(1)).alias("n_types"))
 
     bi = _kn_bigrams(batch, text_col, id_col).select(
         F.col(id_col),

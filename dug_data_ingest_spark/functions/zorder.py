@@ -25,13 +25,20 @@ def normalize_to_bits(
     [0, 2**bits - 1]: floor((x - min) * (2**bits - 1) / (max - min)).
     Pure double math in a fixed operation order, so any IEEE engine
     replays it bit-for-bit. Degenerate ranges (max == min) map to 0
-    rather than dividing by zero."""
+    rather than dividing by zero. Values outside [x_min, x_max]
+    (possible when a caller supplies sampled or stale stats) are
+    clamped to the grid ends rather than leaking sign bits into the
+    Morton interleave."""
     grid = float((1 << bits) - 1)
     span = (x_max - x_min).cast("double")
     scaled = F.floor(
         ((x - x_min).cast("double") * grid) / span
     ).cast("bigint")
-    return F.when(span == 0.0, F.lit(0).cast("bigint")).otherwise(scaled)
+    clamped = F.least(
+        F.greatest(scaled, F.lit(0).cast("bigint")),
+        F.lit((1 << bits) - 1).cast("bigint"),
+    )
+    return F.when(span == 0.0, F.lit(0).cast("bigint")).otherwise(clamped)
 
 
 def z_value_2d(sx: Column, sy: Column, bits: int = 16) -> Column:
@@ -72,20 +79,30 @@ def zorder_key_2d(
     and write — each output file then covers a z-range whose min/max
     envelope is tight in BOTH x and y (measured by the
     ``layout-zorder`` query's per-bucket span stats)."""
+    # suffix-until-free staging guard (the gate_documents convention):
+    # an input df already carrying __xmin etc. must not collide
+    def _free(base: str) -> str:
+        name = base
+        while name in df.columns:
+            name += "_"
+        return name
+
+    xmin, xmax, ymin, ymax = (
+        _free("__xmin"),
+        _free("__xmax"),
+        _free("__ymin"),
+        _free("__ymax"),
+    )
     stats = df.agg(
-        F.min(x_col).alias("__xmin"),
-        F.max(x_col).alias("__xmax"),
-        F.min(y_col).alias("__ymin"),
-        F.max(y_col).alias("__ymax"),
+        F.min(x_col).alias(xmin),
+        F.max(x_col).alias(xmax),
+        F.min(y_col).alias(ymin),
+        F.max(y_col).alias(ymax),
     )
-    sx = normalize_to_bits(
-        F.col(x_col), F.col("__xmin"), F.col("__xmax"), bits
-    )
-    sy = normalize_to_bits(
-        F.col(y_col), F.col("__ymin"), F.col("__ymax"), bits
-    )
+    sx = normalize_to_bits(F.col(x_col), F.col(xmin), F.col(xmax), bits)
+    sy = normalize_to_bits(F.col(y_col), F.col(ymin), F.col(ymax), bits)
     return (
         df.crossJoin(F.broadcast(stats))
         .withColumn(out_col, z_value_2d(sx, sy, bits))
-        .drop("__xmin", "__xmax", "__ymin", "__ymax")
+        .drop(xmin, xmax, ymin, ymax)
     )

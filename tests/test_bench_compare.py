@@ -58,3 +58,29 @@ def test_flag_rule_requires_both_hypotheses(tmp_path, capsys, monkeypatch):
     # regressed: raw 2.0, adj 4.0 — slower under both -> flagged
     assert set(flagged) == {"regressed"}
     assert rc == 1
+
+
+def test_history_median_trailing_window_and_noisy_order(monkeypatch):
+    # Two pins from the r11 verdict/advice:
+    # 1. the current run is sliced off BEFORE the noisy filter, so a
+    #    flagged current run doesn't also eat the newest clean prior
+    #    (the off-by-one: filter-then-slice dropped one clean entry);
+    # 2. the median base is a TRAILING window (last 10 clean entries
+    #    per query), so documented plan trades stop re-alarming
+    #    against all-history medians forever.
+    import tools.bench_compare as bc
+
+    rows = (
+        # 15 old clean entries at 1.0s — outside the trailing-10 window
+        [{"queries": {"q": 1.0}, "calib_spark_sec": 0.1} for _ in range(15)]
+        # 10 recent clean entries at 3.0s — the post-trade steady state
+        + [{"queries": {"q": 3.0}, "calib_spark_sec": 0.1} for _ in range(10)]
+        # current run, flagged noisy — must be excluded by the SLICE,
+        # without costing an extra clean prior
+        + [{"queries": {"q": 9.0}, "calib_spark_sec": 0.5, "noisy_host": True}]
+    )
+    monkeypatch.setattr(bc, "_history_rows", lambda: rows)
+    name, doc = bc._load_history_median()
+    # trailing-10 of the 25 clean priors = the ten 3.0s entries
+    assert doc["queries"]["q"] == 3.0
+    assert "25 clean entries" in name

@@ -101,3 +101,29 @@ def test_zorder_buckets_are_tight_in_both_dims(spark):
 def test_bits_validation(spark):
     with pytest.raises(ValueError, match="bits"):
         z_value_2d(F.lit(1), F.lit(1), bits=0)
+
+
+def test_normalize_clamps_out_of_range_stats(spark):
+    # a caller with sampled/stale min-max stats can hand x outside
+    # [x_min, x_max]; the scaled value must clamp to the grid ends,
+    # never go negative or above 2**bits-1 (sign bits in the Morton
+    # interleave produce garbage keys silently)
+    df = spark.createDataFrame([(-50,), (0,), (100,), (175,)], "x long")
+    got = [
+        r[0]
+        for r in df.select(
+            normalize_to_bits(F.col("x"), F.lit(0), F.lit(100), bits=8)
+        ).collect()
+    ]
+    assert got == [0, 0, 255, 255]
+
+
+def test_zorder_key_survives_colliding_stat_names(spark):
+    # suffix-until-free guard: an input already carrying __xmin must
+    # not collide with the staged broadcast stats row
+    df = spark.createDataFrame(
+        [(1, 2, 99), (3, 4, 98)], "x long, y long, __xmin long"
+    )
+    out = zorder_key_2d(df, "x", "y", bits=8)
+    assert "__xmin" in out.columns and "zval" in out.columns
+    assert out.filter(F.col("__xmin").isin(98, 99)).count() == 2

@@ -96,35 +96,56 @@ def _history_rows() -> list[dict]:
     return rows
 
 
+TRAILING_WINDOW = 10
+
+
 def _load_clean() -> tuple[str, dict]:
-    return "BENCH_HISTORY[-1]", _history_rows()[-1]
+    row = _history_rows()[-1]
+    if row.get("noisy_host"):
+        print(
+            "WARNING: BENCH_HISTORY[-1] is flagged noisy_host — "
+            "comparing a contended run; prefer a fresh quiet-host entry",
+            file=sys.stderr,
+        )
+    return "BENCH_HISTORY[-1]", row
 
 
 def _load_history_median() -> tuple[str, dict]:
     import statistics
 
     rows = _history_rows()
-    # entries audited as host-contaminated (r10 verdict: the six
-    # contamination-era runs, numpy calib up to 3.4x its median) carry
-    # "noisy_host": true and are excluded from the median base — they
-    # would drag every per-query median upward and mask real drift
-    clean = [r for r in rows if not r.get("noisy_host")]
-    if clean:
-        rows = clean
+    # Slice the current run off FIRST, then drop host-contaminated
+    # entries (flagged "noisy_host": true — they would drag every
+    # per-query median upward and mask real drift). Doing it in the
+    # other order silently dropped the newest clean prior run whenever
+    # the current run was itself flagged (r11 ADVICE off-by-one).
     prior = rows[:-1] or rows
+    clean = [r for r in prior if not r.get("noisy_host")] or prior
+    # Trailing-window median: documented plan trades (exact-decimal
+    # money aggs, stratified-exact rewrite) shifted some queries'
+    # steady state; an all-history median re-alarms on them every
+    # round (r11 verdict item 2). Use the last TRAILING_WINDOW clean
+    # entries *per query* (a query absent from recent runs falls back
+    # to its newest appearances).
     per_q: dict[str, list[float]] = {}
     calibs: list[float] = []
-    for r in prior:
+    for r in clean:
         for q, s in r.get("queries", {}).items():
             per_q.setdefault(q, []).append(s)
         if r.get("calib_spark_sec"):
             calibs.append(r["calib_spark_sec"])
     doc = {
-        "queries": {q: statistics.median(v) for q, v in per_q.items()},
+        "queries": {
+            q: statistics.median(v[-TRAILING_WINDOW:]) for q, v in per_q.items()
+        },
     }
     if calibs:
-        doc["calib_spark_sec"] = statistics.median(calibs)
-    return f"BENCH_HISTORY[:-1] median of {len(prior)}", doc
+        doc["calib_spark_sec"] = statistics.median(calibs[-TRAILING_WINDOW:])
+    return (
+        f"BENCH_HISTORY[:-1] trailing-{TRAILING_WINDOW} median "
+        f"({len(clean)} clean entries)",
+        doc,
+    )
 
 
 def _load(spec: str) -> tuple[str, dict]:

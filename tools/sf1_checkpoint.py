@@ -68,6 +68,12 @@ def main() -> int:
     if not os.path.exists(docs_path):
         os.makedirs(scratch, exist_ok=True)
         base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # the copy offset must dominate every source id or copies
+        # collide (corrupting dedup-family results at sf1)
+        max_id = base.agg(F.max("doc_id")).first()[0] or 0
+        assert max_id < 1_000_000_000, (
+            f"doc_id {max_id} >= 1e9: raise the inflation offset"
+        )
         copies = [
             base.select(
                 (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
