@@ -173,6 +173,9 @@ HEADLINE = [
     "graph-pagerank",
     "layout-zorder",
     "dedup-winnow-pairs",
+    "text-contamination-report",
+    "pipeline-shuffle-corpus",
+    "curate-gate-documents",
 ]
 
 

@@ -452,6 +452,13 @@ _EST_COST = {
     "graph-pagerank": 20.8,
     "layout-zorder": 20.9,
     "dedup-winnow-pairs": 21.0,
+    # round-12 promotions (VERDICT r11 items 4/5): md5-deterministic
+    # library operators graded with exact value oracles, then the
+    # recall/population-bound pair — never-graded, so they lead the
+    # r12 window ahead of the 14 r7-vintage regrades
+    "text-contamination-report": 21.1,
+    "pipeline-shuffle-corpus": 21.2,
+    "curate-gate-documents": 21.3,
 }
 
 

@@ -1058,3 +1058,242 @@ def text_kn_score_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 0),
         discount=_KN_D,
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination forensics — the audit artifact text-decontaminate
+# doesn't emit: WHICH eval doc leaked into WHICH training doc and how
+# strongly, (train_id, eval_id, n_shared_shingles) for every pair
+# sharing a 5-gram shingle. ext/curation.py::contamination_report;
+# same eval split and shingle width as text-decontaminate, so the
+# report's distinct train ids ARE that slug's dropped set. Scale:
+# eval side broadcasts WITH ids; the corpus is scanned once and never
+# shuffled on the shingle (only actual hits reach the pair groupBy).
+# The oracle replays the same distinct-shingle join in DuckDB —
+# exact integer counts, no floats.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text-contamination-report",
+    oracle=f"""
+    WITH {_SHINGLES5_CTE}
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           COUNT(*) AS n_shared_shingles
+    FROM sh5 t JOIN sh5 e USING (s)
+    WHERE NOT (t.{_EVAL_PRED}) AND e.{_EVAL_PRED}
+    GROUP BY 1, 2
+    """,
+)
+def text_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 10 == 7
+    return contamination_report(
+        docs.filter(~is_eval), docs.filter(is_eval), k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reproducible corpus shuffle — the training-order export between
+# curation and the data loader: (shard, pos) replay ONE fixed
+# md5(seed|key) permutation, byte-identical across reruns, engines,
+# cluster sizes, and input partitionings (df.orderBy(rand()) re-deals
+# every run; a resumable training run needs step N to see the same
+# document after a restart). ext/curation.py::shuffle_corpus. Scale:
+# ONE hash exchange on the shard id; rank windows are n/n_shards rows
+# (the caller sizes n_shards to the task budget — tens of thousands
+# of few-hundred-MB shards at 100 TB). The oracle replays the exact
+# md5 shard/rank formula — a pure-integer permutation check.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline-shuffle-corpus",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('r12|' || CAST(doc_id AS VARCHAR)) AS skey,
+             CAST(CAST(('0x' || substr(md5('r12|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 8 AS INT) AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                AS INT) AS pos
+    FROM h
+    """,
+)
+def pipeline_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import shuffle_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_corpus(docs, n_shards=8, seed="r12").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quarantine-style quality gate over the NAMED public web-text filters
+# (ext/curation.py::gate_documents): every doc comes back with
+# reject_reason = NULL (keep) or the FIRST failing rule's name, in the
+# triage order null_text -> the 8 Gopher quality rules (Rae et al.
+# 2021 A1.1) -> the 13 Gopher repetition rules (Table A1) -> the C4
+# page rule (Raffel et al. 2020 s2.2). All 22 rules are deterministic
+# booleans over pure Column expressions — ONE projection, no shuffle,
+# no Python — so the oracle replays every rule exactly in DuckDB
+# (same whitespace-word and normalized-word conventions as the rest
+# of the text oracles) and the value hash pins thresholds AND rule
+# order: a drifted constant or reordered CASE is a silent
+# corpus-composition change this gate exists to catch.
+# ---------------------------------------------------------------------------
+
+_GATE_ORACLE = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+qw AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws,
+         {_WORDS} AS nw
+  FROM d),
+qbase AS (
+  SELECT doc_id, text, ws, nw,
+         len(ws) AS n_words,
+         CASE WHEN len(ws) > 0
+              THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+              END AS mean_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0 AS n_ellipsis,
+         regexp_split_to_array(text, '\\n') AS lines
+  FROM qw),
+q AS (
+  SELECT doc_id, text, nw,
+    (n_words >= 50 AND n_words <= 100000) AS n_words_ok,
+    COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, FALSE) AS mean_word_len_ok,
+    COALESCE(CASE WHEN n_words > 0 THEN n_hash / CAST(n_words AS DOUBLE) <= 0.1 END, FALSE) AS hash_ratio_ok,
+    COALESCE(CASE WHEN n_words > 0 THEN n_ellipsis / CAST(n_words AS DOUBLE) <= 0.1 END, FALSE) AS ellipsis_ratio_ok,
+    COALESCE(CAST(len(list_filter(lines, l ->
+        starts_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '-')
+        OR starts_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '*')
+        OR starts_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '•'))) AS DOUBLE)
+      / len(lines) <= 0.9, FALSE) AS bullet_lines_ok,
+    COALESCE(CAST(len(list_filter(lines, l ->
+        ends_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '...')
+        OR ends_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '…'))) AS DOUBLE)
+      / len(lines) <= 0.3, FALSE) AS ellipsis_lines_ok,
+    COALESCE(CASE WHEN len(ws) > 0 THEN
+        CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          / len(ws) >= 0.8 END, FALSE) AS alpha_words_ok,
+    COALESCE(len(list_filter(['the','be','to','of','and','that','have','with'],
+        s -> list_contains(nw, s))) >= 2, FALSE) AS stopwords_ok
+  FROM qbase),
+
+rl AS (
+  SELECT doc_id, unnest(list_filter(
+      list_transform(regexp_split_to_array(text, '\\n'),
+                     l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
+      l -> l <> '')) AS item
+  FROM d),
+rp AS (
+  SELECT doc_id, unnest(list_filter(
+      list_transform(regexp_split_to_array(text, '\\n{{2,}}'),
+                     p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g')),
+      p -> p <> '')) AS item
+  FROM d),
+rls AS (
+  SELECT doc_id, SUM(c) AS n, SUM(c - 1) AS dup_n,
+         SUM(c * length(item)) AS total, SUM((c - 1) * length(item)) AS dup
+  FROM (SELECT doc_id, item, COUNT(*) AS c FROM rl GROUP BY 1, 2)
+  GROUP BY doc_id),
+rps AS (
+  SELECT doc_id, SUM(c) AS n, SUM(c - 1) AS dup_n,
+         SUM(c * length(item)) AS total, SUM((c - 1) * length(item)) AS dup
+  FROM (SELECT doc_id, item, COUNT(*) AS c FROM rp GROUP BY 1, 2)
+  GROUP BY doc_id),
+nks AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS k),
+grams AS (
+  SELECT doc_id, k, unnest(CASE WHEN len(nw) >= k
+      THEN [array_to_string(nw[i:i+k-1], ' ') for i in range(1, len(nw)-k+2)]
+      ELSE []::VARCHAR[] END) AS g
+  FROM qw CROSS JOIN nks),
+gstat AS (
+  SELECT doc_id, k, SUM(c) AS n, SUM(c * length(g)) AS total,
+         SUM((c - 1) * length(g)) AS dup, MAX(c * length(g)) AS top
+  FROM (SELECT doc_id, k, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3)
+  GROUP BY doc_id, k),
+rep AS (
+  SELECT q.doc_id,
+    COALESCE(CAST(l.dup_n AS DOUBLE) / nullif(l.n, 0) <= 0.30, FALSE) AS dup_line_frac_ok,
+    COALESCE(CAST(l.dup AS DOUBLE) / nullif(l.total, 0) <= 0.20, FALSE) AS dup_line_char_frac_ok,
+    COALESCE(CAST(p.dup_n AS DOUBLE) / nullif(p.n, 0) <= 0.30, FALSE) AS dup_para_frac_ok,
+    COALESCE(CAST(p.dup AS DOUBLE) / nullif(p.total, 0) <= 0.20, FALSE) AS dup_para_char_frac_ok,
+    COALESCE(g2.n IS NULL OR CAST(g2.top AS DOUBLE) / nullif(g2.total, 0) <= 0.20, FALSE) AS top2gram_ok,
+    COALESCE(g3.n IS NULL OR CAST(g3.top AS DOUBLE) / nullif(g3.total, 0) <= 0.18, FALSE) AS top3gram_ok,
+    COALESCE(g4.n IS NULL OR CAST(g4.top AS DOUBLE) / nullif(g4.total, 0) <= 0.16, FALSE) AS top4gram_ok,
+    COALESCE(g5.n IS NULL OR CAST(g5.dup AS DOUBLE) / nullif(g5.total, 0) <= 0.15, FALSE) AS dup5gram_ok,
+    COALESCE(g6.n IS NULL OR CAST(g6.dup AS DOUBLE) / nullif(g6.total, 0) <= 0.14, FALSE) AS dup6gram_ok,
+    COALESCE(g7.n IS NULL OR CAST(g7.dup AS DOUBLE) / nullif(g7.total, 0) <= 0.13, FALSE) AS dup7gram_ok,
+    COALESCE(g8.n IS NULL OR CAST(g8.dup AS DOUBLE) / nullif(g8.total, 0) <= 0.12, FALSE) AS dup8gram_ok,
+    COALESCE(g9.n IS NULL OR CAST(g9.dup AS DOUBLE) / nullif(g9.total, 0) <= 0.11, FALSE) AS dup9gram_ok,
+    COALESCE(g10.n IS NULL OR CAST(g10.dup AS DOUBLE) / nullif(g10.total, 0) <= 0.10, FALSE) AS dup10gram_ok
+  FROM q
+  LEFT JOIN rls l ON l.doc_id = q.doc_id
+  LEFT JOIN rps p ON p.doc_id = q.doc_id
+  LEFT JOIN gstat g2 ON g2.doc_id = q.doc_id AND g2.k = 2
+  LEFT JOIN gstat g3 ON g3.doc_id = q.doc_id AND g3.k = 3
+  LEFT JOIN gstat g4 ON g4.doc_id = q.doc_id AND g4.k = 4
+  LEFT JOIN gstat g5 ON g5.doc_id = q.doc_id AND g5.k = 5
+  LEFT JOIN gstat g6 ON g6.doc_id = q.doc_id AND g6.k = 6
+  LEFT JOIN gstat g7 ON g7.doc_id = q.doc_id AND g7.k = 7
+  LEFT JOIN gstat g8 ON g8.doc_id = q.doc_id AND g8.k = 8
+  LEFT JOIN gstat g9 ON g9.doc_id = q.doc_id AND g9.k = 9
+  LEFT JOIN gstat g10 ON g10.doc_id = q.doc_id AND g10.k = 10),
+c4 AS (
+  SELECT doc_id,
+    (NOT contains(lower(text), 'lorem ipsum')
+     AND NOT contains(text, '{{')
+     AND len(list_filter(regexp_split_to_array(text, '\\n'), l ->
+        (ends_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '.')
+         OR ends_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '!')
+         OR ends_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '?')
+         OR ends_with(regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '"'))
+        AND len(list_filter(regexp_split_to_array(
+              regexp_replace(l, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+              w -> w <> '')) >= 5
+        AND NOT contains(lower(l), 'javascript'))) >= 3) AS page_ok
+  FROM d)
+SELECT q.doc_id,
+  CASE
+    WHEN q.text IS NULL THEN 'null_text'
+    WHEN NOT q.n_words_ok THEN 'gopher:n_words_ok'
+    WHEN NOT q.mean_word_len_ok THEN 'gopher:mean_word_len_ok'
+    WHEN NOT q.hash_ratio_ok THEN 'gopher:hash_ratio_ok'
+    WHEN NOT q.ellipsis_ratio_ok THEN 'gopher:ellipsis_ratio_ok'
+    WHEN NOT q.bullet_lines_ok THEN 'gopher:bullet_lines_ok'
+    WHEN NOT q.ellipsis_lines_ok THEN 'gopher:ellipsis_lines_ok'
+    WHEN NOT q.alpha_words_ok THEN 'gopher:alpha_words_ok'
+    WHEN NOT q.stopwords_ok THEN 'gopher:stopwords_ok'
+    WHEN NOT r.dup_line_frac_ok THEN 'gopher_rep:dup_line_frac_ok'
+    WHEN NOT r.dup_line_char_frac_ok THEN 'gopher_rep:dup_line_char_frac_ok'
+    WHEN NOT r.dup_para_frac_ok THEN 'gopher_rep:dup_para_frac_ok'
+    WHEN NOT r.dup_para_char_frac_ok THEN 'gopher_rep:dup_para_char_frac_ok'
+    WHEN NOT r.top2gram_ok THEN 'gopher_rep:top2gram_ok'
+    WHEN NOT r.top3gram_ok THEN 'gopher_rep:top3gram_ok'
+    WHEN NOT r.top4gram_ok THEN 'gopher_rep:top4gram_ok'
+    WHEN NOT r.dup5gram_ok THEN 'gopher_rep:dup5gram_ok'
+    WHEN NOT r.dup6gram_ok THEN 'gopher_rep:dup6gram_ok'
+    WHEN NOT r.dup7gram_ok THEN 'gopher_rep:dup7gram_ok'
+    WHEN NOT r.dup8gram_ok THEN 'gopher_rep:dup8gram_ok'
+    WHEN NOT r.dup9gram_ok THEN 'gopher_rep:dup9gram_ok'
+    WHEN NOT r.dup10gram_ok THEN 'gopher_rep:dup10gram_ok'
+    WHEN NOT c.page_ok THEN 'c4:page'
+    END AS reject_reason
+FROM q JOIN rep r ON r.doc_id = q.doc_id JOIN c4 c ON c.doc_id = q.doc_id
+"""
+
+
+@query("curate-gate-documents", oracle=_GATE_ORACLE)
+def curate_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import gate_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return gate_documents(docs).select("doc_id", "reject_reason")

@@ -1029,3 +1029,44 @@ def test_kn_lm_score_counts_materialize_once(queries, spark):
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("SinglePartition") <= 1, plan
+
+
+def test_contamination_report_eval_broadcasts_corpus_scans_once(queries, spark):
+    # the eval side (benchmark-sized) broadcasts WITH its ids; the
+    # train corpus is scanned once and never shuffled on the shingle —
+    # the only hash exchange is the (train_id, eval_id) hit groupBy.
+    df = queries["text-contamination-report"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_shuffle_corpus_is_one_shard_exchange(queries, spark):
+    # the reproducible-permutation contract costs exactly ONE hash
+    # exchange (on the shard id) + the in-shard rank sort — no
+    # broadcast, no Python, no global sort / SinglePartition.
+    df = queries["pipeline-shuffle-corpus"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastExchange") == 0, plan
+    assert "EvalPython" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_gate_documents_query_is_pure_projection(queries, spark):
+    # 22 deterministic rules = ONE projected scan: no exchange of any
+    # kind, no Python — the property that makes the gate free at
+    # corpus scale (the library-level twin is pinned in
+    # test_gopher_rules; this pins the registered slug's plan).
+    df = queries["curate-gate-documents"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
