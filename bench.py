@@ -176,6 +176,11 @@ HEADLINE = [
     "text-contamination-report",
     "pipeline-shuffle-corpus",
     "curate-gate-documents",
+    "curate-perplexity-buckets",
+    # dedup-semantic is correctness-gated but not benched: each run
+    # retrains the k-means coarse quantizer (the one-time index-build
+    # cost), which would dominate its timing — the sim-ivf-pq-topk
+    # reasoning; its plan shape is pinned in tests.
 ]
 
 

@@ -459,6 +459,8 @@ _EST_COST = {
     "text-contamination-report": 21.1,
     "pipeline-shuffle-corpus": 21.2,
     "curate-gate-documents": 21.3,
+    "curate-perplexity-buckets": 21.4,
+    "dedup-semantic": 21.5,
 }
 
 

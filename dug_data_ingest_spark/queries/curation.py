@@ -1297,3 +1297,71 @@ def curate_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return gate_documents(docs).select("doc_id", "reject_reason")
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (Wenzek et al. 2020 s3.3) — split each
+# language's documents into head/middle/tail by per-language score
+# quantiles (ext/curation.py::perplexity_buckets), scored here by the
+# exactly-replayable composite quality heuristic (the text-quality
+# slug's score; high = fluent, so ascending=False). At driver scale
+# the GK sketch is in its exact regime (eps*n < 1/2), and Spark's
+# percentile_approx then returns the element at rank ceil(f*n) —
+# verified empirically across n in {5..2000} — so the oracle replays
+# the cuts EXACTLY via row_number rank selection with the same IEEE
+# double fractions (1/3 -> 0.3333333333333333). A full value oracle,
+# not just a boundary property: at 100 TB the cuts are approximate by
+# design (the paper's buckets are statistical), which the library
+# docstring documents.
+# Scale shape: ONE groupBy(lang) sketch rollup (state bounded by
+# accuracy per stratum, never a corpus sort), the |langs|-row cut
+# table broadcast back, assignment row-local.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "curate-perplexity-buckets",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang,
+             ROUND(0.4 * least(length(text) / 400.0, 1.0)
+                   + 0.4 * least(ROUND((len(regexp_extract_all(text, '\\bthe\\b'))
+                          + len(regexp_extract_all(text, '\\ba\\b'))
+                          + len(regexp_extract_all(text, '\\band\\b'))
+                          + len(regexp_extract_all(text, '\\bof\\b')))
+                        / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) * 10.0, 1.0)
+                   + 0.2 * greatest(0.0, 1.0 - ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+                        / greatest(length(text), 1), 4) * 20.0), 4) AS q
+      FROM documents
+    ),
+    s AS (SELECT doc_id, lang, -q AS s FROM m WHERE q IS NOT NULL),
+    n AS (SELECT lang, COUNT(*) AS cnt FROM s GROUP BY lang),
+    ranked AS (
+      SELECT lang, s, row_number() OVER (PARTITION BY lang ORDER BY s) AS rk
+      FROM s),
+    cuts AS (
+      SELECT r.lang,
+             MAX(CASE WHEN rk = CAST(ceil(0.3333333333333333 * cnt) AS BIGINT)
+                 THEN s END) AS c1,
+             MAX(CASE WHEN rk = CAST(ceil(0.6666666666666666 * cnt) AS BIGINT)
+                 THEN s END) AS c2
+      FROM ranked r JOIN n USING (lang) GROUP BY r.lang)
+    SELECT m.doc_id, m.lang, m.q AS quality,
+           CASE WHEN m.q IS NULL THEN NULL
+                WHEN -m.q <= c.c1 THEN 'head'
+                WHEN -m.q <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM m LEFT JOIN cuts c ON m.lang IS NOT DISTINCT FROM c.lang
+    """,
+)
+def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import perplexity_buckets
+    from dug_data_ingest_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return perplexity_buckets(
+        scored, score_col="quality", group_col="lang", ascending=False
+    ).select("doc_id", "lang", "quality", "ppl_bucket")

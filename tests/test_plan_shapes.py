@@ -1070,3 +1070,18 @@ def test_gate_documents_query_is_pure_projection(queries, spark):
     assert plan.count("FileScan") == 1, plan
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_perplexity_buckets_cuts_broadcast_no_corpus_sort(queries, spark):
+    # CCNet bucketing = ONE groupBy(lang) percentile sketch (the only
+    # hash exchange), the |langs|-row cut table broadcast back, and a
+    # row-local bucket projection — never a global sort / window over
+    # the corpus.
+    df = queries["curate-perplexity-buckets"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Window" not in plan, plan

@@ -54,6 +54,13 @@ KNOWN = {
     # (words param), so the first history scan amortizes to zero;
     # here batch and history happen to be slices of the same table.
     "dedup-bloom-exact",
+    # r12: the slug IS a self-audit — it re-runs the within-cell pair
+    # scan on the survivors and re-derives the original pair set to
+    # prove partition/completeness/soundness, so embeddings is read
+    # once per property check by design. The production operator
+    # (ext/similarity.py::semantic_dedup alone) scans the corpus once
+    # per k-means iteration plus once for the pair join.
+    "dedup-semantic",
 }
 
 

@@ -39,6 +39,13 @@ HEAVY = [
     "pipeline-curate-corpus",
     "text-lm-score",
     "text-keyword-tfidf",
+    # r11 heavies (VERDICT r11 item 6) — winnow-pairs and kn-lm read
+    # the inflated documents; pagerank and zorder read events/lineitem,
+    # inflated 10x below for the same linear-volume stress
+    "dedup-winnow-pairs",
+    "text-kn-lm-score",
+    "graph-pagerank",
+    "layout-zorder",
 ]
 
 
@@ -57,10 +64,14 @@ def _shuffle_totals(sc) -> tuple[int, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    scratch = (
-        sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
-    )
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    scratch = args[1] if len(args) > 1 else "/tmp/spark_graft_sf1"
     spark = get_spark("sf1-checkpoint")
     sc = spark.sparkContext
 
@@ -102,6 +113,61 @@ def main() -> int:
                 else:
                     shutil.copy(src, dst)
 
+    # events and lineitem get the same 10x disjoint inflation
+    # (graph-pagerank walks events; layout-zorder clusters lineitem —
+    # at the unchanged sf0.1 copies their "sf1" rows would be
+    # meaningless). Marker files make this idempotent over a scratch
+    # dir written by the pre-r12 tool, which copied them UNinflated.
+    def _ensure_inflated(table: str, build) -> None:
+        path = os.path.join(scratch, f"{table}.parquet")
+        marker = os.path.join(scratch, f".{table}.inflated")
+        if os.path.exists(marker):
+            return
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        build().repartition(32).write.mode("overwrite").parquet(path)
+        open(marker, "w").close()
+
+    def _events_10x():
+        base = spark.read.parquet(f"{sf_dir}/events.parquet")
+        mx = base.agg(F.greatest(F.max("event_id"), F.max("user_id"))).first()[0] or 0
+        assert mx < 1_000_000_000, f"id {mx} >= 1e9: raise the offset"
+        copies = [
+            base.select(
+                (F.col("event_id") + F.lit(i * 1_000_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 1_000_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for i in range(10)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def _lineitem_10x():
+        base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        mx = base.agg(F.max("l_orderkey")).first()[0] or 0
+        assert mx < 1_000_000_000, f"l_orderkey {mx} >= 1e9: raise the offset"
+        copies = [
+            base.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * 1_000_000_000)
+            )
+            for i in range(10)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    _ensure_inflated("events", _events_10x)
+    _ensure_inflated("lineitem", _lineitem_10x)
+
     n_docs = spark.read.parquet(docs_path).count()
     print(json.dumps({"scratch": scratch, "n_docs": n_docs}))
 
@@ -110,6 +176,8 @@ def main() -> int:
     queries = all_queries()
     results = {}
     for slug in HEAVY:
+        if only is not None and slug not in only:
+            continue
         fn = queries[slug]
         # noop sink, not count(): count() lets Catalyst prune every
         # expensive output column (observed: strip-spans' clean_text
