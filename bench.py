@@ -177,6 +177,8 @@ HEADLINE = [
     "pipeline-shuffle-corpus",
     "curate-gate-documents",
     "curate-perplexity-buckets",
+    "curate-dsir-weights",
+    "text-bm25-topk",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

@@ -461,6 +461,8 @@ _EST_COST = {
     "curate-gate-documents": 21.3,
     "curate-perplexity-buckets": 21.4,
     "dedup-semantic": 21.5,
+    "curate-dsir-weights": 21.6,
+    "text-bm25-topk": 21.7,
 }
 
 

@@ -1365,3 +1365,80 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(
         scored, score_col="quality", group_col="lang", ascending=False
     ).select("doc_id", "lang", "quality", "ppl_bucket")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) — score
+# every raw-corpus document by how much its hashed-n-gram distribution
+# looks like the target corpus: sum over the doc's unigram+bigram
+# md5 buckets of log p_target - log p_raw, add-1 smoothed over 4096
+# buckets (ext/curation.py::dsir_log_weights). Fully deterministic —
+# md5 buckets, closed-form ratios, fixed left-to-right fold — so the
+# oracle replays it end to end: same bucket formula, same smoothing,
+# and list_reduce over the gram list in DOCUMENT ORDER (list_prepend
+# 0.0 reproduces Spark's F.aggregate fold exactly — the repo's
+# float-op-order convention); ROUND(,4) absorbs libm ln ulps.
+# Eval split doubles as the target corpus (doc_id % 10 = 7), raw =
+# the rest — the text-decontaminate pairing.
+# Scale shape: each distribution is ONE map-side-combined groupBy
+# bounded by 4096 rows at any corpus size; the log-ratios ride a
+# 1-row broadcast; scoring is a row-local array fold. Raw is scanned
+# twice (distribution + scoring) — at 100 TB fit the raw side on a
+# hash_sample slice, the library docstring's contract.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 4096
+
+_DSIR_ORACLE = f"""
+WITH w0 AS (SELECT doc_id, {_WORDS} AS nw FROM documents),
+w AS (SELECT doc_id,
+             COALESCE(list_filter(nw, x -> x <> ''), []::VARCHAR[]) AS nw
+      FROM w0),
+grams AS (
+  SELECT doc_id,
+         list_concat(nw,
+           CASE WHEN len(nw) >= 2
+                THEN [nw[i] || ' ' || nw[i+1] for i in range(1, len(nw))]
+                ELSE []::VARCHAR[] END) AS gs
+  FROM w),
+gx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {_DSIR_B} AS INT)
+           AS bucket
+  FROM grams, unnest(gs) t(g)),
+tcnt AS (SELECT bucket, COUNT(*) AS cnt FROM gx WHERE doc_id % 10 = 7
+         GROUP BY bucket),
+rcnt AS (SELECT bucket, COUNT(*) AS cnt FROM gx WHERE doc_id % 10 <> 7
+         GROUP BY bucket),
+tt AS (SELECT SUM(cnt) + {_DSIR_B} AS total FROM tcnt),
+rt AS (SELECT SUM(cnt) + {_DSIR_B} AS total FROM rcnt),
+ratios AS (
+  SELECT list(ln((COALESCE(t.cnt, 0) + 1.0) / tt.total)
+              - ln((COALESCE(r.cnt, 0) + 1.0) / rt.total)
+              ORDER BY b.bucket) AS arr
+  FROM range({_DSIR_B}) b(bucket)
+  LEFT JOIN tcnt t ON t.bucket = b.bucket
+  LEFT JOIN rcnt r ON r.bucket = b.bucket
+  CROSS JOIN tt CROSS JOIN rt)
+SELECT g.doc_id,
+       ROUND(list_reduce(
+         list_prepend(0.0, list_transform(g.gs, x ->
+           ratios.arr[CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                      % {_DSIR_B} AS INT) + 1])),
+         (a, b) -> a + b), 4) AS dsir_log_weight
+FROM grams g CROSS JOIN ratios
+WHERE g.doc_id % 10 <> 7
+"""
+
+
+@query("curate-dsir-weights", oracle=_DSIR_ORACLE)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import dsir_log_weights
+
+    docs = load(spark, sf_dir, "documents")
+    is_target = F.col("doc_id") % 10 == 7
+    return dsir_log_weights(
+        docs.filter(~is_target), docs.filter(is_target)
+    ).select(
+        "doc_id", F.round("dsir_log_weight", 4).alias("dsir_log_weight")
+    )

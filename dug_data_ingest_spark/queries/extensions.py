@@ -1613,3 +1613,65 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drops_sound",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009; the
+# +1-inside-log idf, Lucene's default) — the query-side capability of
+# the search system the reference ingests FOR (Dug's index), top-10
+# docs for a 3-term query. ext/retrieval.py::bm25_topk. Deterministic
+# by construction: term contributions sum in query-term order as ONE
+# fixed expression (never an exploded-join groupBy whose float order
+# floats with partitioning), constants pre-combined identically on
+# both sides, scores ROUNDed before the ordering so the k-boundary is
+# a doc_id tie-break, not an ulp race. Scale shape: one aggregate
+# pass for (N, avgdl, per-term df) -> 1 broadcast row; tf is a
+# row-local array count against literal terms (a query has a few
+# terms — the corpus never explodes, never shuffles); top-k plans as
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_BM25_TERM_SQL = """
+    (CASE WHEN {tf} > 0 THEN
+      ln(1.0 + (CAST(n AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)
+               / (CAST({df} AS DOUBLE) + 0.5))
+      * (CAST({tf} AS DOUBLE) * (1.2 + 1.0))
+      / (CAST({tf} AS DOUBLE)
+         + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+     ELSE 0.0 END)
+"""
+
+_BM25_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         COALESCE(list_filter({_WORDS}, x -> x <> ''), []::VARCHAR[]) AS nw
+  FROM documents),
+d AS (
+  SELECT doc_id, len(nw) AS dl,
+         len(list_filter(nw, x -> x = 'hash')) AS tf1,
+         len(list_filter(nw, x -> x = 'join')) AS tf2,
+         len(list_filter(nw, x -> x = 'filter')) AS tf3
+  FROM w),
+s AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM d)
+SELECT doc_id,
+  ROUND({_BM25_TERM_SQL.format(tf='tf1', df='df1')}
+      + {_BM25_TERM_SQL.format(tf='tf2', df='df2')}
+      + {_BM25_TERM_SQL.format(tf='tf3', df='df3')}, 4) AS bm25
+FROM d CROSS JOIN s
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("text-bm25-topk", oracle=_BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.retrieval import bm25_topk
+
+    return bm25_topk(
+        load(spark, sf_dir, "documents"), ["hash", "join", "filter"], k=10
+    )

@@ -1085,3 +1085,32 @@ def test_perplexity_buckets_cuts_broadcast_no_corpus_sort(queries, spark):
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_dsir_weights_scoring_is_row_local(queries, spark):
+    # the returned plan is the SCORING pass: one pruned corpus scan,
+    # the 4096-ratio row broadcast, a row-local array fold — zero
+    # hash exchanges, no Python (the two bucket distributions are
+    # 4096-bounded driver collects at construction, by contract).
+    df = queries["curate-dsir-weights"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bm25_topk_is_stats_row_plus_take_ordered(queries, spark):
+    # one aggregate pass -> 1-row stats broadcast; tf is a row-local
+    # array count (the corpus never explodes on tokens, never hash-
+    # shuffles); top-k plans as TakeOrderedAndProject, not a global
+    # sort. The only SinglePartition is the 1-row stats agg.
+    df = queries["text-bm25-topk"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    assert "EvalPython" not in plan, plan
