@@ -179,6 +179,8 @@ HEADLINE = [
     "curate-perplexity-buckets",
     "curate-dsir-weights",
     "text-bm25-topk",
+    "curate-dsir-resample",
+    "sim-hard-negatives",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

@@ -81,6 +81,44 @@ def range_search(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    query_label,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: the top-``k`` most-similar
+    vectors whose ``label_col`` DIFFERS from the query's — the pairs a
+    contrastive/embedding training pipeline feeds as hard negatives
+    (high-similarity, wrong class; the in-batch-negatives upgrade
+    every public recipe since SimCLR/DPR documents).
+
+    Same scale shape as topk_bruteforce: the query folds into the
+    plan as a literal array, the label filter is codegen-fused into
+    the one corpus scan (zero shuffles), top-k plans as
+    TakeOrderedAndProject ordered by the RAW cosine (ties broken by
+    id; the rounded value is for display/oracles — see _scored's
+    boundary note). NULL labels count as a different class
+    (null-safe inequality), never silently dropped."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    raw = cosine(as_double(F.col(vec_col)), q)
+    return (
+        embeddings.filter(~F.col(label_col).eqNullSafe(F.lit(query_label)))
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            raw.alias("_raw"),
+            F.round(raw, 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("_raw"), F.col(id_col))
+        .limit(k)
+        .select(id_col, label_col, "cos_sim")
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

@@ -463,6 +463,8 @@ _EST_COST = {
     "dedup-semantic": 21.5,
     "curate-dsir-weights": 21.6,
     "text-bm25-topk": 21.7,
+    "curate-dsir-resample": 21.8,
+    "sim-hard-negatives": 21.9,
 }
 
 

@@ -1389,7 +1389,9 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_B = 4096
 
-_DSIR_ORACLE = f"""
+# shared model CTEs (features -> smoothed log-ratio table) — one
+# definition for both DSIR oracles, the _kn_tables lesson
+_DSIR_CTES = f"""
 WITH w0 AS (SELECT doc_id, {_WORDS} AS nw FROM documents),
 w AS (SELECT doc_id,
              COALESCE(list_filter(nw, x -> x <> ''), []::VARCHAR[]) AS nw
@@ -1420,12 +1422,19 @@ ratios AS (
   LEFT JOIN tcnt t ON t.bucket = b.bucket
   LEFT JOIN rcnt r ON r.bucket = b.bucket
   CROSS JOIN tt CROSS JOIN rt)
-SELECT g.doc_id,
-       ROUND(list_reduce(
+"""
+
+# the raw fold — Spark's F.aggregate left-to-right order, exactly
+_DSIR_FOLD = f"""list_reduce(
          list_prepend(0.0, list_transform(g.gs, x ->
            ratios.arr[CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
                       % {_DSIR_B} AS INT) + 1])),
-         (a, b) -> a + b), 4) AS dsir_log_weight
+         (a, b) -> a + b)"""
+
+_DSIR_ORACLE = f"""
+{_DSIR_CTES}
+SELECT g.doc_id,
+       ROUND({_DSIR_FOLD}, 4) AS dsir_log_weight
 FROM grams g CROSS JOIN ratios
 WHERE g.doc_id % 10 <> 7
 """
@@ -1439,6 +1448,53 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_target = F.col("doc_id") % 10 == 7
     return dsir_log_weights(
         docs.filter(~is_target), docs.filter(is_target)
+    ).select(
+        "doc_id", F.round("dsir_log_weight", 4).alias("dsir_log_weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR Gumbel-top-k resampling (the paper's sampling rule,
+# ext/curation.py::dsir_resample): keep the k documents maximizing
+# log_weight + Gumbel(doc_id, seed), where the Gumbel draw is
+# md5-derived from (id, seed) — reproducible across engines, reruns
+# and repartitionings, unlike rand(seed) whose draws move with the
+# partitioning. Fully replayable: the oracle shares the weight CTEs
+# with curate-dsir-weights and reproduces u = (hash + 0.5) / 2^60 ->
+# -ln(-ln(u)) exactly; adjacent selection scores are separated by
+# ~range/n, so ulp noise cannot flip the k-boundary the way it could
+# a dense tie. Scale shape: scoring stays row-local; top-k plans as
+# TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+# never a global sort.
+# ---------------------------------------------------------------------------
+
+_DSIR_M = 1 << 60
+
+_DSIR_RESAMPLE_ORACLE = f"""
+{_DSIR_CTES},
+scored AS (
+  SELECT g.doc_id,
+         {_DSIR_FOLD} AS lw,
+         -ln(-ln((CAST(CAST(('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)
+                    || '|0'), 1, 15)) AS BIGINT) % {_DSIR_M} AS DOUBLE)
+                  + 0.5) / {_DSIR_M}.0)) AS gum
+  FROM grams g CROSS JOIN ratios
+  WHERE g.doc_id % 10 <> 7)
+SELECT doc_id, ROUND(lw, 4) AS dsir_log_weight
+FROM scored
+ORDER BY lw + gum DESC, doc_id
+LIMIT 50
+"""
+
+
+@query("curate-dsir-resample", oracle=_DSIR_RESAMPLE_ORACLE)
+def curate_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import dsir_resample
+
+    docs = load(spark, sf_dir, "documents")
+    is_target = F.col("doc_id") % 10 == 7
+    return dsir_resample(
+        docs.filter(~is_target), docs.filter(is_target), k=50, seed=0
     ).select(
         "doc_id", F.round("dsir_log_weight", 4).alias("dsir_log_weight")
     )

@@ -1675,3 +1675,41 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         load(spark, sf_dir, "documents"), ["hash", "join", "filter"], k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining (ext/similarity.py::hard_negatives)
+# — the top-10 most-similar embeddings whose label differs from the
+# query vector's: the high-similarity wrong-class pairs a
+# contrastive-training pipeline exports (the hard-negatives step of
+# the public DPR/SimCLR recipes). One codegen-fused scan (label
+# filter + literal-query cosine), TakeOrderedAndProject, zero
+# shuffles; the oracle replays the cosine and null-safe label
+# inequality exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim-hard-negatives",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv, label AS ql
+      FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+             AS cos_sim
+    FROM embeddings e, q
+    WHERE e.label IS DISTINCT FROM q.ql
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+             e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding", "label").first()
+    return hard_negatives(
+        emb, [float(x) for x in row[0]], row[1], k=10
+    )

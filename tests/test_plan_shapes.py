@@ -1114,3 +1114,29 @@ def test_bm25_topk_is_stats_row_plus_take_ordered(queries, spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("SinglePartition") <= 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_dsir_resample_take_ordered_no_global_sort(queries, spark):
+    # Gumbel-top-k = the scoring projection + TakeOrderedAndProject
+    # (per-partition heaps, k-row driver merge) — never a global sort
+    # of the corpus; scoring stays row-local (no hash exchange).
+    df = queries["curate-dsir-resample"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_hard_negatives_single_fused_scan(queries, spark):
+    # label filter + literal-query cosine fuse into ONE scan; top-k is
+    # TakeOrderedAndProject; nothing shuffles, nothing broadcasts
+    # (the query vector is a plan literal).
+    df = queries["sim-hard-negatives"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("BroadcastExchange") == 0, plan
+    assert "EvalPython" not in plan, plan
