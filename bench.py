@@ -181,6 +181,8 @@ HEADLINE = [
     "text-bm25-topk",
     "curate-dsir-resample",
     "sim-hard-negatives",
+    "text-ngram-novelty",
+    "sim-nearest-centroid",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

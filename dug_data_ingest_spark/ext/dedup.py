@@ -1809,3 +1809,47 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty profile — the memorization-risk
+    triage the span-verbatim family acts on: for each doc, how many
+    of its DISTINCT k-word shingles appear in NO other document
+    (``n_novel``) out of ``n_shingles``, and the ``novelty`` fraction.
+    A near-zero novelty doc is boilerplate/verbatim-copy material
+    (route to dedup-substring); near-1.0 is unique text. Docs with
+    fewer than ``k`` words have no shingles and no row (join
+    semantics, the doc_shingles convention).
+
+    Scale shape: one shingle explode feeding ONE map-side-combined
+    groupBy(shingle) document-frequency table, then the shingle
+    stream joins it back (token-keyed shuffle, hot shingles
+    probe-side — the tfidf posture) and collapses to a per-doc
+    aggregate. No pairwise stage anywhere: novelty needs only df==1,
+    never which OTHER doc shares the shingle.
+    """
+    sh = doc_shingles(docs, text_col, id_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__docs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
+    )

@@ -465,6 +465,8 @@ _EST_COST = {
     "text-bm25-topk": 21.7,
     "curate-dsir-resample": 21.8,
     "sim-hard-negatives": 21.9,
+    "text-ngram-novelty": 22.0,
+    "sim-nearest-centroid": 22.1,
 }
 
 

@@ -1713,3 +1713,86 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         emb, [float(x) for x in row[0]], row[1], k=10
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document n-gram novelty (ext/dedup.py::ngram_novelty) — the
+# memorization-risk triage: what fraction of a doc's distinct 8-gram
+# shingles appears in NO other document. Near-zero novelty flags
+# boilerplate/verbatim-copy material for the span-verbatim family;
+# near-1.0 is unique text. One shingle explode -> ONE map-side-
+# combined df table -> token-keyed join back -> per-doc aggregate;
+# no pairwise stage (novelty needs only df == 1, never WHICH doc
+# shares the shingle). Exact integer/ratio oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text-ngram-novelty",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS nw FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM w,
+      unnest(CASE WHEN len(nw) >= 8
+                  THEN [array_to_string(nw[i:i+7], ' ')
+                        for i in range(1, len(nw)-6)]
+                  ELSE []::VARCHAR[] END) t(s)),
+    df AS (SELECT s, COUNT(*) AS docs FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN df.docs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS novelty
+    FROM sh JOIN df USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.dedup import ngram_novelty
+
+    return ngram_novelty(load(spark, sf_dir, "documents"), k=8)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid ranking (ext/similarity.py::label_centroids) — the
+# classify-by-prototype step of the IVF family exposed as its own
+# query: rank every label's mean embedding by cosine to the query
+# vector. The centroid mean is a fixed positional average both
+# engines compute identically at driver scale (the sim-ivf-topk
+# oracle precedent); |labels| rows out, one (label, pos) shuffle,
+# corpus scanned once.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim-nearest-centroid",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(embedding[pos]::DOUBLE) AS m FROM (
+          SELECT label, embedding, generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+        GROUP BY label, pos)
+      GROUP BY label
+    )
+    SELECT label, ROUND(list_cosine_similarity(centroid, qv), 4) AS cos_sim
+    FROM cent, q
+    ORDER BY list_cosine_similarity(centroid, qv) DESC, label
+    """,
+)
+def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.similarity import cosine, label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    raw = cosine(F.col("centroid"), q)
+    return (
+        label_centroids(emb)
+        .select("label", raw.alias("_raw"), F.round(raw, 4).alias("cos_sim"))
+        .orderBy(F.desc("_raw"), "label")
+        .drop("_raw")
+    )

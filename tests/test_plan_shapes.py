@@ -1140,3 +1140,28 @@ def test_hard_negatives_single_fused_scan(queries, spark):
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert plan.count("BroadcastExchange") == 0, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_ngram_novelty_df_table_no_pairwise(queries, spark):
+    # one shingle pipeline -> df groupBy -> token-keyed join back ->
+    # per-doc agg. No broadcast of a corpus-sized side, no Python,
+    # and critically NO pairwise/cartesian stage (novelty needs only
+    # df == 1, never which other doc shares the shingle).
+    df = queries["text-ngram-novelty"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("FileScan") <= 2, plan
+
+
+def test_nearest_centroid_single_corpus_pass(queries, spark):
+    # |labels| centroids from one posexplode pass + a literal query
+    # cosine — the corpus is scanned once; output is label-bounded.
+    df = queries["sim-nearest-centroid"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
