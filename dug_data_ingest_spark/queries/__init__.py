@@ -467,6 +467,7 @@ _EST_COST = {
     "sim-hard-negatives": 21.9,
     "text-ngram-novelty": 22.0,
     "sim-nearest-centroid": 22.1,
+    "events-anomaly-zscore": 22.2,
 }
 
 

@@ -3004,3 +3004,62 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_span"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily-volume anomaly detection — the monitoring query every ingest
+# pipeline runs over its own event stream: per (event_type, day)
+# counts z-scored against that type's own daily distribution,
+# |z| > 2 flagged. Two bounded aggregates (days x types, then types),
+# the |types|-row stats table broadcast back, flagging row-local;
+# the corpus is scanned once and shuffles only into the daily rollup.
+# Dates travel as formatted strings (the repo's date convention) and
+# ROUND(,4) absorbs the stddev algorithm's cross-engine ulps.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events-anomaly-zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, AVG(cnt) AS mu, stddev_samp(cnt) AS sigma
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day, CAST(d.cnt AS BIGINT) AS cnt,
+           ROUND((d.cnt - s.mu) / nullif(s.sigma, 0.0), 4) AS z,
+           CASE WHEN s.sigma IS NULL OR s.sigma = 0.0 THEN NULL
+                ELSE abs((d.cnt - s.mu) / s.sigma) > 2.0 END AS is_anomaly
+    FROM daily d JOIN stats s USING (event_type)
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+    )
+    dev = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                (F.col("cnt") - F.col("mu"))
+                / F.when(F.col("sigma") != 0.0, F.col("sigma")),
+                4,
+            ).alias("z"),
+            F.when(
+                F.col("sigma").isNull() | (F.col("sigma") == 0.0),
+                F.lit(None).cast("boolean"),
+            )
+            .otherwise(F.abs(dev) > 2.0)
+            .alias("is_anomaly"),
+        )
+    )

@@ -1165,3 +1165,15 @@ def test_nearest_centroid_single_corpus_pass(queries, spark):
     assert plan.count("FileScan") == 1, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_anomaly_zscore_bounded_aggs_broadcast_stats(queries, spark):
+    # one corpus scan into the (type x day)-bounded daily rollup; the
+    # |types|-row stats table broadcasts back; flagging is row-local.
+    df = queries["events-anomaly-zscore"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") <= 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
