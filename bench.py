@@ -183,7 +183,8 @@ HEADLINE = [
     "sim-hard-negatives",
     "text-ngram-novelty",
     "sim-nearest-centroid",
-    "events-anomaly-zscore",
+    "events-volume-anomaly",
+    "text-token-entropy",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

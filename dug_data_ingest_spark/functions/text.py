@@ -457,3 +457,55 @@ def shingles(text: Column, k: int = 3) -> Column:
     projecting ``normalized_words`` first and using ``shingles_of``
     in hot paths (see its docstring)."""
     return shingles_of(normalized_words(text), k)
+
+
+def token_entropy(text: Column) -> Column:
+    """Per-document token-distribution stats as ONE row-local struct
+    ``(n_tokens, n_unique, entropy)`` — the Shannon entropy quality
+    signal the public corpus pipelines publish (RedPajama/Dolma signal
+    sets): low entropy = repetitive/templated text, high = diverse.
+
+    Zero shuffles by construction: sort the normalized word array,
+    then a single ``F.aggregate`` run-length walk (the _run_stats
+    idiom) emits ``-(c/n)·ln(c/n)`` once per distinct-token run, in
+    sorted-token order — the fixed summation order the DuckDB oracle
+    replays with ``list_reduce`` over ``ORDER BY token``. An empty or
+    NULL document yields (0, 0, 0.0), never NULL."""
+    nw = F.filter(
+        F.coalesce(normalized_words(text), F.array().cast("array<string>")),
+        lambda w: w != "",
+    )
+    n = F.size(nw).cast("double")
+    s = F.array_sort(nw)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("uniq"),
+        F.lit(0.0).alias("h"),
+    )
+
+    def _term(run: Column) -> Column:
+        p = run.cast("double") / n
+        return -p * F.log(p)
+
+    def step(acc, x):
+        same = acc.prev.eqNullSafe(x)
+        emitted = F.when(~same & (acc.run > 0), _term(acc.run)).otherwise(
+            F.lit(0.0)
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(same, acc.uniq).otherwise(acc.uniq + 1).alias("uniq"),
+            (acc.h + emitted).alias("h"),
+        )
+
+    def finish(acc):
+        h = acc.h + F.when(acc.run > 0, _term(acc.run)).otherwise(F.lit(0.0))
+        return F.struct(
+            F.size(nw).cast("bigint").alias("n_tokens"),
+            acc.uniq.alias("n_unique"),
+            h.alias("entropy"),
+        )
+
+    return F.aggregate(s, init, step, finish)

@@ -467,7 +467,8 @@ _EST_COST = {
     "sim-hard-negatives": 21.9,
     "text-ngram-novelty": 22.0,
     "sim-nearest-centroid": 22.1,
-    "events-anomaly-zscore": 22.2,
+    "events-volume-anomaly": 22.2,
+    "text-token-entropy": 22.3,
 }
 
 

@@ -3019,7 +3019,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events-anomaly-zscore",
+    "events-volume-anomaly",
     oracle="""
     WITH daily AS (
       SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -3035,7 +3035,7 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily d JOIN stats s USING (event_type)
     """,
 )
-def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")

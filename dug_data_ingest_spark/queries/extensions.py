@@ -1796,3 +1796,53 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_raw"), "label")
         .drop("_raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (functions/text.py::token_entropy) — the
+# Shannon-entropy quality signal of the public corpus pipelines'
+# signal sets (low = templated/repetitive text): ZERO shuffles, one
+# row-local run-length walk over the sorted token array (the
+# _run_stats idiom), terms emitted in sorted-token order so the
+# oracle's list_reduce over ORDER BY token replays the exact
+# summation order; ROUND(,4) absorbs ln ulps.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text-token-entropy",
+    oracle=f"""
+    WITH w AS (SELECT doc_id,
+                COALESCE(list_filter({_WORDS}, x -> x <> ''), []::VARCHAR[]) AS nw
+               FROM documents),
+    cnts AS (SELECT doc_id, t, COUNT(*) AS c
+             FROM w, unnest(nw) u(t) GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_unique
+            FROM cnts GROUP BY doc_id),
+    terms AS (
+      SELECT c.doc_id,
+             list_reduce(list_prepend(0.0,
+               list(-(c.c / CAST(t.n AS DOUBLE))
+                    * ln(c.c / CAST(t.n AS DOUBLE)) ORDER BY c.t)),
+               (a, b) -> a + b) AS h
+      FROM cnts c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.nw) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(tot.n_unique, 0) AS BIGINT) AS n_unique,
+           ROUND(COALESCE(terms.h, 0.0), 4) AS token_entropy
+    FROM w
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN terms USING (doc_id)
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.functions.text import token_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    st = token_entropy(F.col("text"))
+    return docs.select(
+        "doc_id",
+        st.getField("n_tokens").alias("n_tokens"),
+        st.getField("n_unique").alias("n_unique"),
+        F.round(st.getField("entropy"), 4).alias("token_entropy"),
+    )

@@ -1167,13 +1167,24 @@ def test_nearest_centroid_single_corpus_pass(queries, spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_anomaly_zscore_bounded_aggs_broadcast_stats(queries, spark):
+def test_volume_anomaly_bounded_aggs_broadcast_stats(queries, spark):
     # one corpus scan into the (type x day)-bounded daily rollup; the
     # |types|-row stats table broadcasts back; flagging is row-local.
-    df = queries["events-anomaly-zscore"](spark, SF_DIR)
+    df = queries["events-volume-anomaly"](spark, SF_DIR)
     df.collect()
     plan = _plan(df).split("+- == Initial Plan ==")[0]
     assert plan.count("FileScan") <= 2, plan
     assert plan.count("BroadcastExchange") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_token_entropy_zero_shuffles(queries, spark):
+    # the entropy signal is ONE row-local run-length walk over the
+    # sorted token array — a pure projection: no exchange of any kind.
+    df = queries["text-token-entropy"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
