@@ -185,6 +185,7 @@ HEADLINE = [
     "sim-nearest-centroid",
     "events-volume-anomaly",
     "text-token-entropy",
+    "join-asof-tolerance",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

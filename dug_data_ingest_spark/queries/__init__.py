@@ -267,6 +267,10 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     "win-running-total": 8,
     "olap-dormant-customers": 8,
     "sample-stratified-exact": 8,
+    # round-12 close registration: the r12 window is the 13 promotions
+    # + the 14 r7-vintage regrades + the oldest r8s; this waits out
+    # round 12 and leads round 13
+    "join-asof-tolerance": 12,
 }
 
 
@@ -469,6 +473,7 @@ _EST_COST = {
     "sim-nearest-centroid": 22.1,
     "events-volume-anomaly": 22.2,
     "text-token-entropy": 22.3,
+    "join-asof-tolerance": 22.4,
 }
 
 

@@ -3063,3 +3063,64 @@ def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance — the bounded-lookback variant every
+# production asof implementation ships (kdb's `wj` window, pandas
+# merge_asof(tolerance=...), TimescaleDB): the latest preceding click
+# per error, but only within a 15-minute window; staler matches are
+# NULL, not silently joined. The tolerance is also the SCALE story:
+# bounding the lookback turns the half-open inequality into a closed
+# time-range join, so at 100 TB both sides can be bucketed into
+# aligned time slices and each slice joins only its neighbour — the
+# unbounded asof cannot prune history at all. Same deterministic
+# (ts, coalesced-value) tie-break as join-asof-events.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+SELECT e.event_id,
+       epoch_us(MAX(c.ts)) AS last_click_us,
+       ROUND((MAX({'t': c.ts, 'k': COALESCE(c.value, -1e308), 'v': c.value})).v,
+             2) AS last_click_value
+FROM events e LEFT JOIN events c
+  ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts < e.ts
+ AND c.ts >= e.ts - INTERVAL 15 MINUTE
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+"""
+
+
+@query("join-asof-tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("euid"), "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuid"),
+        F.col("ts").alias("cts"),
+        F.col("value").alias("cvalue"),
+    )
+    cond = (
+        (F.col("euid") == F.col("cuid"))
+        & (F.col("cts") < F.col("ts"))
+        & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 15 MINUTES"))
+    )
+    return (
+        errors.join(clicks, cond, "left")
+        .groupBy("event_id")
+        .agg(
+            F.unix_micros(F.max("cts")).alias("last_click_us"),
+            F.round(
+                F.max_by(
+                    "cvalue",
+                    F.struct(
+                        F.col("cts").alias("t"),
+                        F.coalesce("cvalue", F.lit(-1e308)).alias("k"),
+                    ),
+                ),
+                2,
+            ).alias("last_click_value"),
+        )
+    )

@@ -1188,3 +1188,16 @@ def test_token_entropy_zero_shuffles(queries, spark):
     assert plan.count("FileScan") == 1, plan
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_asof_tolerance_no_fact_window(queries, spark):
+    # the bounded-lookback asof keeps the asof-events shape: inequality
+    # join + max_by pick — never a window/sort over the fact side; at
+    # scale the closed time-range bound is what lets both sides bucket
+    # into aligned slices.
+    df = queries["join-asof-tolerance"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -46,6 +46,12 @@ HEAVY = [
     "text-kn-lm-score",
     "graph-pagerank",
     "layout-zorder",
+    # r12 heavies — all over the inflated documents table
+    "curate-gate-documents",
+    "curate-dsir-weights",
+    "text-bm25-topk",
+    "text-ngram-novelty",
+    "text-token-entropy",
 ]
 
 
