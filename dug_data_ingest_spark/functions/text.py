@@ -459,7 +459,7 @@ def shingles(text: Column, k: int = 3) -> Column:
     return shingles_of(normalized_words(text), k)
 
 
-def token_entropy(text: Column) -> Column:
+def token_entropy(text: Column, words: Column | None = None) -> Column:
     """Per-document token-distribution stats as ONE row-local struct
     ``(n_tokens, n_unique, entropy)`` — the Shannon entropy quality
     signal the public corpus pipelines publish (RedPajama/Dolma signal
@@ -470,11 +470,32 @@ def token_entropy(text: Column) -> Column:
     idiom) emits ``-(c/n)·ln(c/n)`` once per distinct-token run, in
     sorted-token order — the fixed summation order the DuckDB oracle
     replays with ``list_reduce`` over ``ORDER BY token``. An empty or
-    NULL document yields (0, 0, 0.0), never NULL."""
-    nw = F.filter(
-        F.coalesce(normalized_words(text), F.array().cast("array<string>")),
-        lambda w: w != "",
-    )
+    NULL document yields (0, 0, 0.0), never NULL.
+
+    Perf contract (the shingles_of / gopher_repetition_flags lesson,
+    re-learned here the hard way): higher-order functions re-evaluate
+    INLINE argument expressions per element, and this walk references
+    the word array inside every step's ``_term`` — derived inline,
+    the normalized-words regex re-ran O(tokens) times per row,
+    measured 10x the cost of the whole 22-rule gate at sf1. For
+    corpus-scale use project the filtered word array ONCE and pass it
+    as ``words``::
+
+        docs.withColumn("__w", F.filter(normalized_words(text),
+                                        lambda w: w != ""))
+            .select(token_entropy(F.col("text"), F.col("__w")))
+
+    The default (``words=None``) derives it inline — correct, just
+    quadratic-in-tokens slower on long documents."""
+    if words is not None:
+        nw = words
+    else:
+        nw = F.filter(
+            F.coalesce(
+                normalized_words(text), F.array().cast("array<string>")
+            ),
+            lambda w: w != "",
+        )
     n = F.size(nw).cast("double")
     s = F.array_sort(nw)
     init = F.struct(

@@ -1836,11 +1836,27 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dug_data_ingest_spark.functions.text import token_entropy
+    from dug_data_ingest_spark.functions.text import (
+        normalized_words,
+        token_entropy,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    st = token_entropy(F.col("text"))
-    return docs.select(
+    # materialize the filtered word array ONCE (the token_entropy perf
+    # contract): derived inline, the normalization regex re-runs per
+    # array element inside the entropy walk — O(tokens^2) per row
+    staged = docs.withColumn(
+        "__w",
+        F.filter(
+            F.coalesce(
+                normalized_words(F.col("text")),
+                F.array().cast("array<string>"),
+            ),
+            lambda w: w != "",
+        ),
+    )
+    st = token_entropy(F.col("text"), F.col("__w"))
+    return staged.select(
         "doc_id",
         st.getField("n_tokens").alias("n_tokens"),
         st.getField("n_unique").alias("n_unique"),
