@@ -78,8 +78,6 @@ def bm25_scores(
         raise ValueError("bm25_scores: query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError(f"bm25_scores: duplicate query terms: {query_terms}")
-    words = _nonempty_words(F.col(text_col))
-
     # closure factory, NOT a default-arg lambda: Spark interprets a
     # two-parameter lambda as (element, index) and would bind the term
     # to the index column
@@ -87,11 +85,17 @@ def bm25_scores(
         lit = F.lit(term)
         return lambda w: w == lit
 
+    # materialize the tokenization ONCE (the token_entropy perf
+    # lesson's constant-factor sibling: used inline, the normalization
+    # regex would run once per tf column + once for dl, |terms|+1
+    # times per row)
+    worded = docs.withColumn("__bm25_w", _nonempty_words(F.col(text_col)))
+    words = F.col("__bm25_w")
     tf_cols = [
         F.size(F.filter(words, _matches(t))).alias(f"__tf{i}")
         for i, t in enumerate(query_terms)
     ]
-    staged = docs.select(F.col(id_col), F.size(words).alias("__dl"), *tf_cols)
+    staged = worded.select(F.col(id_col), F.size(words).alias("__dl"), *tf_cols)
     stats = staged.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__dl").alias("__avgdl"),
