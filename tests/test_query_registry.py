@@ -189,17 +189,25 @@ def test_window_projection_on_real_registry(tmp_path, monkeypatch):
 
     _write(tmp_path, mx + 1, {s: GOOD for s in this_window})
     next_window = Q._prioritized(slugs)[:50]
-    # marker expiry: the waiting registrations become never-graded
-    # leads — alongside any slug whose regrade cutoff is still ahead
-    # of the simulated round (a cutoff beyond mx+1 means even the
-    # fresh simulated green graded a pair older than the cutoff's
-    # semantic change, so the slug legitimately stays at vintage -1;
-    # e.g. the r10 prefix-switch cutoffs under this r7 snapshot)
+    # marker expiry: the waiting registrations whose marker is REACHED
+    # at mx+1 become never-graded leads — alongside any slug whose
+    # regrade cutoff is still ahead of the simulated round (a cutoff
+    # beyond mx+1 means even the fresh simulated green graded a pair
+    # older than the cutoff's semantic change, so the slug
+    # legitimately stays at vintage -1; e.g. the r10 prefix-switch
+    # cutoffs under this r7 snapshot). Markers still in the future
+    # (e.g. a round-12 registration under this r7 snapshot) keep
+    # waiting — deferral is until the marker round, not one round.
+    expired = {
+        s for s in waiting if Q._DEFER_NEW_UNTIL_ROUND[s] <= mx + 1
+    }
+    still_deferred = waiting - expired
     still_invalid = {
         s for s in this_window if Q._REGRADE_BEFORE_ROUND.get(s, 0) > mx + 1
     }
-    leads = waiting | still_invalid
+    leads = expired | still_invalid
     assert set(next_window[: len(leads)]) == leads
+    assert not (still_deferred & set(next_window))
     # and nothing freshly graded re-enters the very next window
     # (except the still-invalidated, which must)
     assert set(next_window) & set(this_window) == still_invalid
