@@ -186,6 +186,7 @@ HEADLINE = [
     "events-volume-anomaly",
     "text-token-entropy",
     "join-asof-tolerance",
+    "mm-phash-clusters",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

@@ -572,3 +572,45 @@ def extract_audio_features(media: DataFrame,
         keep_cols=keep_cols,
         feature_schema=AUDIO_FEATURE_SCHEMA,
     )
+
+
+def image_phash(payload: bytes) -> tuple[int, int, int]:
+    """Average-hash perceptual fingerprint of a decoded image — the
+    aHash family every public near-dup image pipeline starts from
+    (pHash/aHash/dHash): one bit per pixel, set when the pixel's
+    channel-sum exceeds the image mean. All-integer by construction
+    (bit = s·n_px > total, never a float mean), so the hash replays
+    bit-for-bit in any engine from the same pixels. Returns
+    (width, height, hash) with bit (y*w + x) in row-major order —
+    w*h <= 63 for a BIGINT hash (the synth corpus is 4-8 x 3-6;
+    real pipelines downsample to 8x8 first, which is this same
+    function after nn_resize).
+
+    Plugs into extract_features as its ``decoder`` — same Arrow-batch
+    plumbing, quarantine-by-omission, and positional schema contract
+    as image_stats.
+    """
+    w, h, px = decode_image(payload)
+    n = w * h
+    if n > 63:
+        raise ValueError(
+            f"image_phash: {w}x{h} exceeds the 63-bit BIGINT hash; "
+            "nn_resize to 8x8 first (the standard aHash recipe)"
+        )
+    sums = [px[3 * i] + px[3 * i + 1] + px[3 * i + 2] for i in range(n)]
+    total = sum(sums)
+    bits = 0
+    for i, s in enumerate(sums):
+        if s * n > total:
+            bits |= 1 << i
+    return (w, h, bits)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)

@@ -271,6 +271,7 @@ _DEFER_NEW_UNTIL_ROUND: dict[str, int] = {
     # + the 14 r7-vintage regrades + the oldest r8s; this waits out
     # round 12 and leads round 13
     "join-asof-tolerance": 12,
+    "mm-phash-clusters": 12,
 }
 
 
@@ -474,6 +475,7 @@ _EST_COST = {
     "events-volume-anomaly": 22.2,
     "text-token-entropy": 22.3,
     "join-asof-tolerance": 22.4,
+    "mm-phash-clusters": 22.5,
 }
 
 

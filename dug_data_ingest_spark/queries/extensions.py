@@ -1862,3 +1862,70 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("n_unique").alias("n_unique"),
         F.round(st.getField("entropy"), 4).alias("token_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (ext/multimodal.py::image_phash) — the
+# aHash step of every public near-dup image pipeline: decode the REAL
+# PPM/BMP payloads (the actual stdlib codecs, not the metadata), one
+# integer bit per pixel (channel-sum > image mean, s*n > total — no
+# float mean), then cluster on (width, height, phash). The window
+# count keeps the decode in ONE pass (a groupBy+join back would
+# re-run the Python stage per consumer). The oracle replays the
+# synth-pixel closed form (the mm-decode-features precedent): if the
+# encoder, decoder, or hash math drifted, the 48-bit hashes would
+# not match. Cluster sizes are non-trivial on this corpus (up to 35
+# at sf0.1) — the coarse mask genuinely collides across distinct
+# pixel patterns, which is the dedup signal.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm-phash-clusters",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+    xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+           FROM dims),
+    ys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+           FROM xs),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (7*doc_id + 13*x + 31*y) % 256
+             + (7*doc_id + 13*x + 31*y + 97) % 256
+             + (7*doc_id + 13*x + 31*y + 194) % 256 AS s
+      FROM ys),
+    tot AS (SELECT doc_id, SUM(s) AS total, COUNT(*) AS n
+            FROM px GROUP BY doc_id),
+    hash AS (
+      SELECT px.doc_id, px.w, px.h,
+             CAST(SUM(CASE WHEN px.s * t.n > t.total
+                      THEN CAST(1 AS BIGINT) << (px.y * px.w + px.x)
+                      ELSE 0 END) AS BIGINT) AS phash
+      FROM px JOIN tot t ON t.doc_id = px.doc_id
+      GROUP BY px.doc_id, px.w, px.h)
+    SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height, phash,
+           COUNT(*) OVER (PARTITION BY w, h, phash) AS cluster_size
+    FROM hash
+    """,
+)
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dug_data_ingest_spark.ext.multimodal import (
+        PHASH_SCHEMA,
+        extract_features,
+        image_phash,
+        synth_image_media,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    feats = extract_features(
+        synth_image_media(docs), decoder=image_phash,
+        feature_schema=PHASH_SCHEMA,
+    )
+    return feats.withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(W.partitionBy("width", "height", "phash")),
+    )

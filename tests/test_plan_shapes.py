@@ -1201,3 +1201,18 @@ def test_asof_tolerance_no_fact_window(queries, spark):
     assert "Window" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_phash_clusters_single_decode_pass(queries, spark):
+    # the window count keeps the Python decode stage in ONE pass — a
+    # groupBy + join back would re-execute the Arrow decode per
+    # consumer. Exactly one Python stage, one exchange (the window's
+    # hash partitioning on the hash key).
+    df = queries["mm-phash-clusters"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    # exactly two Python stages: the payload synthesis and the decode
+    # — each ONCE (a third would mean a consumer re-ran the decode)
+    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
