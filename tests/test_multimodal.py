@@ -366,3 +366,23 @@ def test_resize_rejects_invalid_target_dims_loudly(spark):
 
     with pytest.raises(ValueError, match="dimensions"):
         resize(spark.range(0), 0, 5)
+
+
+def test_image_phash_bit_rule_and_cap():
+    from dug_data_ingest_spark.ext.multimodal import encode_ppm, image_phash
+    import pytest
+
+    # 2x2 image, channel-sums 3,6,9,300 -> total 318, n=4: bit set
+    # only where s*4 > 318 (strict), i.e. only the 4th pixel (bit 3)
+    px = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 100, 100, 100])
+    w, h, bits = image_phash(encode_ppm(2, 2, px))
+    assert (w, h, bits) == (2, 2, 0b1000)
+
+    # a uniform image sets NO bits (s*n == total, never >)
+    uni = bytes([5, 5, 5] * 4)
+    assert image_phash(encode_ppm(2, 2, uni))[2] == 0
+
+    # >63 pixels cannot hash into a BIGINT — the documented cap
+    big = bytes([0, 0, 0] * 64)
+    with pytest.raises(ValueError, match="63-bit"):
+        image_phash(encode_ppm(8, 8, big))
