@@ -194,6 +194,35 @@ HEADLINE = [
 ]
 
 
+# Host-contamination criterion: the shared host's numpy matmul probe
+# runs ~0.15-0.25 s per 4-matmul rep when quiet; > 0.35 s means an
+# external tenant is stealing cores and every number in the run is
+# suspect. Flagging used to be manual post-run triage — and the final
+# entry of a round went unflagged in BOTH r11 and r12 (judged
+# defects), so the run now self-flags at record time. The probe can
+# certify contamination but NOT quiet (r11 observed a clean calib on
+# a 97 s contended run), so a missing flag still doesn't certify a
+# clean entry — manual triage can only ADD flags, never remove one.
+NOISY_CALIB_NUMPY = 0.35
+
+
+def noisy_host_flags(result: dict) -> dict:
+    """The `noisy_host` keys this run must carry, from its own calib
+    probe. Split out of main() so the record path is regression-
+    testable without running the bench (tests/test_bench_contract.py).
+    """
+    calib = result.get("calib_numpy_sec")
+    if isinstance(calib, (int, float)) and calib > NOISY_CALIB_NUMPY:
+        return {
+            "noisy_host": True,
+            "noisy_reason": (
+                f"calib_numpy_sec {calib} > {NOISY_CALIB_NUMPY} criterion"
+                " (self-flagged at record time)"
+            ),
+        }
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -291,6 +320,7 @@ def main() -> None:
         "sf": sf_val,
         **_calib(),
     }
+    result.update(noisy_host_flags(result))
     if errors:
         result["errors"] = errors
     if partial:

@@ -28,7 +28,11 @@ def normalize_to_bits(
     rather than dividing by zero. Values outside [x_min, x_max]
     (possible when a caller supplies sampled or stale stats) are
     clamped to the grid ends rather than leaking sign bits into the
-    Morton interleave."""
+    Morton interleave. NULL propagates: a NULL coordinate (or NULL
+    min/max stats) yields a NULL grid cell, NOT cell 0 — clamping with
+    greatest/least would silently swallow the NULL (Spark's
+    greatest/least skip NULL operands) and park null rows at the grid
+    origin with a valid-looking Morton key."""
     grid = float((1 << bits) - 1)
     span = (x_max - x_min).cast("double")
     scaled = F.floor(
@@ -38,7 +42,10 @@ def normalize_to_bits(
         F.greatest(scaled, F.lit(0).cast("bigint")),
         F.lit((1 << bits) - 1).cast("bigint"),
     )
-    return F.when(span == 0.0, F.lit(0).cast("bigint")).otherwise(clamped)
+    null_in = x.isNull() | x_min.isNull() | x_max.isNull()
+    return F.when(null_in, F.lit(None).cast("bigint")).otherwise(
+        F.when(span == 0.0, F.lit(0).cast("bigint")).otherwise(clamped)
+    )
 
 
 def z_value_2d(sx: Column, sy: Column, bits: int = 16) -> Column:

@@ -1575,8 +1575,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, k=8, n_iters=2, with_centroids=True).select(
-        "cluster", "centroid"
+    # ONE learned-cell snapshot shared by every property branch: the
+    # booleans below reference `cents` from ~5 independent plan
+    # branches (semantic_dedup, pairs, left, survivors), and avg()'s
+    # partial-merge order is not guaranteed identical across
+    # recomputations on a cluster — an unmaterialized lineage could
+    # re-train per branch and land a boundary vector in different
+    # cells, spuriously failing partition_ok/no_dup_left/drops_sound.
+    # localCheckpoint truncates the lineage so all branches replay the
+    # same k x dim centroid table (r12 ADVICE; the _kn_tables idiom).
+    cents = (
+        kmeans_centroids(emb, k=8, n_iters=2, with_centroids=True)
+        .select("cluster", "centroid")
+        .localCheckpoint(eager=False)
     )
     survivors, drop = semantic_dedup(emb, threshold=0.4, centroids=cents)
     pairs = cosine_dup_pairs(

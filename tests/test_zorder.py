@@ -118,6 +118,28 @@ def test_normalize_clamps_out_of_range_stats(spark):
     assert got == [0, 0, 255, 255]
 
 
+def test_normalize_null_passthrough(spark):
+    # NULL coordinate or NULL min/max stats must yield a NULL cell,
+    # not cell 0: Spark's greatest/least SKIP null operands, so the
+    # clamp alone would silently park null rows at the grid origin
+    # with a valid-looking Morton key (r12 ADVICE)
+    df = spark.createDataFrame([(None,), (0,), (100,)], "x long")
+    got = [
+        r[0]
+        for r in df.select(
+            normalize_to_bits(F.col("x"), F.lit(0), F.lit(100), bits=8)
+        ).collect()
+    ]
+    assert got == [None, 0, 255]
+    # null stats (e.g. min/max over an all-null or empty slice)
+    got2 = df.filter(F.col("x").isNotNull()).select(
+        normalize_to_bits(
+            F.col("x"), F.lit(None).cast("long"), F.lit(100), bits=8
+        )
+    ).collect()
+    assert [r[0] for r in got2] == [None, None]
+
+
 def test_zorder_key_survives_colliding_stat_names(spark):
     # suffix-until-free guard: an input already carrying __xmin must
     # not collide with the staged broadcast stats row

@@ -10,6 +10,14 @@ sibling-run min). This script times ONLY the named queries on an
 otherwise idle JVM, brackets them with the same calib probes bench.py
 uses, and prints per-rep times + min + median so a spike is attributable
 to the host (calib moved) or the plan (calib flat, reps still slow).
+
+By default the pin times ``.count()`` — deliberately mirroring
+bench.py's posture so the number is comparable to BENCH_HISTORY. But
+count() lets Catalyst prune expensive output columns (the exact blind
+spot tools/noop_audit.py exposes), so for a projection-family slug
+pass ``--noop`` to time a noop-sink write instead: every output
+column is materialized and the pin reports the operator's honest
+per-row cost (r12 ADVICE).
 """
 
 from __future__ import annotations
@@ -46,6 +54,7 @@ def _calib(spark) -> dict[str, float]:
 def main(argv: list[str]) -> int:
     reps = 5
     sf_dir = "/root/testdata/sf0.1"
+    noop = False
     slugs: list[str] = []
     i = 0
     while i < len(argv):
@@ -56,26 +65,41 @@ def main(argv: list[str]) -> int:
         elif a == "--sf":
             sf_dir = argv[i + 1]
             i += 1
+        elif a == "--noop":
+            noop = True
         else:
             slugs.append(a)
         i += 1
     if not slugs:
-        print("usage: pin_query.py SLUG [SLUG ...]", file=sys.stderr)
+        print(
+            "usage: pin_query.py SLUG [SLUG ...] [--reps N] [--sf DIR]"
+            " [--noop]",
+            file=sys.stderr,
+        )
         return 2
 
     from dug_data_ingest_spark.queries import all_queries
     from dug_data_ingest_spark.session import get_spark
 
+    def _run(df) -> None:
+        if noop:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+
     spark = get_spark("pin-query")
     qs = all_queries()
-    out: dict[str, dict] = {"calib_before": _calib(spark)}
+    out: dict[str, dict] = {
+        "sink": "noop" if noop else "count",
+        "calib_before": _calib(spark),
+    }
     for slug in slugs:
         fn = qs[slug]
-        fn(spark, sf_dir).count()  # warmup (codegen/JIT)
+        _run(fn(spark, sf_dir))  # warmup (codegen/JIT)
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()  # fresh plan instance per rep
+            _run(fn(spark, sf_dir))  # fresh plan instance per rep
             times.append(round(time.perf_counter() - t0, 3))
         out[slug] = {
             "reps": times,
