@@ -187,6 +187,12 @@ HEADLINE = [
     "text-token-entropy",
     "join-asof-tolerance",
     "mm-phash-clusters",
+    # round-13 promotion: the composed CCNet pipeline — the LM train
+    # is a per-run model fit like text-lm-score's (already benched),
+    # so the composition's honest end-to-end cost belongs in the
+    # headline; sim-pq-topk-reranked is NOT benched (retrains the PQ
+    # codebooks per run — the sim-ivf-pq-topk reasoning).
+    "ccnet-curate",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

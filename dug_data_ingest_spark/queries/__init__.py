@@ -476,6 +476,12 @@ _EST_COST = {
     "text-token-entropy": 22.3,
     "join-asof-tolerance": 22.4,
     "mm-phash-clusters": 22.5,
+    # round-13 promotions (VERDICT r12 items 5/6): the composed CCNet
+    # arc (all four stages already graded) and the PQ reranked-top-k
+    # population oracle — never-graded, so they lead the r13 window
+    # right behind the two r12-close defers
+    "ccnet-curate": 22.6,
+    "sim-pq-topk-reranked": 22.7,
 }
 
 

@@ -25,7 +25,11 @@ from dug_data_ingest_spark.ext.curation import (
     vocab_topk,
     with_token_counts,
 )
-from dug_data_ingest_spark.functions.text import normalized_words, shingles_of
+from dug_data_ingest_spark.functions.text import (
+    LANG_MARKERS as _LANG_MARKERS,
+    normalized_words,
+    shingles_of,
+)
 from dug_data_ingest_spark.queries import load, query
 
 # ONE normalization fragment for every oracle in the repo: import the
@@ -1365,6 +1369,151 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(
         scored, score_col="quality", group_col="lang", ascending=False
     ).select("doc_id", "lang", "quality", "ppl_bucket")
+
+
+# ---------------------------------------------------------------------------
+# The full CCNet pipeline (Wenzek et al. 2020, arXiv:1911.00359) as
+# ONE composed query — ext/curation.py::ccnet_curate: §3.1 corpus-wide
+# duplicate-paragraph removal (keep="first"; docs emptied by the scrub
+# leave the corpus) → §3.2 language ID over the CLEANED text → §3.3
+# corpus-bigram-LM fluency scoring and per-LANGUAGE head/middle/tail
+# bucketing on avg_logprob (ascending=False; docs with no in-head
+# bigram keep a NULL bucket — unscored is not "tail"). Promoted from
+# composition-pinned library surface in round 13 (VERDICT r12 item 5,
+# the pipeline-curate-corpus precedent): all four stages already have
+# graded value oracles (dedup-paragraph, text-langid, text-lm-score,
+# curate-perplexity-buckets), and this FULL value oracle is assembled
+# from those four fragments end to end — same ' stream ' separator as
+# dedup-paragraph (the driver corpus has no newline structure), same
+# LM head constants, same exact-GK rank replay as the buckets slug.
+# The bucket cuts run at accuracy=40000 so the single dominant
+# detected-language stratum (~5k docs at sf0.1) stays far inside GK's
+# exact regime (eps*n < 1/2 needs n < accuracy/2) — the registered
+# perplexity-buckets slug strata are smaller and keep the default.
+# Scale shape: the composition adds NOTHING to its parts — paragraph
+# dedup's count-then-join (no pairwise stage), one <=256Ki-row LM head
+# broadcast, one GK sketch rollup + |langs|-row broadcast back; the
+# corpus is never pairwise-joined and never globally sorted.
+# ---------------------------------------------------------------------------
+
+_CCNET_LANG_SCORES = {
+    lang: " + ".join(
+        f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
+    )
+    for lang, words in _LANG_MARKERS.items()
+}
+
+_CCNET_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, text, string_split(text, ' stream ') AS ps
+  FROM documents WHERE text IS NOT NULL
+),
+paras AS (
+  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+  FROM p, UNNEST(generate_series(1, len(ps))) t(i)
+),
+pnorm AS (
+  SELECT doc_id, pos, para,
+         trim(regexp_replace(regexp_replace(regexp_replace(lower(para),
+           '[0-9]', '0', 'g'), '[^a-z0 ]', '', 'g'), ' +', ' ', 'g')) AS pn
+  FROM paras
+),
+tagged AS (
+  SELECT doc_id, pos, para, pn,
+         count(*) OVER (PARTITION BY pn) AS n_pn,
+         row_number() OVER (PARTITION BY pn ORDER BY doc_id, pos) AS rk
+  FROM pnorm
+),
+pagg AS (
+  SELECT doc_id,
+         count(*) AS n_paras,
+         sum(CASE WHEN pn = '' OR n_pn < 2 OR rk = 1 THEN 0 ELSE 1 END)
+           AS n_dropped,
+         string_agg(para, ' stream ' ORDER BY pos)
+           FILTER (WHERE pn = '' OR n_pn < 2 OR rk = 1) AS ct
+  FROM tagged GROUP BY doc_id
+),
+alive0 AS (
+  SELECT p.doc_id,
+         COALESCE(a.ct, '') AS text,
+         CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
+         CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped
+  FROM p LEFT JOIN pagg a USING (doc_id)
+),
+alive AS (SELECT * FROM alive0 WHERE length(text) > 0),
+lng AS (
+  SELECT doc_id, text, n_paras, n_dropped,
+         CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+              WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de AND s_es > s_en THEN 'es'
+              WHEN s_fr > 0 AND s_fr >= s_de AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+              WHEN s_de > 0 AND s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+              ELSE 'und' END AS lang
+  FROM (
+    SELECT doc_id, text, n_paras, n_dropped,
+           {_CCNET_LANG_SCORES['en']} AS s_en,
+           {_CCNET_LANG_SCORES['es']} AS s_es,
+           {_CCNET_LANG_SCORES['fr']} AS s_fr,
+           {_CCNET_LANG_SCORES['de']} AS s_de
+    FROM alive)
+),
+lmw AS (SELECT doc_id, {_WORDS} AS w FROM lng),
+bi AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+                THEN [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]
+                ELSE []::VARCHAR[] END) AS bigram
+  FROM lmw),
+counts AS (
+  SELECT bigram, string_split(bigram, ' ')[1] AS prefix, COUNT(*) AS n_big
+  FROM bi GROUP BY bigram),
+with_totals AS (
+  SELECT bigram, n_big,
+         SUM(n_big) OVER (PARTITION BY prefix) AS n_prefix
+  FROM counts),
+head AS (
+  SELECT bigram, n_big, n_prefix FROM with_totals
+  WHERE n_big >= {_LM_MIN_COUNT}
+  ORDER BY n_big DESC, bigram LIMIT {_LM_HEAD_K}),
+lmscored AS (
+  SELECT b.doc_id,
+         ln(CAST(h.n_big AS DOUBLE) / h.n_prefix) AS logp
+  FROM bi b JOIN head h USING (bigram)),
+lm AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(AVG(logp), 4) AS avg_logprob
+  FROM lmscored GROUP BY doc_id),
+j AS (
+  SELECT l.doc_id, l.text, l.lang, l.n_paras, l.n_dropped,
+         lm.n_bigrams, lm.avg_logprob
+  FROM lng l LEFT JOIN lm USING (doc_id)),
+nn AS (SELECT lang, COUNT(*) AS cnt FROM j WHERE avg_logprob IS NOT NULL
+       GROUP BY lang),
+ranked AS (
+  SELECT lang, -avg_logprob AS s,
+         row_number() OVER (PARTITION BY lang ORDER BY -avg_logprob) AS rk
+  FROM j WHERE avg_logprob IS NOT NULL),
+cuts AS (
+  SELECT r.lang,
+         MAX(CASE WHEN rk = CAST(ceil(0.3333333333333333 * cnt) AS BIGINT)
+             THEN s END) AS c1,
+         MAX(CASE WHEN rk = CAST(ceil(0.6666666666666666 * cnt) AS BIGINT)
+             THEN s END) AS c2
+  FROM ranked r JOIN nn USING (lang) GROUP BY r.lang)
+SELECT j.doc_id, j.text, j.lang, j.n_paras, j.n_dropped, j.n_bigrams,
+       j.avg_logprob,
+       CASE WHEN j.avg_logprob IS NULL THEN NULL
+            WHEN -j.avg_logprob <= c.c1 THEN 'head'
+            WHEN -j.avg_logprob <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM j LEFT JOIN cuts c ON j.lang IS NOT DISTINCT FROM c.lang
+"""
+
+
+@query("ccnet-curate", oracle=_CCNET_ORACLE)
+def ccnet_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import ccnet_curate
+
+    docs = load(spark, sf_dir, "documents")
+    return ccnet_curate(docs, sep=" stream ", accuracy=40000)
 
 
 # ---------------------------------------------------------------------------

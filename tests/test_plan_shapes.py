@@ -1203,6 +1203,43 @@ def test_asof_tolerance_no_fact_window(queries, spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_ccnet_curate_no_cartesian_no_python_no_global_sort(queries, spark):
+    # the composed CCNet pipeline must add NOTHING to its parts:
+    # paragraph dedup's count-then-join, the LM head broadcast, the
+    # GK cuts broadcast. Whole pipeline JVM-side; the only allowed
+    # driver-bounded structures are the <=256Ki LM head (TakeOrdered)
+    # and the |langs|-row cuts table. Never a cartesian, never a
+    # single-partition exchange, never a range-partitioned global sort
+    # of the corpus.
+    df = queries["ccnet-curate"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the LM frequency head is a TakeOrderedAndProject, not a global
+    # sort+limit
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_pq_topk_reranked_rowlocal_adc_broadcast_rerank(queries, spark):
+    # ADC scoring is a row-local literal-table expression (no join, no
+    # Python); every top-k stage is TakeOrderedAndProject; the
+    # 400-id shortlist broadcasts back to the raw vectors (never a
+    # shuffle of the corpus side); the single BroadcastNestedLoopJoin
+    # is the 1-row property crossJoin idiom.
+    df = queries["sim-pq-topk-reranked"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
 def test_phash_clusters_single_decode_pass(queries, spark):
     # the window count keeps the Python decode stage in ONE pass — a
     # groupBy + join back would re-execute the Arrow decode per
