@@ -52,6 +52,13 @@ HEAVY = [
     "text-bm25-topk",
     "text-ngram-novelty",
     "text-token-entropy",
+    # r13 (VERDICT r12 item 7): the r12-close pair — phash decodes
+    # synthesized image payloads off the inflated documents, asof
+    # joins the inflated events — plus the newly-promoted composed
+    # CCNet pipeline
+    "mm-phash-clusters",
+    "join-asof-tolerance",
+    "ccnet-curate",
 ]
 
 
