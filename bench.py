@@ -193,6 +193,10 @@ HEADLINE = [
     # headline; sim-pq-topk-reranked is NOT benched (retrains the PQ
     # codebooks per run — the sim-ivf-pq-topk reasoning).
     "ccnet-curate",
+    # the NB quality classifier refits two bounded distributions per
+    # run by design (the dsir-weights precedent, which is benched) —
+    # the honest model-fit cost belongs in the headline
+    "curate-quality-classifier",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

@@ -661,6 +661,98 @@ def dsir_resample(
     )
 
 
+def nb_quality_log_odds(
+    docs: DataFrame,
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    out_col: str = "nb_log_odds",
+) -> DataFrame:
+    """``docs`` plus a multinomial naive-Bayes log-odds column: the
+    fasttext-style quality classifier of the CCNet / LLaMA data
+    recipes (Wenzek et al. 2020 §3.3 trains a classifier to separate
+    high-quality seed text from crawl text; Touvron et al. 2023 use
+    the same pattern with Wikipedia-referenced pages), in closed form
+    over hashed n-gram features so training is exact, deterministic,
+    and engine-replayable — no SGD, no learned floats:
+
+        log_odds(doc) = ln(n_pos / n_neg)
+                      + sum over the doc's unigram+bigram md5 buckets
+                        of [ln p_pos(bucket) - ln p_neg(bucket)]
+
+    with add-``alpha`` smoothing over ``n_buckets`` buckets — the
+    same feature extractor (``hashed_ngram_ids``) and the same
+    bounded-distribution machinery as DSIR, pointed at class-
+    conditional corpora instead of target/raw. ``pos``/``neg`` are
+    the labeled training slices (each needs >= 1 doc); ``docs`` is
+    the corpus to score — typically a superset of both (the seed-set
+    recipe scores everything it trained on plus the rest).
+
+    Scale shape (the dsir_log_weights contract): each class
+    distribution is ONE map-side-combined groupBy bounded by
+    ``n_buckets`` rows at any corpus size, collected driver-side; the
+    B log-ratios + the scalar prior ship back as ONE broadcast row;
+    scoring is a row-local array fold — the scored corpus never
+    shuffles. At 100 TB fit the class distributions on hash_sample
+    slices (proportions are all the estimator uses) and score the
+    full corpus.
+
+    Deterministic: md5 buckets, closed-form ratios, fixed
+    left-to-right fold with the prior added LAST (prior + foldsum —
+    the oracle replays the same IEEE op order); model-pinned against
+    a pure-Python walk in tests/test_nb_classifier.py.
+    """
+    import math
+
+    n_p, n_n = pos.count(), neg.count()
+    if n_p == 0 or n_n == 0:
+        raise ValueError(
+            "nb_quality_log_odds: both classes need >= 1 training doc "
+            f"(got pos={n_p}, neg={n_n}) — an empty class makes the "
+            "prior infinite"
+        )
+
+    def _logprobs(df: DataFrame) -> list[float]:
+        rows = bucket_distribution(df, text_col, n_buckets).collect()
+        counts = [0] * n_buckets
+        for r in rows:
+            counts[r["bucket"]] = r["cnt"]
+        total = sum(counts) + alpha * n_buckets
+        return [math.log((c + alpha) / total) for c in counts]
+
+    lp_p, lp_n = _logprobs(pos), _logprobs(neg)
+    ratios = [lp_p[i] - lp_n[i] for i in range(n_buckets)]
+    prior = math.log(n_p / n_n)
+    ratio_col = "__nb_ratios"
+    while ratio_col in docs.columns:
+        ratio_col += "_"
+    if out_col in docs.columns:
+        raise ValueError(f"docs already has a {out_col!r} column")
+    spark = docs.sparkSession
+    ratio_row = spark.createDataFrame(
+        [(ratios,)],
+        T.StructType(
+            [T.StructField(ratio_col, T.ArrayType(T.DoubleType()))]
+        ),
+    )
+    ids = hashed_ngram_ids(normalized_words(F.col(text_col)), n_buckets)
+    return (
+        docs.crossJoin(F.broadcast(ratio_row))  # 1-row scalar broadcast
+        .withColumn(
+            out_col,
+            F.lit(prior)
+            + F.aggregate(
+                ids,
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(ratio_col, i + 1),
+            ),
+        )
+        .drop(ratio_col)
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     score_col: str,

@@ -482,6 +482,7 @@ _EST_COST = {
     # right behind the two r12-close defers
     "ccnet-curate": 22.6,
     "sim-pq-topk-reranked": 22.7,
+    "curate-quality-classifier": 22.8,
 }
 
 

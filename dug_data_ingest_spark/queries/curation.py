@@ -1517,6 +1517,138 @@ def ccnet_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fasttext-style quality classifier (the CCNet §3.3 / LLaMA data-
+# recipe stage: train a linear classifier to separate high-quality
+# seed text from the crawl, then score everything) — in closed form
+# as hashed-n-gram multinomial naive Bayes so training is exact,
+# deterministic, and engine-replayable (no SGD, no learned floats):
+# ext/curation.py::nb_quality_log_odds. The seed labels come from the
+# corpus itself the way CCNet's do: the quality-score head third is
+# the positive class, the tail third the negative (GLOBAL GK cuts at
+# accuracy=20000 — the whole corpus is one stratum, and 5k docs at
+# sf0.1 sits far inside the exact eps*n < 1/2 regime), and ALL
+# documents are then scored with the learned log-odds. Full value
+# oracle: DuckDB replays the quality expression (copied verbatim from
+# the curate-perplexity-buckets oracle), the exact-rank cuts, the
+# class-conditional 4096-bucket distributions (the DSIR CTE pattern),
+# and the left-to-right fold with the prior added first —
+# ROUND(,4) absorbs libm ln ulps, and nb_keep compares the ROUNDED
+# value on both sides so the flag can never flip on an ulp.
+# Scale shape (the DSIR posture): two n_buckets-bounded collects, a
+# 1-row broadcast of B ratios + the prior, row-local fold — the
+# scored corpus never shuffles; the label pass is one GK rollup.
+# ---------------------------------------------------------------------------
+
+_NB_B = 4096
+
+_NB_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         ROUND(0.4 * least(length(text) / 400.0, 1.0)
+               + 0.4 * least(ROUND((len(regexp_extract_all(text, '\\bthe\\b'))
+                      + len(regexp_extract_all(text, '\\ba\\b'))
+                      + len(regexp_extract_all(text, '\\band\\b'))
+                      + len(regexp_extract_all(text, '\\bof\\b')))
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) * 10.0, 1.0)
+               + 0.2 * greatest(0.0, 1.0 - ROUND(len(regexp_extract_all(text, '[.,!?;:]'))
+                    / greatest(length(text), 1), 4) * 20.0), 4) AS q
+  FROM documents
+),
+s AS (SELECT doc_id, -q AS s FROM m WHERE q IS NOT NULL),
+c AS (SELECT COUNT(*) AS cnt FROM s),
+ranked AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s) AS rk FROM s),
+cuts AS (
+  SELECT MAX(CASE WHEN rk = CAST(ceil(0.3333333333333333 * cnt) AS BIGINT)
+             THEN s END) AS c1,
+         MAX(CASE WHEN rk = CAST(ceil(0.6666666666666666 * cnt) AS BIGINT)
+             THEN s END) AS c2
+  FROM ranked, c),
+lab AS (
+  SELECT r.doc_id,
+         CASE WHEN r.s <= cuts.c1 THEN 'head'
+              WHEN r.s <= cuts.c2 THEN 'middle'
+              ELSE 'tail' END AS b
+  FROM ranked r, cuts),
+w0 AS (SELECT doc_id, {_WORDS} AS nw FROM documents),
+w AS (SELECT doc_id,
+             COALESCE(list_filter(nw, x -> x <> ''), []::VARCHAR[]) AS nw
+      FROM w0),
+grams AS (
+  SELECT doc_id,
+         list_concat(nw,
+           CASE WHEN len(nw) >= 2
+                THEN [nw[i] || ' ' || nw[i+1] for i in range(1, len(nw))]
+                ELSE []::VARCHAR[] END) AS gs
+  FROM w),
+gx AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {_NB_B} AS INT)
+           AS bucket
+  FROM grams, unnest(gs) t(g)),
+pcnt AS (SELECT bucket, COUNT(*) AS cnt FROM gx JOIN lab USING (doc_id)
+         WHERE lab.b = 'head' GROUP BY bucket),
+ncnt AS (SELECT bucket, COUNT(*) AS cnt FROM gx JOIN lab USING (doc_id)
+         WHERE lab.b = 'tail' GROUP BY bucket),
+np AS (SELECT COUNT(*) AS c FROM lab WHERE b = 'head'),
+nn AS (SELECT COUNT(*) AS c FROM lab WHERE b = 'tail'),
+pt AS (SELECT SUM(cnt) + {_NB_B} AS total FROM pcnt),
+nt AS (SELECT SUM(cnt) + {_NB_B} AS total FROM ncnt),
+ratios AS (
+  SELECT list(ln((COALESCE(p.cnt, 0) + 1.0) / pt.total)
+              - ln((COALESCE(n.cnt, 0) + 1.0) / nt.total)
+              ORDER BY b.bucket) AS arr
+  FROM range({_NB_B}) b(bucket)
+  LEFT JOIN pcnt p ON p.bucket = b.bucket
+  LEFT JOIN ncnt n ON n.bucket = b.bucket
+  CROSS JOIN pt CROSS JOIN nt),
+scored AS (
+  SELECT g.doc_id,
+         ln(CAST(np.c AS DOUBLE) / nn.c) + list_reduce(
+           list_prepend(0.0, list_transform(g.gs, x ->
+             ratios.arr[CAST(CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                        % {_NB_B} AS INT) + 1])),
+           (a, b) -> a + b) AS lo
+  FROM grams g CROSS JOIN ratios CROSS JOIN np CROSS JOIN nn)
+SELECT doc_id, ROUND(lo, 4) AS nb_log_odds,
+       ROUND(lo, 4) > 0 AS nb_keep
+FROM scored
+"""
+
+
+@query("curate-quality-classifier", oracle=_NB_ORACLE)
+def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.curation import (
+        nb_quality_log_odds,
+        perplexity_buckets,
+    )
+    from dug_data_ingest_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", quality_score(F.col("text")).alias("quality")
+    )
+    # global head/middle/tail thirds (one stratum — the seed-label
+    # pass); every stage below is deterministic (md5 buckets,
+    # exact-regime GK cuts, integer counts), so no snapshot
+    # materialization is needed across the pos/neg branches
+    buckets = perplexity_buckets(
+        scored,
+        score_col="quality",
+        group_col=None,
+        ascending=False,
+        accuracy=20000,
+    )
+    pos = buckets.filter(F.col("ppl_bucket") == "head")
+    neg = buckets.filter(F.col("ppl_bucket") == "tail")
+    out = nb_quality_log_odds(docs, pos, neg, n_buckets=_NB_B)
+    lo = F.round(F.col("nb_log_odds"), 4)
+    return out.select(
+        "doc_id", lo.alias("nb_log_odds"), (lo > 0).alias("nb_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR importance weights (Xie et al. 2023, arXiv:2302.03169) — score
 # every raw-corpus document by how much its hashed-n-gram distribution
 # looks like the target corpus: sum over the doc's unigram+bigram

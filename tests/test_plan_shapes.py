@@ -1240,6 +1240,21 @@ def test_pq_topk_reranked_rowlocal_adc_broadcast_rerank(queries, spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
+def test_quality_classifier_scoring_row_local(queries, spark):
+    # the NB classifier's scoring pass is the DSIR posture: two
+    # bounded-collect class distributions happen at construction; the
+    # RETURNED plan is one corpus scan + the 1-row ratio broadcast +
+    # a row-local fold — no hash exchange of the corpus, no Python,
+    # no cartesian
+    df = queries["curate-quality-classifier"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
 def test_phash_clusters_single_decode_pass(queries, spark):
     # the window count keeps the Python decode stage in ONE pass — a
     # groupBy + join back would re-execute the Arrow decode per
