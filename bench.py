@@ -197,6 +197,7 @@ HEADLINE = [
     # run by design (the dsir-weights precedent, which is benched) —
     # the honest model-fit cost belongs in the headline
     "curate-quality-classifier",
+    "dedup-hot-spans",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

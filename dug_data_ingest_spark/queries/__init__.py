@@ -483,6 +483,7 @@ _EST_COST = {
     "ccnet-curate": 22.6,
     "sim-pq-topk-reranked": 22.7,
     "curate-quality-classifier": 22.8,
+    "dedup-hot-spans": 22.9,
 }
 
 

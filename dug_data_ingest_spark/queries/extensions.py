@@ -1262,6 +1262,45 @@ def dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Boilerplate triage report (ext/dedup.py::hot_spans) — the top-20
+# most-repeated 8-token windows corpus-wide with occurrence and
+# document counts: the view over what duplicated_span_stats counts
+# and strip_duplicated_spans removes (at real scale the head of this
+# table is license headers, navigation chrome, template text).
+# Promoted from library surface in round 13 — the last md5-free
+# dedup-family function outside the gate, and fully SQL-expressible,
+# so the oracle is a FULL value oracle (span text, both counts; ties
+# at the top-20 boundary break on span ASC in both engines).
+# Scale shape: ONE groupBy on the k-token gram string (map-side
+# combined, key bounded at k tokens) into a TakeOrderedAndProject —
+# the top-N never materializes the distinct-gram table on the driver.
+# ---------------------------------------------------------------------------
+
+_HOT_SPANS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS span
+  FROM toks, UNNEST(generate_series(1, len(w) - 7)) t(i)
+  WHERE len(w) >= 8
+),
+agg AS (
+  SELECT span, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM g GROUP BY span HAVING COUNT(*) > 1
+)
+SELECT span, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM agg ORDER BY n_occurrences DESC, span ASC LIMIT 20
+"""
+
+
+@query("dedup-hot-spans", oracle=_HOT_SPANS_ORACLE)
+def dedup_hot_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dug_data_ingest_spark.ext.dedup import hot_spans
+
+    return hot_spans(load(spark, sf_dir, "documents"), k=8, top=20)
+
+
+# ---------------------------------------------------------------------------
 # Paragraph-granularity dedup (CCNet stage 1, Wenzek et al. 2020):
 # split each document on a separator, hash the CCNet-normalized form
 # of every paragraph, rebuild each document with corpus-wide

@@ -1240,6 +1240,22 @@ def test_pq_topk_reranked_rowlocal_adc_broadcast_rerank(queries, spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
+def test_hot_spans_bounded_agg_take_ordered(queries, spark):
+    # the boilerplate report: explode -> gram groupBy (two-phase
+    # because of the exact distinct-doc count: (span, doc) partial,
+    # then span) -> TakeOrderedAndProject. Never a global sort, never
+    # a driver materialization of the distinct-gram table.
+    df = queries["dedup-hot-spans"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("+- == Initial Plan ==")[0]
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_quality_classifier_scoring_row_local(queries, spark):
     # the NB classifier's scoring pass is the DSIR posture: two
     # bounded-collect class distributions happen at construction; the
