@@ -198,6 +198,7 @@ HEADLINE = [
     # the honest model-fit cost belongs in the headline
     "curate-quality-classifier",
     "dedup-hot-spans",
+    "dedup-bloom-probe",
     # dedup-semantic is correctness-gated but not benched: each run
     # retrains the k-means coarse quantizer (the one-time index-build
     # cost), which would dominate its timing — the sim-ivf-pq-topk

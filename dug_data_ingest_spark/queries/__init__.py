@@ -484,6 +484,7 @@ _EST_COST = {
     "sim-pq-topk-reranked": 22.7,
     "curate-quality-classifier": 22.8,
     "dedup-hot-spans": 22.9,
+    "dedup-bloom-probe": 23.0,
 }
 
 
