@@ -61,6 +61,23 @@ KNOWN = {
     # (ext/similarity.py::semantic_dedup alone) scans the corpus once
     # per k-means iteration plus once for the pair join.
     "dedup-semantic",
+    # r13: documents x3 = the composed CCNet arc inherits its stages'
+    # accepted anatomies — dedup-paragraph's build/probe double
+    # derivation (KNOWN above) plus the LM stage's bigram re-scan of
+    # the CLEANED stream (text-lm-score scans its input twice: counts
+    # rollup + scoring; the cleaned stream derives from documents, so
+    # every pass lands on the same base table). Materializing the
+    # scrubbed corpus to share it would cost a corpus-sized shuffle
+    # instead of pruned columnar re-scans.
+    "ccnet-curate",
+    # r13: embeddings x4 = the slug grades a whole index lifecycle in
+    # one query — PQ train (Lloyd-iteration scans, bounded by the
+    # localCheckpoint snapshot), encode, the exact-L2 rerank join of
+    # the 400-id shortlist, and the brute-force ground-truth pass the
+    # recall property needs (a self-audit scan, the dedup-semantic
+    # precedent). The production operator (pq_topk_reranked alone)
+    # scans raw vectors once per query.
+    "sim-pq-topk-reranked",
 }
 
 
