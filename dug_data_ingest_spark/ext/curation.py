@@ -176,52 +176,112 @@ def gate_documents(
     gopher_repetition_flags perf contract).
     """
     from dug_data_ingest_spark.functions.text import (
-        c4_clean,
-        gopher_quality_flags,
-        gopher_repetition_flags,
-        normalized_words,
+        SPARK_NORMALIZED_WORDS_SQL,
+        STRIPPED_LINES_SQL,
+        STRIPPED_PARAS_SQL,
+        WS_WORDS_SQL,
+        _gopher_quality_flag_exprs,
+        _gopher_repetition_flag_exprs,
+        c4_keep_line_sql,
+        null_safe_flags,
+        run_stats_raw_sql,
+        shingles_of_sql,
     )
 
     text = F.col(text_col)
 
     # every staging column gets the same suffix-until-free guard: an
-    # input that already carries __gate_q / __gate_r / __gate_c4 /
-    # __gate_words must come back with those columns intact, not
-    # silently overwritten and dropped
+    # input that already carries a __gate_* column must come back with
+    # it intact, not silently overwritten and dropped
     def _free(base: str) -> str:
         name = base
         while name in docs.columns:
             name += "_"
         return name
 
-    words_col = _free("__gate_words")
-    q_col, r_col, c4_col = _free("__gate_q"), _free("__gate_r"), _free("__gate_c4")
-    staged = (
-        docs.withColumn(words_col, normalized_words(text))
-        .withColumn(q_col, gopher_quality_flags(text))
-        .withColumn(r_col, gopher_repetition_flags(text, F.col(words_col)))
+    # Staging discipline (r13, guide §1.2 "per-task work"): every
+    # shared array/struct becomes a REAL column in its own projection
+    # so it is evaluated once per row. The previous single-struct form
+    # inlined each rule's copy of the shared subtrees into one
+    # interpreted Project — 30 word-splits, 44 array_sorts and 48
+    # aggregates PER ROW (plans/r13/curate-gate-documents_before.txt);
+    # Catalyst keeps the stages because CollapseProject refuses to
+    # inline a non-cheap alias referenced more than once.
+    words_col = _free("__gate_words")        # normalized words (shingles, stopwords)
+    ws_col = _free("__gate_ws")              # whitespace tokens (quality ratios)
+    lines_col = _free("__gate_lines")        # stripped lines (bullet/dup/C4 rules)
+    paras_col = _free("__gate_paras")        # stripped paragraphs
+    stat_cols = {k: _free(f"__gate_st{k}") for k in range(2, 11)}
+    stl_col, stp_col = _free("__gate_stl"), _free("__gate_stp")
+    c4n_col = _free("__gate_c4n")
+
+    # staged columns are built as SQL strings (one JVM parse each, the
+    # functions/text.py SQL-twin convention) and in THREE selectExpr
+    # stages rather than one withColumn per column: the py4j-built
+    # Column trees plus the per-withColumn re-analysis cost ~3 s of
+    # driver time per invocation on their own
+    tq = f"`{text_col}`"
+    stage1 = docs.selectExpr(
+        "*",
+        f"{SPARK_NORMALIZED_WORDS_SQL.format(t=tq)} AS `{words_col}`",
+        f"{WS_WORDS_SQL.format(t=tq)} AS `{ws_col}`",
+        f"{STRIPPED_LINES_SQL.format(t=tq)} AS `{lines_col}`",
+        f"{STRIPPED_PARAS_SQL.format(t=tq)} AS `{paras_col}`",
+    )
+    nonempty_lines = f"filter(`{lines_col}`, l -> l != '')"
+    stage2 = [
+        "*",
+        f"{run_stats_raw_sql(nonempty_lines)} AS `{stl_col}`",
+        f"{run_stats_raw_sql(f'`{paras_col}`')} AS `{stp_col}`",
+    ] + [
+        f"{run_stats_raw_sql(shingles_of_sql(f'`{words_col}`', k))} AS `{c}`"
+        for k, c in stat_cols.items()
+    ]
+    if use_c4_page_rule:
+        stage2.append(
+            f"size(filter(`{lines_col}`, s -> {c4_keep_line_sql('s')}))"
+            f" AS `{c4n_col}`"
+        )
+    staged = stage1.selectExpr(*stage2)
+
+    flags = null_safe_flags(
+        text,
+        _gopher_quality_flag_exprs(
+            text, F.col(ws_col), F.col(lines_col), F.col(words_col)
+        ),
     )
     reason = F.when(text.isNull(), F.lit("null_text"))
-    q_fields = [f.name for f in staged.schema[q_col].dataType.fields if f.name != "passes"]
-    for name in q_fields:
-        reason = reason.when(
-            ~F.col(q_col).getField(name), F.lit(f"gopher:{name}")
-        )
-    r_fields = [f.name for f in staged.schema[r_col].dataType.fields if f.name != "passes"]
-    for name in r_fields:
-        reason = reason.when(
-            ~F.col(r_col).getField(name), F.lit(f"gopher_rep:{name}")
-        )
+    for name, flag in flags.items():
+        reason = reason.when(~flag, F.lit(f"gopher:{name}"))
+    rep_flags = null_safe_flags(
+        text,
+        _gopher_repetition_flag_exprs(
+            F.col(stl_col),
+            F.col(stp_col),
+            {k: F.col(c) for k, c in stat_cols.items()},
+        ),
+    )
+    for name, flag in rep_flags.items():
+        reason = reason.when(~flag, F.lit(f"gopher_rep:{name}"))
     if use_c4_page_rule:
-        staged = staged.withColumn(c4_col, c4_clean(text))
-        reason = reason.when(
-            ~F.col(c4_col).getField("page_ok"), F.lit("c4:page")
+        # the C4 page rule over the staged kept-line count — same
+        # semantics as c4_clean(text).page_ok (the keep rule is the
+        # shared c4_keep_line, thresholds identical)
+        page_ok = (
+            ~F.lower(text).contains("lorem ipsum")
+            & ~text.contains("{")
+            & (F.col(c4n_col) >= 3)
         )
+        page_ok = F.when(text.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.coalesce(page_ok, F.lit(False))
+        )
+        reason = reason.when(~page_ok, F.lit("c4:page"))
     return staged.withColumn(
         reason_col, reason.otherwise(F.lit(None).cast("string"))
-    ).drop(words_col, q_col, r_col, *(
-        [c4_col] if use_c4_page_rule else []
-    ))
+    ).drop(
+        words_col, ws_col, lines_col, paras_col, stl_col, stp_col,
+        *stat_cols.values(), *([c4n_col] if use_c4_page_rule else []),
+    )
 
 
 def pack_sequences(
@@ -565,6 +625,7 @@ def dsir_log_weights(
     n_buckets: int = 4096,
     alpha: float = 1.0,
     weight_col: str = "dsir_log_weight",
+    materialize_ids: bool = True,
 ) -> DataFrame:
     """``raw`` plus a ``weight_col`` importance log-weight per row:
     sum over the document's hashed n-grams of
@@ -577,26 +638,61 @@ def dsir_log_weights(
     the same boundedness contract as stratified_exact_k's rollup —
     and the B log-ratios are shipped back as ONE broadcast row, so
     scoring is a row-local array fold: the raw corpus never shuffles.
-    Raw is scanned twice (distribution + scoring); at 100 TB fit the
-    raw side on ``hash_sample(raw, pct)`` — proportions are all the
-    estimator uses — and score the full corpus.
+    At 100 TB fit the raw side on ``hash_sample(raw, pct)`` —
+    proportions are all the estimator uses — and score the full
+    corpus.
 
     Deterministic: md5 buckets + a fixed left-to-right fold order
     (array order), so the weight replays bit-for-bit on reruns and
     repartitionings; model-pinned against a pure-Python walk in
     tests/test_dsir.py.
+
+    r13 execution shape (same math, same counts, same fold): the raw
+    side's hashed-gram arrays are materialized ONCE
+    (``localCheckpoint``) and shared by the fit and the scoring fold,
+    and BOTH bucket distributions are counted in a single union job
+    (side-tagged groupBy, bounded by 2*n_buckets rows) — the old form
+    tokenized+md5-hashed raw twice (fit job + scoring plan) and ran
+    two sequential fit jobs. Set ``materialize_ids=False`` to keep
+    the stateless two-scan form (at 100 TB, prefer fitting on a
+    ``hash_sample`` slice per the contract above; the checkpoint
+    trades executor memory/disk for the repeated tokenize).
     """
     import math
 
-    def _probs(df: DataFrame) -> list[float]:
-        rows = bucket_distribution(df, text_col, n_buckets).collect()
+    ids = hashed_ngram_ids(normalized_words(F.col(text_col)), n_buckets)
+    ids_col = "__dsir_ids"
+    while ids_col in raw.columns:
+        ids_col += "_"
+    raw_ids = raw.withColumn(ids_col, ids)
+    if materialize_ids:
+        raw_ids = raw_ids.localCheckpoint()
+
+    # one fit job for both sides: explode the (checkpointed) raw ids
+    # and the target's inline ids, tag, and count (bucket, side) groups
+    dist_rows = (
+        raw_ids.select(
+            F.explode(ids_col).alias("bucket"), F.lit(0).alias("side")
+        )
+        .unionAll(
+            target.select(
+                F.explode(ids).alias("bucket"), F.lit(1).alias("side")
+            )
+        )
+        .groupBy("bucket", "side")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded by 2 * n_buckets rows, never corpus size
+    )
+
+    def _logprobs(side: int) -> list[float]:
         counts = [0] * n_buckets
-        for r in rows:
-            counts[r["bucket"]] = r["cnt"]
+        for r in dist_rows:
+            if r["side"] == side:
+                counts[r["bucket"]] = r["cnt"]
         total = sum(counts) + alpha * n_buckets
         return [math.log((c + alpha) / total) for c in counts]
 
-    lp_t, lp_r = _probs(target), _probs(raw)
+    lp_t, lp_r = _logprobs(1), _logprobs(0)
     ratios = [lp_t[i] - lp_r[i] for i in range(n_buckets)]
     spark = raw.sparkSession
     ratio_row = spark.createDataFrame(
@@ -604,18 +700,17 @@ def dsir_log_weights(
             T.StructField("__dsir_ratios", T.ArrayType(T.DoubleType()))
         ])
     )
-    ids = hashed_ngram_ids(normalized_words(F.col(text_col)), n_buckets)
     scored = (
-        raw.crossJoin(F.broadcast(ratio_row))  # 1-row scalar broadcast
+        raw_ids.crossJoin(F.broadcast(ratio_row))  # 1-row scalar broadcast
         .withColumn(
             weight_col,
             F.aggregate(
-                ids,
+                F.col(ids_col),
                 F.lit(0.0),
                 lambda acc, i: acc + F.element_at("__dsir_ratios", i + 1),
             ),
         )
-        .drop("__dsir_ratios")
+        .drop("__dsir_ratios", ids_col)
     )
     return scored
 
@@ -706,7 +801,17 @@ def nb_quality_log_odds(
     """
     import math
 
-    n_p, n_n = pos.count(), neg.count()
+    # one job for both class sizes (r13: two .count() actions each
+    # re-ran the classes' shared upstream plan)
+    size_rows = (
+        pos.select(F.lit(0).alias("side"))
+        .unionAll(neg.select(F.lit(1).alias("side")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes = {r["side"]: r["n"] for r in size_rows}
+    n_p, n_n = sizes.get(0, 0), sizes.get(1, 0)
     if n_p == 0 or n_n == 0:
         raise ValueError(
             "nb_quality_log_odds: both classes need >= 1 training doc "
@@ -714,15 +819,30 @@ def nb_quality_log_odds(
             "prior infinite"
         )
 
-    def _logprobs(df: DataFrame) -> list[float]:
-        rows = bucket_distribution(df, text_col, n_buckets).collect()
+    # one fit job for both class distributions (r13: was two
+    # sequential bucket_distribution jobs, each re-tokenizing)
+    ids_fit = hashed_ngram_ids(normalized_words(F.col(text_col)), n_buckets)
+    dist_rows = (
+        pos.select(F.explode(ids_fit).alias("bucket"), F.lit(0).alias("side"))
+        .unionAll(
+            neg.select(
+                F.explode(ids_fit).alias("bucket"), F.lit(1).alias("side")
+            )
+        )
+        .groupBy("bucket", "side")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded by 2 * n_buckets rows, never corpus size
+    )
+
+    def _logprobs(side: int) -> list[float]:
         counts = [0] * n_buckets
-        for r in rows:
-            counts[r["bucket"]] = r["cnt"]
+        for r in dist_rows:
+            if r["side"] == side:
+                counts[r["bucket"]] = r["cnt"]
         total = sum(counts) + alpha * n_buckets
         return [math.log((c + alpha) / total) for c in counts]
 
-    lp_p, lp_n = _logprobs(pos), _logprobs(neg)
+    lp_p, lp_n = _logprobs(0), _logprobs(1)
     ratios = [lp_p[i] - lp_n[i] for i in range(n_buckets)]
     prior = math.log(n_p / n_n)
     ratio_col = "__nb_ratios"
@@ -959,7 +1079,18 @@ def ccnet_curate(
         )
         .withColumn("lang", detect_lang(F.col(text_col)))
     )
-    scores = corpus_lm_scores(alive, text_col=text_col, id_col=id_col)
+    # materialize the two fan-out points (every stage is deterministic,
+    # so this changes no values — r13, guide §5 "caching is worth it
+    # when a DataFrame is reused and recomputation is expensive"):
+    # `alive` feeds the LM pipeline AND the bucket assignment (without
+    # the snapshot the paragraph-dedup count-then-join re-executes per
+    # reference), and the narrow per-doc `scores` table feeds both the
+    # cuts rollup and the assignment join (without it the whole LM
+    # head build re-runs twice inside perplexity_buckets).
+    alive = alive.localCheckpoint()
+    scores = corpus_lm_scores(
+        alive, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
     scored = alive.join(scores, id_col, "left")
     return perplexity_buckets(
         scored,

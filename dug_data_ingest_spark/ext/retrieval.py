@@ -69,10 +69,11 @@ def bm25_scores(
     partitioning), and k1+1 / 1-b are pre-combined the same way the
     oracle combines them, so both engines execute identical IEEE ops.
 
-    Scale shape: one aggregate pass for (N, df per term, avgdl) —
-    map-side combined, |terms|+2 columns, 1 broadcast row — then one
-    scoring projection. The corpus is scanned twice and never
-    shuffled; at 100 TB both scans prune to (id, text).
+    Scale shape: ONE tokenizing pass materializes the narrow
+    (id, dl, tf...) table (ints only — the guide §8 small-rows
+    posture); the (N, df per term, avgdl) aggregate and the scoring
+    projection both read that snapshot, so the corpus text is scanned
+    once and never shuffled.
     """
     if not query_terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
@@ -95,7 +96,14 @@ def bm25_scores(
         F.size(F.filter(words, _matches(t))).alias(f"__tf{i}")
         for i, t in enumerate(query_terms)
     ]
-    staged = worded.select(F.col(id_col), F.size(words).alias("__dl"), *tf_cols)
+    # materialize the NARROW (id, dl, tf...) table once (r13, guide §8
+    # "decide with small rows"): it feeds the stats aggregate AND the
+    # scoring projection, which otherwise each re-tokenize the corpus
+    # (the docstring's old two-scan shape); the snapshot is ints only,
+    # never the text
+    staged = worded.select(
+        F.col(id_col), F.size(words).alias("__dl"), *tf_cols
+    ).localCheckpoint()
     stats = staged.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("__dl").alias("__avgdl"),

@@ -100,6 +100,92 @@ def quality_score(text: Column) -> Column:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _stripped_lines(text: Column) -> Column:
+    """``split('\\n')`` with each line fully whitespace-stripped
+    (trim() stops at spaces; tabs would hide a bullet from the rule).
+    Shared staging array for the quality bullet/ellipsis line rules,
+    the repetition line/paragraph stats and the C4 line gate — project
+    it ONCE per row and pass the attribute in (see gate_documents)."""
+    return F.transform(
+        F.split(text, r"\n"), lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")
+    )
+
+
+def _gopher_quality_flag_exprs(
+    text: Column,
+    words: Column,
+    lines_stripped: Column,
+    norm_words: Column,
+) -> dict[str, Column]:
+    """The 8 Gopher quality rules as an ordered name -> raw-boolean
+    dict, built over PREPARED inputs so a caller that stages
+    ``words`` / ``lines_stripped`` / ``norm_words`` as real columns
+    evaluates each shared array exactly once per row (r13: the inline
+    form re-evaluated the word split ~30x/row in the gate's
+    interpreted projection). ``words`` must be the empty-filtered
+    whitespace split of ``text``; ``lines_stripped`` the
+    ``_stripped_lines`` array; ``norm_words`` ``normalized_words``.
+    Raw flags: NULL propagates (callers null-coalesce per the
+    documented convention)."""
+    n_words = F.size(words)
+    nw_d = n_words.cast("double")
+    safe_nw = F.when(n_words > 0, nw_d)  # NULL when 0: ratios go NULL->fail
+
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
+    mean_len = total_chars / safe_nw
+
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    hash_ratio = n_hash.cast("double") / safe_nw
+    ellipsis_ratio = n_ellipsis.cast("double") / safe_nw
+
+    n_lines = F.size(lines_stripped).cast("double")
+    bullet = lambda l: (  # noqa: E731
+        l.startswith("-") | l.startswith("*") | l.startswith("•")
+    )
+    n_bullet = F.size(F.filter(lines_stripped, bullet))
+    n_ell_end = F.size(
+        F.filter(
+            lines_stripped, lambda l: l.endswith("...") | l.endswith("…")
+        )
+    )
+
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(norm_words),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+
+    return {
+        "n_words_ok": (n_words >= 50) & (n_words <= 100_000),
+        "mean_word_len_ok": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "hash_ratio_ok": hash_ratio <= 0.1,
+        "ellipsis_ratio_ok": ellipsis_ratio <= 0.1,
+        "bullet_lines_ok": (n_bullet / n_lines) <= 0.9,
+        "ellipsis_lines_ok": (n_ell_end / n_lines) <= 0.3,
+        "alpha_words_ok": (n_alpha / safe_nw) >= 0.8,
+        "stopwords_ok": stop_hits >= 2,
+    }
+
+
+def null_safe_flags(text: Column, flags: dict[str, Column]) -> dict[str, Column]:
+    """The documented NULL convention applied to a raw flag dict:
+    NULL text -> NULL flag; any other NULL (0-word ratios) -> FALSE
+    (fail closed)."""
+    return {
+        k: F.when(text.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.coalesce(v, F.lit(False))
+        )
+        for k, v in flags.items()
+    }
+
+
 def gopher_quality_flags(text: Column) -> Column:
     """The Gopher / MassiveWeb document-quality rules (Rae et al.
     2021, arXiv:2112.11446 §A1.1) as ONE struct column of per-rule
@@ -133,73 +219,12 @@ def gopher_quality_flags(text: Column) -> Column:
     # spaces, not \n/\t, so a whitespace-only document would otherwise
     # count phantom words and sail past the ratio rules
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
-    n_words = F.size(words)
-    nw_d = n_words.cast("double")
-    safe_nw = F.when(n_words > 0, nw_d)  # NULL when 0: ratios go NULL->fail
-
-    total_chars = F.aggregate(
-        words, F.lit(0), lambda acc, w: acc + F.length(w)
-    ).cast("double")
-    mean_len = total_chars / safe_nw
-
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
-    ) / 3
-    hash_ratio = n_hash.cast("double") / safe_nw
-    ellipsis_ratio = n_ellipsis.cast("double") / safe_nw
-
-    lines = F.split(text, r"\n")
-    n_lines = F.size(lines).cast("double")
-    # full whitespace strip (trim() stops at spaces; tabs would hide
-    # a bullet from the rule)
-    stripped = lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")  # noqa: E731
-    bullet = lambda l: (  # noqa: E731
-        l.startswith("-") | l.startswith("*") | l.startswith("•")
+    flags = _gopher_quality_flag_exprs(
+        text, words, _stripped_lines(text), normalized_words(text)
     )
-    n_bullet = F.size(F.filter(lines, lambda l: bullet(stripped(l))))
-    n_ell_end = F.size(
-        F.filter(
-            lines,
-            lambda l: stripped(l).endswith("...") | stripped(l).endswith("…"),
-        )
-    )
-
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(normalized_words(text)),
-            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-        )
-    )
-
-    n_words_ok = (n_words >= 50) & (n_words <= 100_000)
-    mean_word_len_ok = (mean_len >= 3.0) & (mean_len <= 10.0)
-    hash_ratio_ok = hash_ratio <= 0.1
-    ellipsis_ratio_ok = ellipsis_ratio <= 0.1
-    bullet_lines_ok = (n_bullet / n_lines) <= 0.9
-    ellipsis_lines_ok = (n_ell_end / n_lines) <= 0.3
-    alpha_words_ok = (n_alpha / safe_nw) >= 0.8
-    stopwords_ok = stop_hits >= 2
-
-    flags = {
-        "n_words_ok": n_words_ok,
-        "mean_word_len_ok": mean_word_len_ok,
-        "hash_ratio_ok": hash_ratio_ok,
-        "ellipsis_ratio_ok": ellipsis_ratio_ok,
-        "bullet_lines_ok": bullet_lines_ok,
-        "ellipsis_lines_ok": ellipsis_lines_ok,
-        "alpha_words_ok": alpha_words_ok,
-        "stopwords_ok": stopwords_ok,
-    }
     # coalesce each ratio-rule to FALSE for 0-word docs (NULL ratio)
     # so `passes` stays a real boolean wherever text is non-NULL
-    safe_flags = {
-        k: F.when(text.isNull(), F.lit(None).cast("boolean")).otherwise(
-            F.coalesce(v, F.lit(False))
-        )
-        for k, v in flags.items()
-    }
+    safe_flags = null_safe_flags(text, flags)
     passes = safe_flags["n_words_ok"]
     for k in list(safe_flags)[1:]:
         passes = passes & safe_flags[k]
@@ -208,14 +233,13 @@ def gopher_quality_flags(text: Column) -> Column:
     )
 
 
-def _run_stats(arr: Column) -> Column:
-    """Duplicate/top statistics of a string array in ONE row-local
-    O(n log n) pass: ``struct(n, dup_n, total_chars, dup_chars,
-    top_chars)`` where dup_* counts occurrences BEYOND THE FIRST of
-    each distinct value and top_chars is occurrences×length of the
-    most-repeated value. array_sort puts equal values adjacent, then
-    a struct-accumulator aggregate walks the runs — no explode, no
-    shuffle, JVM-side."""
+def _run_stats_raw(arr: Column) -> Column:
+    """``_run_stats``'s accumulator struct as ONE aggregate expression
+    — fields ``(prev, run_chars, n, dup_n, total, dup, top)``. Stage
+    THIS as a column and read fields off the attribute: the renamed
+    ``_run_stats`` wrapper embeds one copy of the whole aggregate per
+    extracted field (5 array_sort+aggregate copies per call — the r13
+    gate plan regression), so hot paths use the raw form."""
     s = F.array_sort(arr)
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
@@ -241,7 +265,20 @@ def _run_stats(arr: Column) -> Column:
             F.greatest(acc.top, run_chars).alias("top"),
         )
 
-    st = F.aggregate(s, init, step)
+    return F.aggregate(s, init, step)
+
+
+def _run_stats(arr: Column) -> Column:
+    """Duplicate/top statistics of a string array in ONE row-local
+    O(n log n) pass: ``struct(n, dup_n, total_chars, dup_chars,
+    top_chars)`` where dup_* counts occurrences BEYOND THE FIRST of
+    each distinct value and top_chars is occurrences×length of the
+    most-repeated value. array_sort puts equal values adjacent, then
+    a struct-accumulator aggregate walks the runs — no explode, no
+    shuffle, JVM-side. NOTE each extracted field embeds its own copy
+    of the aggregate; in hot paths stage ``_run_stats_raw`` as a
+    column instead and read fields off the attribute."""
+    st = _run_stats_raw(arr)
     return F.struct(
         st.n.alias("n"),
         st.dup_n.alias("dup_n"),
@@ -257,6 +294,51 @@ _GOPHER_DUP_NGRAM = [
     ("dup5gram_ok", 5, 0.15), ("dup6gram_ok", 6, 0.14), ("dup7gram_ok", 7, 0.13),
     ("dup8gram_ok", 8, 0.12), ("dup9gram_ok", 9, 0.11), ("dup10gram_ok", 10, 0.10),
 ]
+
+
+def _gopher_repetition_flag_exprs(
+    line_stats: Column,
+    para_stats: Column,
+    ngram_stats: dict[int, Column],
+) -> dict[str, Column]:
+    """The 13 Gopher repetition rules as an ordered name -> raw-boolean
+    dict over PREPARED ``_run_stats_raw`` structs (line stats,
+    paragraph stats, and one per n-gram width 2..10 — RAW accumulator
+    field names: total/dup/top, not total_chars/...). When the stats
+    are staged attribute columns each O(n log n) array walk runs
+    exactly once per row; the old inline form re-evaluated every
+    struct ~4x per row (r13 gate plan: 44 array_sort copies). Raw
+    flags: NULL propagates."""
+
+    def frac_flags(stats: Column, frac_name: str, char_name: str) -> dict:
+        n_d = stats.getField("n").cast("double")
+        tot_d = stats.getField("total").cast("double")
+        safe_n = F.when(stats.getField("n") > 0, n_d)
+        safe_tot = F.when(stats.getField("total") > 0, tot_d)
+        return {
+            frac_name: (stats.getField("dup_n") / safe_n) <= 0.30,
+            char_name: (stats.getField("dup") / safe_tot) <= 0.20,
+        }
+
+    flags: dict[str, Column] = {}
+    flags.update(frac_flags(line_stats, "dup_line_frac_ok", "dup_line_char_frac_ok"))
+    flags.update(frac_flags(para_stats, "dup_para_frac_ok", "dup_para_char_frac_ok"))
+    # a doc too short to form any n-gram has nothing to repeat: the
+    # n-gram rules pass vacuously (published implementations agree),
+    # unlike the fail-closed empty-doc line rules
+    for name, k, thr in _GOPHER_TOP_NGRAM:
+        st = ngram_stats[k]
+        tot = F.when(st.getField("total") > 0, st.getField("total").cast("double"))
+        flags[name] = F.when(st.getField("n") == 0, F.lit(True)).otherwise(
+            (st.getField("top") / tot) <= thr
+        )
+    for name, k, thr in _GOPHER_DUP_NGRAM:
+        st = ngram_stats[k]
+        tot = F.when(st.getField("total") > 0, st.getField("total").cast("double"))
+        flags[name] = F.when(st.getField("n") == 0, F.lit(True)).otherwise(
+            (st.getField("dup") / tot) <= thr
+        )
+    return flags
 
 
 def gopher_repetition_flags(text: Column, words: Column | None = None) -> Column:
@@ -297,10 +379,7 @@ def gopher_repetition_flags(text: Column, words: Column | None = None) -> Column
     The default (``words=None``) derives it inline — correct, just
     slower on long documents.
     """
-    lines = F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")),
-        lambda l: l != "",
-    )
+    lines = F.filter(_stripped_lines(text), lambda l: l != "")
     paras = F.filter(
         F.transform(F.split(text, r"\n{2,}"), lambda p: F.regexp_replace(p, r"^\s+|\s+$", "")),
         lambda p: p != "",
@@ -308,47 +387,112 @@ def gopher_repetition_flags(text: Column, words: Column | None = None) -> Column
     if words is None:
         words = normalized_words(text)
 
-    def frac_flags(stats: Column, frac_name: str, char_name: str) -> dict:
-        n_d = stats.getField("n").cast("double")
-        tot_d = stats.getField("total_chars").cast("double")
-        safe_n = F.when(stats.getField("n") > 0, n_d)
-        safe_tot = F.when(stats.getField("total_chars") > 0, tot_d)
-        return {
-            frac_name: (stats.getField("dup_n") / safe_n) <= 0.30,
-            char_name: (stats.getField("dup_chars") / safe_tot) <= 0.20,
-        }
-
-    flags: dict[str, Column] = {}
-    flags.update(frac_flags(_run_stats(lines), "dup_line_frac_ok", "dup_line_char_frac_ok"))
-    flags.update(frac_flags(_run_stats(paras), "dup_para_frac_ok", "dup_para_char_frac_ok"))
-    # a doc too short to form any n-gram has nothing to repeat: the
-    # n-gram rules pass vacuously (published implementations agree),
-    # unlike the fail-closed empty-doc line rules
-    for name, k, thr in _GOPHER_TOP_NGRAM:
-        st = _run_stats(shingles_of(words, k))
-        tot = F.when(st.getField("total_chars") > 0, st.getField("total_chars").cast("double"))
-        flags[name] = F.when(st.getField("n") == 0, F.lit(True)).otherwise(
-            (st.getField("top_chars") / tot) <= thr
-        )
-    for name, k, thr in _GOPHER_DUP_NGRAM:
-        st = _run_stats(shingles_of(words, k))
-        tot = F.when(st.getField("total_chars") > 0, st.getField("total_chars").cast("double"))
-        flags[name] = F.when(st.getField("n") == 0, F.lit(True)).otherwise(
-            (st.getField("dup_chars") / tot) <= thr
-        )
-
-    safe_flags = {
-        k: F.when(text.isNull(), F.lit(None).cast("boolean")).otherwise(
-            F.coalesce(v, F.lit(False))
-        )
-        for k, v in flags.items()
-    }
+    flags = _gopher_repetition_flag_exprs(
+        _run_stats_raw(lines),
+        _run_stats_raw(paras),
+        {k: _run_stats_raw(shingles_of(words, k)) for k in range(2, 11)},
+    )
+    safe_flags = null_safe_flags(text, flags)
     passes = None
     for v in safe_flags.values():
         passes = v if passes is None else (passes & v)
     return F.struct(
         *[v.alias(k) for k, v in safe_flags.items()], passes.alias("passes")
     )
+
+
+# --- Spark-SQL twins of the staging expressions above (r13) ---------------
+# Building deep higher-order-function Column trees through py4j costs
+# ~0.25 ms per API call (the gate's 11 _run_stats_raw builds alone
+# were ~2 s of driver time per invocation); each SQL string below
+# parses in ONE JVM call into the SAME analyzed expression as its
+# Column twin (value-pinned by the gate oracle + the gopher model
+# pins). Change a twin pair TOGETHER — the NORMALIZED_WORDS_SQL rule.
+
+# whitespace tokens, empty-filtered (gopher_quality_flags' words)
+WS_WORDS_SQL = "filter(split({t}, '\\\\s+'), w -> w != '')"
+
+# _stripped_lines
+STRIPPED_LINES_SQL = (
+    "transform(split({t}, '\\\\n'), l -> regexp_replace(l, '^\\\\s+|\\\\s+$', ''))"
+)
+
+# gopher_repetition_flags' paragraphs
+STRIPPED_PARAS_SQL = (
+    "filter(transform(split({t}, '\\\\n{{2,}}'),"
+    " p -> regexp_replace(p, '^\\\\s+|\\\\s+$', '')), p -> p != '')"
+)
+
+# normalized_words over an arbitrary column expression (the module's
+# NORMALIZED_WORDS_SQL is the DuckDB twin pinned to the literal
+# ``text`` column; this is the Spark-SQL form)
+SPARK_NORMALIZED_WORDS_SQL = (
+    "split(trim(regexp_replace(lower({t}), '[^a-z0-9 ]', '')), ' +')"
+)
+
+
+def run_stats_raw_sql(arr_sql: str) -> str:
+    """``_run_stats_raw`` as a Spark-SQL fragment over ``arr_sql``."""
+    zero = "CAST(0 AS BIGINT)"
+    return (
+        f"aggregate(array_sort({arr_sql}), "
+        f"named_struct('prev', CAST(NULL AS STRING), 'run_chars', {zero}, "
+        f"'n', {zero}, 'dup_n', {zero}, 'total', {zero}, 'dup', {zero}, "
+        f"'top', {zero}), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run_chars', CASE WHEN acc.prev <=> x "
+        "THEN acc.run_chars + CAST(length(x) AS BIGINT) "
+        "ELSE CAST(length(x) AS BIGINT) END, "
+        "'n', acc.n + 1, "
+        "'dup_n', CASE WHEN acc.prev <=> x THEN acc.dup_n + 1 ELSE acc.dup_n END, "
+        "'total', acc.total + CAST(length(x) AS BIGINT), "
+        "'dup', CASE WHEN acc.prev <=> x "
+        "THEN acc.dup + CAST(length(x) AS BIGINT) ELSE acc.dup END, "
+        "'top', greatest(acc.top, CASE WHEN acc.prev <=> x "
+        "THEN acc.run_chars + CAST(length(x) AS BIGINT) "
+        "ELSE CAST(length(x) AS BIGINT) END)))"
+    )
+
+
+def shingles_of_sql(words_sql: str, k: int) -> str:
+    """``shingles_of`` as a Spark-SQL fragment over ``words_sql``."""
+    return (
+        f"CASE WHEN size({words_sql}) >= {k} "
+        f"THEN transform(sequence(1, size({words_sql}) - {k - 1}), "
+        f"i -> array_join(slice({words_sql}, i, {k}), ' ')) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def c4_keep_line_sql(s_sql: str, min_line_words: int = 5) -> str:
+    """``c4_keep_line`` as a Spark-SQL fragment over a pre-stripped
+    line expression."""
+    return (
+        f"((endswith({s_sql}, '.') OR endswith({s_sql}, '!') "
+        f"OR endswith({s_sql}, '?') OR endswith({s_sql}, '\"')) "
+        f"AND size(filter(split({s_sql}, '\\\\s+'), w -> w != '')) "
+        f">= {min_line_words} "
+        f"AND NOT contains(lower({s_sql}), 'javascript'))"
+    )
+
+
+def c4_keep_line(s: Column, min_line_words: int = 5) -> Column:
+    """The C4 per-line keep rule over a PRE-STRIPPED line: terminal
+    punctuation, >= ``min_line_words`` words, no "javascript".
+    Running the rules on the stripped form (one regexp strip per line,
+    done by the caller's ``_stripped_lines``) is equivalent to the
+    strip-inside-each-rule form and evaluates the strip once — the
+    r13 staging fix shared by ``c4_clean`` and ``gate_documents``."""
+    terminal = (
+        s.endswith(".") | s.endswith("!") | s.endswith("?") | s.endswith('"')
+    )
+    enough_words = (
+        F.size(F.filter(F.split(s, r"\s+"), lambda w: w != ""))
+        >= min_line_words
+    )
+    no_js = ~F.lower(s).contains("javascript")
+    return terminal & enough_words & no_js
 
 
 def c4_clean(text: Column, min_line_words: int = 5, min_sentences: int = 3) -> Column:
@@ -376,23 +520,10 @@ def c4_clean(text: Column, min_line_words: int = 5, min_sentences: int = 3) -> C
     Model-pinned against a pure-Python walk in
     tests/test_gopher_rules.py.
     """
-    strip = lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")  # noqa: E731
-
-    def keep(line: Column) -> Column:
-        s = strip(line)
-        terminal = (
-            s.endswith(".") | s.endswith("!") | s.endswith("?") | s.endswith('"')
-        )
-        enough_words = (
-            F.size(F.filter(F.split(s, r"\s+"), lambda w: w != ""))
-            >= min_line_words
-        )
-        no_js = ~F.lower(s).contains("javascript")
-        return terminal & enough_words & no_js
-
-    kept = F.filter(F.split(text, r"\n"), keep)
-    kept_stripped = F.transform(kept, strip)
-    n_kept = F.size(kept)
+    kept_stripped = F.filter(
+        _stripped_lines(text), lambda s: c4_keep_line(s, min_line_words)
+    )
+    n_kept = F.size(kept_stripped)
     page_ok = (
         ~F.lower(text).contains("lorem ipsum")
         & ~text.contains("{")

@@ -1363,9 +1363,14 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dug_data_ingest_spark.functions.text import quality_score
 
     docs = load(spark, sf_dir, "documents")
+    # materialize the narrow (id, lang, quality) projection ONCE: the
+    # quality expression (5 regex passes/doc) feeds both the cuts
+    # rollup and the assignment join, which otherwise each recompute
+    # it (r13; the guide §8 "decide with small rows" shape — the
+    # snapshot is 3 scalar columns, never the text)
     scored = docs.select(
         "doc_id", "lang", quality_score(F.col("text")).alias("quality")
-    )
+    ).localCheckpoint()
     return perplexity_buckets(
         scored, score_col="quality", group_col="lang", ascending=False
     ).select("doc_id", "lang", "quality", "ppl_bucket")
@@ -1625,13 +1630,16 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dug_data_ingest_spark.functions.text import quality_score
 
     docs = load(spark, sf_dir, "documents")
+    # materialize (id, text, quality) ONCE: the quality expression
+    # feeds the GK cuts rollup AND (via the head/tail filters) both
+    # NB fit jobs, which otherwise each recompute the 5-regex score
+    # per doc (r13; determinism makes this a pure execution change —
+    # md5 buckets, exact-regime GK cuts, integer counts)
     scored = docs.select(
         "doc_id", "text", quality_score(F.col("text")).alias("quality")
-    )
+    ).localCheckpoint()
     # global head/middle/tail thirds (one stratum — the seed-label
-    # pass); every stage below is deterministic (md5 buckets,
-    # exact-regime GK cuts, integer counts), so no snapshot
-    # materialization is needed across the pos/neg branches
+    # pass)
     buckets = perplexity_buckets(
         scored,
         score_col="quality",
