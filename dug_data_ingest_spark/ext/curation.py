@@ -567,6 +567,17 @@ def vocab_topk(
 # ---------------------------------------------------------------------------
 
 
+def _double_array_lit(values: list) -> Column:
+    """A list of Python floats as ONE constant-folded Spark array
+    literal (parsed from SQL in a single JVM call — 4096 F.lit()
+    elements would cost 4096+ py4j round trips, and a broadcast-row
+    crossJoin would copy the array onto every row). The ``D`` suffix
+    forces DoubleType (a bare decimal literal parses as DECIMAL);
+    ``repr`` emits the shortest exact round-trip decimal, which
+    ``Double.parseDouble`` maps back to the identical bits."""
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in values) + ")")
+
+
 def hashed_ngram_ids(
     words: Column, n_buckets: int = 4096
 ) -> Column:
@@ -694,24 +705,21 @@ def dsir_log_weights(
 
     lp_t, lp_r = _logprobs(1), _logprobs(0)
     ratios = [lp_t[i] - lp_r[i] for i in range(n_buckets)]
-    spark = raw.sparkSession
-    ratio_row = spark.createDataFrame(
-        [(ratios,)], T.StructType([
-            T.StructField("__dsir_ratios", T.ArrayType(T.DoubleType()))
-        ])
-    )
-    scored = (
-        raw_ids.crossJoin(F.broadcast(ratio_row))  # 1-row scalar broadcast
-        .withColumn(
-            weight_col,
-            F.aggregate(
-                F.col(ids_col),
-                F.lit(0.0),
-                lambda acc, i: acc + F.element_at("__dsir_ratios", i + 1),
-            ),
-        )
-        .drop("__dsir_ratios", ids_col)
-    )
+    # the B log-ratios ride as a CONSTANT-FOLDED literal array — the
+    # old 1-row broadcast crossJoin attached (copied) the 32 KB array
+    # onto every corpus row before the fold could index it, and that
+    # copy dominated the scoring stage (r13 phase profile: 2.8 s of a
+    # 3.4 s execute). repr() round-trips every IEEE double exactly, so
+    # the scored values are bit-identical to the broadcast form.
+    ratios_lit = _double_array_lit(ratios)
+    scored = raw_ids.withColumn(
+        weight_col,
+        F.aggregate(
+            F.col(ids_col),
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(ratios_lit, i + 1),
+        ),
+    ).drop(ids_col)
     return scored
 
 
@@ -845,31 +853,20 @@ def nb_quality_log_odds(
     lp_p, lp_n = _logprobs(0), _logprobs(1)
     ratios = [lp_p[i] - lp_n[i] for i in range(n_buckets)]
     prior = math.log(n_p / n_n)
-    ratio_col = "__nb_ratios"
-    while ratio_col in docs.columns:
-        ratio_col += "_"
     if out_col in docs.columns:
         raise ValueError(f"docs already has a {out_col!r} column")
-    spark = docs.sparkSession
-    ratio_row = spark.createDataFrame(
-        [(ratios,)],
-        T.StructType(
-            [T.StructField(ratio_col, T.ArrayType(T.DoubleType()))]
-        ),
-    )
+    # constant-folded literal ratios — see dsir_log_weights (the
+    # broadcast-row crossJoin copied the array onto every scored row)
+    ratios_lit = _double_array_lit(ratios)
     ids = hashed_ngram_ids(normalized_words(F.col(text_col)), n_buckets)
-    return (
-        docs.crossJoin(F.broadcast(ratio_row))  # 1-row scalar broadcast
-        .withColumn(
-            out_col,
-            F.lit(prior)
-            + F.aggregate(
-                ids,
-                F.lit(0.0),
-                lambda acc, i: acc + F.element_at(ratio_col, i + 1),
-            ),
-        )
-        .drop(ratio_col)
+    return docs.withColumn(
+        out_col,
+        F.lit(prior)
+        + F.aggregate(
+            ids,
+            F.lit(0.0),
+            lambda acc, i: acc + F.element_at(ratios_lit, i + 1),
+        ),
     )
 
 

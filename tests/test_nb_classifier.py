@@ -117,12 +117,13 @@ def test_out_col_collision_raises(spark):
 
 
 def test_scoring_is_row_local(spark):
-    # the scored corpus must never shuffle: the only join is the 1-row
-    # ratio broadcast (BroadcastNestedLoopJoin idiom), no hash
-    # exchange, no Python
+    # the scored corpus must never shuffle: since r13 the ratios ride
+    # as a constant-folded literal array (the old 1-row broadcast
+    # crossJoin copied the array onto every row), so the scoring plan
+    # has NO join of any kind, no hash exchange, no Python
     docs, pos, neg = _frames(spark)
     out = nb_quality_log_odds(docs, pos, neg, n_buckets=B)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert "EvalPython" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "Join" not in plan, plan
