@@ -79,3 +79,20 @@ def test_ccnet_output_schema(spark):
         "doc_id", "text", "n_paras", "n_dropped", "lang",
         "n_bigrams", "avg_logprob", "ppl_bucket",
     ]
+
+
+def test_lm_head_take_ordered(spark):
+    # the LM frequency head inside corpus_lm_scores is a
+    # TakeOrderedAndProject (per-partition heaps, k-row driver merge),
+    # never a range-partitioned global sort — pinned here because
+    # ccnet_curate's returned plan hides it behind the r13
+    # localCheckpoint of the scored table
+    from dug_data_ingest_spark.ext.curation import corpus_lm_scores
+
+    docs = spark.createDataFrame(ROWS, "doc_id int, text string").where(
+        "text is not null"
+    )
+    out = corpus_lm_scores(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan

@@ -1088,16 +1088,19 @@ def test_perplexity_buckets_cuts_broadcast_no_corpus_sort(queries, spark):
 
 
 def test_dsir_weights_scoring_is_row_local(queries, spark):
-    # the returned plan is the SCORING pass: one pruned corpus scan,
-    # the 4096-ratio row broadcast, a row-local array fold — zero
-    # hash exchanges, no Python (the two bucket distributions are
-    # 4096-bounded driver collects at construction, by contract).
+    # the returned plan is the SCORING pass: since r13 the hashed-gram
+    # ids are materialized once (localCheckpoint -> Scan ExistingRDD)
+    # and the 4096 log-ratios ride as a constant-folded literal array,
+    # so scoring is ONE row-local fold — no exchange of ANY kind, no
+    # join, no Python (the two bucket distributions are 4096-bounded
+    # driver collects at construction, by contract).
     df = queries["curate-dsir-weights"](spark, SF_DIR)
     df.collect()
     plan = _plan(df).split("+- == Initial Plan ==")[0]
-    assert plan.count("FileScan") == 1, plan
-    assert plan.count("Exchange hashpartitioning") == 0, plan
-    assert plan.count("BroadcastExchange") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "FileScan" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
 
 
@@ -1105,11 +1108,15 @@ def test_bm25_topk_is_stats_row_plus_take_ordered(queries, spark):
     # one aggregate pass -> 1-row stats broadcast; tf is a row-local
     # array count (the corpus never explodes on tokens, never hash-
     # shuffles); top-k plans as TakeOrderedAndProject, not a global
-    # sort. The only SinglePartition is the 1-row stats agg.
+    # sort. The only SinglePartition is the 1-row stats agg. Since
+    # r13 the staged (id, dl, tf) int table is materialized once
+    # (localCheckpoint) so both consumers read Scan ExistingRDD
+    # instead of re-tokenizing the parquet corpus per pass.
     df = queries["text-bm25-topk"](spark, SF_DIR)
     df.collect()
     plan = _plan(df).split("+- == Initial Plan ==")[0]
-    assert plan.count("FileScan") == 2, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert "FileScan" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("SinglePartition") <= 1, plan
@@ -1218,9 +1225,14 @@ def test_ccnet_curate_no_cartesian_no_python_no_global_sort(queries, spark):
     assert "CartesianProduct" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
-    # the LM frequency head is a TakeOrderedAndProject, not a global
-    # sort+limit
-    assert "TakeOrderedAndProject" in plan, plan
+    # since r13 the dedup/LM fan-out points are materialized once
+    # (localCheckpoint -> Scan ExistingRDD); the returned plan is the
+    # bucket assignment over the snapshots — the LM head's
+    # TakeOrderedAndProject lives in the construction-time subtree
+    # (pinned by test_lm_head_take_ordered in test_ccnet_pipeline)
+    assert "Scan ExistingRDD" in plan, plan
+    # GK percentile rollup per lang is the single corpus-keyed shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
 def test_pq_topk_reranked_rowlocal_adc_broadcast_rerank(queries, spark):
@@ -1259,16 +1271,17 @@ def test_hot_spans_bounded_agg_take_ordered(queries, spark):
 def test_quality_classifier_scoring_row_local(queries, spark):
     # the NB classifier's scoring pass is the DSIR posture: two
     # bounded-collect class distributions happen at construction; the
-    # RETURNED plan is one corpus scan + the 1-row ratio broadcast +
-    # a row-local fold — no hash exchange of the corpus, no Python,
-    # no cartesian
+    # RETURNED plan is one corpus scan + a row-local fold over the
+    # constant-folded literal ratio array (since r13 — the old 1-row
+    # ratio broadcast copied the array onto every row) — no exchange
+    # of any kind, no join, no Python
     df = queries["curate-quality-classifier"](spark, SF_DIR)
     df.collect()
     plan = _plan(df).split("+- == Initial Plan ==")[0]
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
 
 
 def test_phash_clusters_single_decode_pass(queries, spark):
