@@ -1786,9 +1786,19 @@ def winnow_candidate_pairs(
             f"winnow_candidate_pairs: min_shared must be >= 1, "
             f"got {min_shared}"
         )
-    fps = winnow_fingerprints(
-        docs, k=k, w=w, text_col=text_col, id_col=id_col
-    ).select(F.col(id_col), F.col("fp")).distinct()
+    # materialize the winnow-sparse (id, fp) index once: it feeds
+    # THREE plan branches (the df-cap build, and both self-join
+    # sides), and static planning re-derives the whole O(n·w)
+    # fingerprint fold per branch — AQE exchange reuse only recovers
+    # the join sides, never the cap build (r13; measured 21.5 → ~11
+    # CPU-s at sf0.1). Deterministic (md5), so values are unchanged —
+    # the _kn_tables idiom.
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col), F.col("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_doc_freq is not None:
         hot = (
             fps.groupBy("fp")
@@ -1833,7 +1843,18 @@ def ngram_novelty(
     aggregate. No pairwise stage anywhere: novelty needs only df==1,
     never which OTHER doc shares the shingle.
     """
-    sh = doc_shingles(docs, text_col, id_col, k)
+    # materialize the per-doc shingle sets once (compact arrays, not
+    # the exploded stream): the shingle pipeline (regex split +
+    # k-gram transform) feeds BOTH the df aggregate and the join-back
+    # side, and the two exchanges differ (partial-agg below one), so
+    # exchange reuse never recovers the second derivation — the
+    # ppjoin/_kn_tables idiom (r13; 16.3 → ~9 CPU-s at sf0.1)
+    sets = doc_shingle_sets(docs, text_col, id_col, k).localCheckpoint(
+        eager=False
+    )
+    sh = sets.select(
+        F.col(id_col), F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__docs"))
     return (
         sh.join(dfreq, "shingle")
