@@ -1002,6 +1002,46 @@ def verbatim_window_fingerprints(
     )
 
 
+def _window_fp_arrays(
+    docs: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    keep_words: bool = False,
+) -> DataFrame:
+    """Compact per-doc snapshot of the verbatim window fingerprints:
+    (id, [md5 of window 1, window 2, ...]), empty array for docs
+    shorter than k tokens, materialized ONCE (lazy localCheckpoint).
+
+    The span-dedup consumers read the window stream from several plan
+    branches (the fp count, the flagged/tagged join probe, and for
+    strip also the removal/protect splits and the base token join);
+    static planning re-derives the tokenize+shingle+md5 fold per
+    branch and exchange reuse cannot recover a branch whose exchange
+    differs (partial-agg under one, none under another). One row per
+    doc, md5-deterministic, so values are unchanged — posexplode from
+    the snapshot replays the exact (pos, fp) stream."""
+    words = fan_out(docs).select(
+        F.col(id_col), normalized_words(F.col(text_col)).alias("w")
+    )
+    fps = F.when(
+        F.size("w") >= k, F.transform(shingles_of(F.col("w"), k), F.md5)
+    ).otherwise(F.array().cast("array<string>"))
+    cols = [F.col(id_col), fps.alias("fps")]
+    if keep_words:
+        cols.insert(1, F.col("w"))
+    return words.select(*cols).localCheckpoint(eager=False)
+
+
+def _wins_from_arrays(arrs: DataFrame, id_col: str) -> DataFrame:
+    """(id, pos, fp) stream from a ``_window_fp_arrays`` snapshot —
+    posexplode yields nothing for empty arrays, matching the
+    ``size(w) >= k`` filter of the inline form."""
+    return arrs.select(
+        F.col(id_col), F.posexplode("fps").alias("idx", "fp")
+    ).select(F.col(id_col), (F.col("idx") + 1).alias("pos"), F.col("fp"))
+
+
 def duplicated_span_stats(
     docs: DataFrame,
     k: int = 8,
@@ -1037,11 +1077,15 @@ def duplicated_span_stats(
     semi-join of the window stream against the duplicated-fingerprint
     set (skew on a hot fp is probe-side and AQE-splittable — a window
     over fp would put all 10M rows in one task, which is why the
-    count-then-join form is used even though it derives the window
-    stream twice), then one doc-keyed window for the island key; the
+    count-then-join form is used; the window stream both branches
+    need is materialized ONCE as compact per-doc fingerprint arrays —
+    r13, static planning re-derived the tokenize+shingle+md5 fold per
+    branch), then one doc-keyed window for the island key; the
     two run/doc aggregations reuse the doc partitioning.
     """
-    wins = verbatim_window_fingerprints(docs, k, text_col, id_col)
+    wins = _wins_from_arrays(
+        _window_fp_arrays(docs, k, text_col, id_col), id_col
+    )
     dup_fps = (
         wins.groupBy("fp")
         .agg(F.count("*").alias("n_fp"))
@@ -1111,7 +1155,8 @@ def strip_duplicated_spans(
     filter over the token array against the two interval lists —
     entirely JVM-side.
     """
-    wins = verbatim_window_fingerprints(docs, k, text_col, id_col)
+    snap = _window_fp_arrays(docs, k, text_col, id_col, keep_words=True)
+    wins = _wins_from_arrays(snap, id_col)
     canon = (
         wins.groupBy("fp")
         .agg(
@@ -1151,9 +1196,9 @@ def strip_duplicated_spans(
     protect = _runs(
         tagged.where(F.col("is_canon")).select(id_col, "pos"), "keeps"
     )
-    base = docs.select(
-        F.col(id_col), normalized_words(F.col(text_col)).alias("w")
-    )
+    # base token stream from the same snapshot — the third derivation
+    # of normalized_words in the inline form (r13)
+    base = snap.select(F.col(id_col), F.col("w"))
     empty = F.array().cast("array<struct<p0:int,p1:int>>")
     joined = (
         base.join(removal, id_col, "left")

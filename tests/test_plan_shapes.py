@@ -915,18 +915,19 @@ def test_substring_dedup_plan_shape(queries, spark):
 
 def test_strip_spans_plan_shape(queries, spark):
     # the removal half of span dedup: same count-then-join skeleton as
-    # dedup-substring (no pairwise stage), plus the base token pass —
-    # 3 scans total, all pruned (scan_audit KNOWN). The removal and
-    # canonical-protect run branches are structurally identical up to
-    # their filter, so the finalized plan must REUSE their exchanges
-    # instead of deriving the tagged window stream twice more.
+    # dedup-substring (no pairwise stage), plus the base token pass.
+    # r13: the per-doc fingerprint/token snapshot is materialized ONCE
+    # (lazy localCheckpoint) and every branch — fp count, tagged probe,
+    # removal/protect splits, base join — reads the checkpoint RDD, so
+    # the tokenize+shingle+md5 fold appears in NO branch: zero
+    # FileScans in the final plan, only checkpoint scans.
     df = queries["dedup-strip-spans"](spark, SF_DIR)
     df.collect()
     plan = _plan(df).split("+- == Initial Plan ==")[0]
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("FileScan") <= 3, plan
-    assert plan.count("ReusedExchange") >= 2, plan
+    assert plan.count("FileScan") == 0, plan
+    assert plan.count("Scan ExistingRDD") <= 4, plan
     # the two gaps-and-islands windows (removal + protect), both
     # doc-partitioned — and no single-partition exchange ANYWHERE in
     # the plan (a global window would surface as one under either
