@@ -1534,30 +1534,23 @@ def bloom_probe(
     filter's false-positive rate), False when definitely unseen, NULL
     for NULL keys.
 
-    The bitmap ships as ONE broadcast row (the repo's 1-row scalar
-    crossJoin idiom) and the probe is a pure row-local projection —
-    no join against history, no shuffle of the batch, whatever the
-    history size was.
+    The bitmap rides as a CONSTANT-FOLDED bigint array literal inside
+    the probe lambda (the DSIR literal-ratio idiom, r13 — one static
+    ArrayData in the plan, referenced per lookup) instead of the
+    previous 1-row broadcast crossJoin, which physically copied the
+    ``m_bits/64``-word array into EVERY output row of the join. The
+    probe is a pure row-local projection — no join against history,
+    no shuffle of the batch, whatever the history size was.
     """
     m_bits = len(words) * 64
     if not words:
         raise ValueError("words must be a non-empty bitmap")
     if k_hashes <= 0:
         raise ValueError(f"k_hashes must be positive, got {k_hashes}")
-    from pyspark.sql import types as T
-
-    # suffix-until-free staging guard (the gate_documents convention):
-    # a batch already carrying __bloom_words must come back intact, not
-    # collide ambiguously with the broadcast row's column
-    words_col = "__bloom_words"
-    while words_col in batch.columns:
-        words_col += "_"
-    spark = batch.sparkSession
-    words_row = spark.createDataFrame(
-        [(words,)],
-        T.StructType(
-            [T.StructField(words_col, T.ArrayType(T.LongType(), False))]
-        ),
+    # bigint literals (L suffix), parsed in ONE JVM call; int values
+    # from bloom_build are exact in 64-bit, so the round-trip is exact
+    words_lit = F.expr(
+        "array(" + ",".join(f"{w}L" for w in words) + ")"
     )
     key = F.col(key_col)
     masks = _bit_masks()
@@ -1567,18 +1560,14 @@ def bloom_probe(
         lambda acc, p: acc
         & (
             F.element_at(
-                F.col(words_col), F.shiftright(p, 6).cast("int") + 1
+                words_lit, F.shiftright(p, 6).cast("int") + 1
             ).bitwiseAND(
                 F.element_at(masks, p.bitwiseAND(F.lit(63)).cast("int") + 1)
             )
             != 0
         ),
     )
-    return (
-        batch.crossJoin(F.broadcast(words_row))  # 1-row scalar broadcast
-        .withColumn(flag_col, F.when(key.isNotNull(), hit))
-        .drop(words_col)
-    )
+    return batch.withColumn(flag_col, F.when(key.isNotNull(), hit))
 
 
 def bloom_dedup_flags(

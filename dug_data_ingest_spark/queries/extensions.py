@@ -1441,7 +1441,14 @@ def dedup_bloom_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dug_data_ingest_spark.ext.dedup import bloom_prefilter_exact
 
     docs = load(spark, sf_dir, "documents")
-    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    key = F.array_join(
+        # split with limit 9: identical first-8 slice, but the scan
+        # stops tokenizing after 8 separators instead of splitting
+        # the whole document per row per branch (r13; this key is
+        # evaluated in every scan branch of the bloom plan)
+        F.slice(F.split(F.col("text"), " ", 9), 1, 8),
+        " ",
+    )
     batch = docs.where(F.col("doc_id") % 3 != 0).withColumn("fp_key", key)
     hist = docs.where(F.col("doc_id") % 3 == 0).withColumn("fp_key", key)
     return bloom_prefilter_exact(
@@ -1489,7 +1496,14 @@ def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dug_data_ingest_spark.ext.dedup import bloom_dedup_flags
 
     docs = load(spark, sf_dir, "documents")
-    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    key = F.array_join(
+        # split with limit 9: identical first-8 slice, but the scan
+        # stops tokenizing after 8 separators instead of splitting
+        # the whole document per row per branch (r13; this key is
+        # evaluated in every scan branch of the bloom plan)
+        F.slice(F.split(F.col("text"), " ", 9), 1, 8),
+        " ",
+    )
     batch = docs.where(F.col("doc_id") % 3 != 0).withColumn("fp_key", key)
     hist = docs.where(F.col("doc_id") % 3 == 0).withColumn("fp_key", key)
     flagged = bloom_dedup_flags(

@@ -210,9 +210,12 @@ def test_bloom_prefilter_exact_equals_plain_semi_join(spark):
         assert got[doc_id] == (None if text is None else text in hist_keys)
 
 
-def test_bloom_probe_plan_is_projection_over_broadcast(spark):
-    # the probe must not shuffle the batch or join history: the only
-    # allowed exchange is the 1-row bitmap BroadcastExchange
+def test_bloom_probe_plan_is_pure_projection(spark):
+    # the probe must not shuffle the batch or join history. r13: the
+    # bitmap is a constant-folded array literal inside the projection
+    # (the previous 1-row broadcast crossJoin copied the words array
+    # into every output row), so the plan has NO exchange of any kind
+    # and no join node — a single row-local projection.
     hist, batch = _frames(spark)
     words = bloom_build(hist, m_bits=M, k_hashes=K)
     plan = (
@@ -221,9 +224,8 @@ def test_bloom_probe_plan_is_projection_over_broadcast(spark):
         .executedPlan()
         .toString()
     )
-    assert "Exchange hashpartitioning" not in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastExchange" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
 
 
