@@ -45,7 +45,15 @@ def decontaminate(
     3-gram overlap on natural text flags near-everything (stop-word
     runs), 5-grams are the common contamination-screen width.
     """
-    eval_sh = doc_shingles(eval_docs, text_col, id_col, k).select("shingle").distinct()
+    # no .distinct() on the broadcast build side: duplicate keys are
+    # semantically harmless in a LEFT SEMI build (the hashed relation
+    # answers "present?"), the stream is already per-doc distinct
+    # (array_distinct in doc_shingle_sets) so cross-doc dups are ~1%,
+    # and dropping it removes a full shuffle + two aggregates from the
+    # eval subtree (r13). The contaminated-id .distinct() STAYS: the
+    # anti-join's right side would otherwise carry one row per
+    # contaminated shingle per doc — unbounded fan-out at scale.
+    eval_sh = doc_shingles(eval_docs, text_col, id_col, k).select("shingle")
     contaminated = (
         doc_shingles(train, text_col, id_col, k)
         .join(F.broadcast(eval_sh), "shingle", "left_semi")
