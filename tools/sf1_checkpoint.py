@@ -59,6 +59,10 @@ HEAVY = [
     "mm-phash-clusters",
     "join-asof-tolerance",
     "ccnet-curate",
+    # r13 optimization round: the remaining queries this round
+    # restructured (bloom literal probe, decontaminate build side)
+    "dedup-bloom-exact",
+    "text-decontaminate",
 ]
 
 
