@@ -63,6 +63,8 @@ HEAVY = [
     # restructured (bloom literal probe, decontaminate build side)
     "dedup-bloom-exact",
     "text-decontaminate",
+    # r14: hashed-candidate + exact-confirm containment restructure
+    "dedup-containment",
 ]
 
 
