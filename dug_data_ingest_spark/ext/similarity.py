@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dug_data_ingest_spark.functions.vectors import as_double, cosine, dot
@@ -620,59 +620,210 @@ def pq_train(
 
     Deterministic Lloyd, all m subspaces in one pipeline: init
     cluster = id % k (the kmeans_centroids convention — replayable,
-    no RNG), then per iteration ONE (subspace, cluster, pos) mean
-    shuffle and ONE broadcast-join argmin re-assignment. The corpus
-    is scanned per iteration, never shuffled; the codebook table is
-    m*k rows at any corpus size."""
+    no RNG). EAGER since r14: each round is ONE map-side-combined
+    (subspace, cluster) groupBy whose d per-position means land in one
+    bounded collect (m*k rows at any corpus size), and re-assignment
+    folds the collected centroids into a row-local literal argmin —
+    no broadcast join, no per-iteration (id, subspace) argmin shuffle,
+    no per-round corpus exchange at all (the corpus is scanned once
+    per round, never shuffled). The returned codebook is a
+    local-relation DataFrame, so a caller's collect()/broadcast of it
+    is free and every consumer reads the ONE learned snapshot (the
+    avg partial-merge-order caveat cannot produce divergent copies)."""
     if n_iters < 1:
         raise ValueError(
             f"pq_train: n_iters must be >= 1 (got {n_iters}); no "
             "codebook exists before the first update step"
         )
+    d = dim // m
     sub = _pq_subvectors(embeddings, m, dim, id_col, vec_col)
-    assigned = sub.withColumn("cluster", (F.col(id_col) % k).cast("int"))
-    cents = None
-    for _ in range(n_iters):
-        pos = assigned.select(
-            "subspace", "cluster", F.posexplode("subvec").alias("pos", "x")
+    rows = None
+    for it in range(n_iters):
+        if it == 0:
+            assigned = sub.withColumn(
+                "cluster", (F.col(id_col) % k).cast("int")
+            )
+        else:
+            assigned = sub.withColumn(
+                "cluster",
+                _pq_nearest_cluster(
+                    _pq_books_by_subspace(rows, m, d, "pq_train"), d
+                ),
+            )
+        means = assigned.groupBy("subspace", "cluster").agg(
+            *[
+                F.avg(F.element_at("subvec", p + 1)).alias(f"_p{p}")
+                for p in range(d)
+            ]
         )
-        means = pos.groupBy("subspace", "cluster", "pos").agg(
-            F.avg("x").alias("mval")
-        )
-        ordered = F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("mval").alias("v")))
-            ),
-            lambda s: s.getField("v"),
-        )
-        cents = means.groupBy("subspace", "cluster").agg(ordered.alias("centroid"))
-        assigned = _pq_assign(sub, cents, id_col)
-    return cents
-
-
-def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
-    """Nearest codebook entry per (id, subspace) — broadcast join +
-    groupBy-min argmin, deterministic tie-break on cluster id (the
-    _assign idiom, keyed by subspace)."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("subvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = sub.join(F.broadcast(cents), "subspace").select(
-        F.col(id_col), "subspace", "subvec", "cluster", d2.alias("d2")
-    )
-    best = F.min(F.struct(F.col("d2"), F.col("cluster"))).alias("best")
-    return (
-        scored.groupBy(id_col, "subspace")
-        .agg(best, F.first("subvec").alias("subvec"))
-        .select(
-            F.col(id_col),
+        rows = means.select(
             "subspace",
-            "subvec",
-            F.col("best.cluster").alias("cluster"),
+            "cluster",
+            F.array(*[F.col(f"_p{p}") for p in range(d)]).alias("centroid"),
+        ).collect()
+    return _pq_books_df(embeddings.sparkSession, rows)
+
+
+def _pq_books_df(spark: SparkSession, rows: list) -> DataFrame:
+    """The collected codebook as a VALUES inline table — a true
+    LocalRelation, unlike createDataFrame(rows) which parallelizes an
+    RDD (collect() on it launches a real Spark job; measured ~0.5 s of
+    the query's construction). Collecting, broadcasting, or folding a
+    LocalRelation is driver-local and free. Doubles round-trip
+    bit-exactly via _sql_double."""
+    if not rows:
+        return spark.createDataFrame(
+            [], "subspace int, cluster int, centroid array<double>"
+        )
+    vals = ", ".join(
+        "({}, {}, array({}))".format(
+            int(r.subspace),
+            int(r.cluster),
+            ", ".join(_sql_double(float(v)) for v in r.centroid),
+        )
+        for r in rows
+    )
+    return spark.sql(
+        "SELECT CAST(subspace AS INT) AS subspace, "
+        "CAST(cluster AS INT) AS cluster, centroid "
+        f"FROM VALUES {vals} AS t(subspace, cluster, centroid)"
+    )
+
+
+def _pq_books_by_subspace(
+    codebook_rows: list, m: int, d: int, caller: str
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """{subspace: [(cluster, centroid)] sorted by cluster} from the
+    collected codebook, with the pq_adc_topk validation posture:
+    ragged sub-centroids and missing subspaces fail loudly instead of
+    silently truncating distances or dropping codes."""
+    by_s: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebook_rows:
+        if len(r.centroid) != d:
+            raise ValueError(
+                f"{caller}: codebook sub-centroid has "
+                f"{len(r.centroid)} dims, expected d={d} — codebook "
+                "and m/dim disagree"
+            )
+        by_s.setdefault(r.subspace, []).append(
+            (r.cluster, [float(c) for c in r.centroid])
+        )
+    if sorted(by_s) != list(range(m)):
+        raise ValueError(
+            f"{caller}: codebook covers subspaces {sorted(by_s)}, "
+            f"expected 0..{m - 1} — codebook and m disagree"
+        )
+    return {s: sorted(entries) for s, entries in by_s.items()}
+
+
+def _sql_double(v: float) -> str:
+    """Bit-exact SQL double literal: repr() is the shortest string
+    that round-trips the IEEE double, and Java's parseDouble is
+    correctly rounded, so the JVM re-materializes the identical bits."""
+    import math
+
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{v!r}D"
+
+
+def _pq_cents_sql(entries: list[tuple[int, list[float]]]) -> str:
+    """One subspace's [(cluster, centroid)] as an array-of-structs SQL
+    literal. Two measured dead ends this shape avoids: (a) a ~400-node
+    arithmetic expansion of the argmin blew janino's generated-method
+    limits and fell back to interpreted projection (10x slower than
+    the r13 broadcast join it replaced); (b) composing the table from
+    nested F.lit/F.struct/F.array Columns cost ~2.3 s of driver-side
+    py4j round trips PER expression build. One F.expr parse is
+    milliseconds, every child is foldable, and ConstantFolding
+    collapses the table into a single Literal node; the higher-order
+    zip_with/aggregate argmin below keeps the expression TREE tiny
+    while the per-row work is the same d multiplies per candidate."""
+    return "array({})".format(
+        ", ".join(
+            "named_struct('cluster', CAST({} AS INT), 'centroid', array({}))".format(
+                int(c), ", ".join(_sql_double(float(v)) for v in cent)
+            )
+            for c, cent in entries
+        )
+    )
+
+
+def _pq_argmin_sql(cands_sql: str, subvec_sql: str) -> str:
+    """Nearest entry of ``cands_sql`` (array<struct<cluster,centroid>>)
+    to ``subvec_sql``: array_min over (d2, cluster) structs — the
+    lowest-cluster tie-break via lexicographic struct order, the same
+    left-to-right (x-y)^2 fold the reference model replays."""
+    return (
+        "array_min(transform({cands}, e -> named_struct("
+        "'d2', aggregate(zip_with({sv}, e.centroid, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x), "
+        "'cluster', e.cluster))).cluster"
+    ).format(cands=cands_sql, sv=subvec_sql)
+
+
+def _pq_nearest_cluster(
+    by_s: dict[int, list[tuple[int, list[float]]]], d: int
+) -> Column:
+    """Row-local nearest-codebook-entry id for the exploded
+    (subspace, subvec) frame: element_at on a constant-folded
+    per-subspace table literal selects the candidate list, the
+    argmin picks the entry. Replaces a broadcast join + corpus-wide
+    groupBy argmin with a constant-folded expression: zero exchanges
+    (the r13 DSIR literal-fold idiom applied to the learned
+    centroids)."""
+    tbl = "array({})".format(
+        ", ".join(_pq_cents_sql(by_s[s]) for s in sorted(by_s))
+    )
+    return F.expr(
+        _pq_argmin_sql(f"element_at({tbl}, subspace + 1)", "subvec")
+    )
+
+
+def _pq_codes_expr(
+    codebook_rows: list,
+    m: int,
+    dim: int,
+    vec_col: str,
+    caller: str = "pq_encode",
+) -> Column:
+    """``codes[m]`` as ONE row-local expression over the raw vector
+    column: per subspace, the literal-table argmin on the contiguous
+    d-dim slice. No explode, no join, no shuffle — encoding a 100-TB
+    corpus is a pure projection over one scan. Built as a single
+    parsed SQL string (the _pq_cents_sql rationale); the dim guard is
+    the SQL form of _dim_checked and the element casts the SQL form
+    of as_double, so the checked/cast values are bit-identical."""
+    if dim % m:
+        raise ValueError(
+            f"{caller}: m={m} must divide the vector dimension {dim}; "
+            "ragged subspaces would silently misalign codes against "
+            "codebooks"
+        )
+    d = dim // m
+    by_s = _pq_books_by_subspace(codebook_rows, m, d, caller)
+    vq = vec_col.replace("`", "``")
+    checked = (
+        f"CASE WHEN size(`{vq}`) = {dim} THEN `{vq}` "
+        f"ELSE raise_error(printf('{caller}: embedding has %s dims, "
+        f"expected {dim}; pass dim=<real width> to the entry point', "
+        f"size(`{vq}`))) END"
+    )
+    subvecs = [
+        (
+            f"transform(slice({checked}, {s * d + 1}, {d}), "
+            "x -> CAST(x AS DOUBLE))"
+        )
+        for s in range(m)
+    ]
+    return F.expr(
+        "array({})".format(
+            ", ".join(
+                _pq_argmin_sql(_pq_cents_sql(by_s[s]), subvecs[s])
+                for s in range(m)
+            )
         )
     )
 
@@ -687,17 +838,26 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes[m]): each vector reduced to its per-subspace nearest
     codebook ids, ordered by subspace. At rest this is the compressed
-    index a 100-TB corpus stores instead of raw floats."""
-    assigned = _pq_assign(
-        _pq_subvectors(embeddings, m, dim, id_col, vec_col), codebooks, id_col
-    )
-    codes = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("subspace"), F.col("cluster").alias("c")))
-        ),
-        lambda s: s.getField("c"),
-    )
-    return assigned.groupBy(id_col).agg(codes.alias("codes"))
+    index a 100-TB corpus stores instead of raw floats.
+
+    Since r14 the collected codebook folds into a literal argmin
+    (``_pq_codes_expr``), so encoding is a single row-local projection
+    — the r13 shape (explode to (id, subspace, subvec), broadcast
+    join, TWO corpus-wide groupBys) shuffled the exploded corpus
+    twice per encode. The collect is m*k rows, bounded by
+    construction (and free when ``codebooks`` is pq_train's
+    local-relation output). A codebook that covers no subspace at all
+    (trained on an empty corpus) still encodes to zero rows, matching
+    the old inner-join behavior; a PARTIALLY covering codebook now
+    fails loudly here instead of emitting short codes arrays that
+    _adc_score would reject later."""
+    rows = codebooks.collect()
+    if not rows:
+        return embeddings.select(
+            F.col(id_col), F.lit(None).cast("array<int>").alias("codes")
+        ).filter(F.lit(False))
+    codes = _pq_codes_expr(rows, m, dim, vec_col, "pq_encode")
+    return embeddings.select(F.col(id_col), codes.alias("codes"))
 
 
 def _adc_score(table: Column, m: int, caller: str) -> Column:
@@ -785,17 +945,22 @@ def pq_adc_topk(
             f"expected 0..{m - 1} — codebook and m disagree"
         )
     # Lloyd can leave a cluster id empty; score it +inf so a stale
-    # code pointing at it can never win silently.
-    lit_table = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(table[s].get(c, float("inf")))
-                    for c in range(n_clusters)
-                ]
+    # code pointing at it can never win silently. One parsed SQL
+    # string, not nested F.lit/F.array: the per-Column py4j round
+    # trips dominated query CONSTRUCTION time (the _pq_cents_lit
+    # lesson), and ConstantFolding collapses it identically.
+    lit_table = F.expr(
+        "array({})".format(
+            ", ".join(
+                "array({})".format(
+                    ", ".join(
+                        _sql_double(table[s].get(c, float("inf")))
+                        for c in range(n_clusters)
+                    )
+                )
+                for s in range(m)
             )
-            for s in range(m)
-        ]
+        )
     )
     score = _adc_score(lit_table, m, "pq_adc_topk")
     return (
@@ -815,6 +980,7 @@ def pq_topk_reranked(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """PQ as deployed: ADC over the compressed codes produces a
     ``shortlist`` of candidates, then ONLY those ids are re-scored
@@ -823,16 +989,24 @@ def pq_topk_reranked(
     ranking, and the expensive exact pass touches shortlist rows,
     not the corpus). The shortlist is id-cardinality bounded, so the
     join back to raw vectors broadcasts; at 100 TB the corpus side
-    is scanned once and never shuffled."""
+    is scanned once and never shuffled.
+
+    ``cand``: optionally the ALREADY-BUILT shortlist id frame (the
+    ``pq_adc_topk(k=shortlist).select(id_col)`` output, ideally
+    snapshot via localCheckpoint) for callers that also consume the
+    shortlist themselves — without it the corpus-wide ADC pass runs
+    once here and once in the caller (recompute elimination, guide
+    §5; at 100 TB that is a second full scan of the coded corpus)."""
     if shortlist < k:
         raise ValueError(
             f"pq_topk_reranked: shortlist={shortlist} must be >= k={k} "
             "(a shortlist smaller than the answer set guarantees "
             "missing results)"
         )
-    cand = pq_adc_topk(
-        codes, codebook_rows, query_vec, k=shortlist, m=m, id_col=id_col
-    ).select(id_col)
+    if cand is None:
+        cand = pq_adc_topk(
+            codes, codebook_rows, query_vec, k=shortlist, m=m, id_col=id_col
+        ).select(id_col)
     q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     # _dim_checked: a vector shorter than the query would NULL-pad the
     # zip, NULL dist2, and rank FIRST under ascending nulls-first
@@ -907,9 +1081,23 @@ def ivf_pq_index(
         residuals, m=m, k=k, n_iters=n_iters, dim=dim,
         id_col=id_col, vec_col="residual",
     )
-    coded = pq_encode(
-        residuals, books, m=m, dim=dim, id_col=id_col, vec_col="residual"
-    ).join(residuals.select(id_col, "cell"), id_col)
+    # codes as a row-local literal-argmin projection WITH the cell id
+    # riding along — the r13 shape joined pq_encode's output back to
+    # the residual frame by id just to re-attach ``cell`` (one whole
+    # exchange + a second corpus pass, removed)
+    rows = books.collect()  # free: pq_train returns a local relation
+    if rows:
+        coded = residuals.select(
+            F.col(id_col),
+            "cell",
+            _pq_codes_expr(rows, m, dim, "residual", "pq_encode").alias(
+                "codes"
+            ),
+        )
+    else:
+        coded = residuals.select(
+            F.col(id_col), "cell", F.lit(None).cast("array<int>").alias("codes")
+        ).filter(F.lit(False))
     return cells_df.collect(), books, coded
 
 
@@ -973,27 +1161,31 @@ def ivf_pq_topk(
         )
 
     def cell_table(cell_row):
-        # residual of the query IN THIS CELL → (m x n_clusters) table
+        # residual of the query IN THIS CELL → (m x n_clusters) table,
+        # emitted as one parsed SQL string (the _pq_cents_lit lesson:
+        # nested F.lit/F.array py4j round trips dominate construction)
         resid = [
             float(q) - float(c) for q, c in zip(query_vec, cell_row.centroid)
         ]
-        return F.array(
-            *[
-                F.array(
-                    *[
-                        F.lit(
-                            sum(
-                                (resid[s * d + p] - books[s][c][p]) ** 2
-                                for p in range(d)
+        return F.expr(
+            "array({})".format(
+                ", ".join(
+                    "array({})".format(
+                        ", ".join(
+                            _sql_double(
+                                sum(
+                                    (resid[s * d + p] - books[s][c][p]) ** 2
+                                    for p in range(d)
+                                )
+                                if c in books[s]
+                                else float("inf")
                             )
-                            if c in books[s]
-                            else float("inf")
+                            for c in range(n_clusters)
                         )
-                        for c in range(n_clusters)
-                    ]
+                    )
+                    for s in range(m)
                 )
-                for s in range(m)
-            ]
+            )
         )
 
     # when-chain keyed on the row's cell id: built from the LAST
@@ -1033,6 +1225,7 @@ def ivf_pq_topk_reranked(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ as deployed (FAISS IVFPQ + refine): the probe-bounded
     ADC pass produces a ``shortlist`` of candidate ids, then ONLY
@@ -1045,17 +1238,24 @@ def ivf_pq_topk_reranked(
 
     Scale shape: the shortlist is id-cardinality bounded, so the join
     back to raw vectors broadcasts; the corpus side is scanned once
-    (cell-filtered) and never shuffled."""
+    (cell-filtered) and never shuffled.
+
+    ``cand``: optionally the ALREADY-BUILT shortlist id frame (the
+    ``ivf_pq_topk(k=shortlist).select(id_col)`` output) for callers
+    that also consume the shortlist themselves — without it the
+    probe-bounded ADC pass runs once here and once in the caller
+    (recompute elimination, guide §5)."""
     if shortlist < k:
         raise ValueError(
             f"ivf_pq_topk_reranked: shortlist={shortlist} must be >= "
             f"k={k} (a shortlist smaller than the answer set "
             "guarantees missing results)"
         )
-    cand = ivf_pq_topk(
-        coded, cells, codebook_rows, query_vec,
-        k=shortlist, nprobe=nprobe, m=m, id_col=id_col,
-    ).select(id_col)
+    if cand is None:
+        cand = ivf_pq_topk(
+            coded, cells, codebook_rows, query_vec,
+            k=shortlist, nprobe=nprobe, m=m, id_col=id_col,
+        ).select(id_col)
     q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     d2 = F.aggregate(
         F.zip_with(

@@ -1592,11 +1592,15 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     probed_ids = [r.cluster for r in by_dist[:2]]
+    # ONE probe-bounded ADC pass: the 50-row shortlist is snapshot
+    # (bounded) and feeds BOTH the confinement check and the rerank's
+    # candidate join — unshared, the cell-filtered scan ran twice
     shortlist = ivf_pq_topk(
         coded, cells, codebook_rows, qv, k=50, nprobe=2
-    )
+    ).localCheckpoint(eager=False)
     reranked = ivf_pq_topk_reranked(
-        emb, coded, cells, codebook_rows, qv, k=10, shortlist=50, nprobe=2
+        emb, coded, cells, codebook_rows, qv, k=10, shortlist=50, nprobe=2,
+        cand=shortlist.select("vec_id"),
     )
     truth = topk_bruteforce(emb, qv, k=10).select(
         F.col("vec_id").alias("tid"), F.lit(True).alias("is_true")
@@ -1634,14 +1638,16 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                    quantization error over a structureless corpus,
 #                    exactly the shortlist-size dial this operator
 #                    exposes).
-# The codebook table is localCheckpoint-materialized so the collect,
-# the encode, and the in-function ADC recompute all read ONE learned
-# snapshot (avg()'s partial-merge order is not guaranteed across
-# recomputations — the dedup-semantic lesson, r12 ADVICE).
-# Scale shape: codebooks are m*k = 128 rows at any corpus size; ADC
-# is a row-local expression over the codes column + one
-# TakeOrderedAndProject; the 400-id shortlist broadcasts back to the
-# raw vectors, so the corpus is scanned, never shuffled.
+# pq_train returns an eagerly-fitted local-relation codebook (r14), so
+# the collect, the encode, and the in-function ADC recompute all read
+# ONE learned snapshot by construction (avg()'s partial-merge order is
+# not guaranteed across recomputations — the dedup-semantic lesson,
+# r12 ADVICE; the pre-r14 localCheckpoint existed for exactly this).
+# Scale shape: codebooks are m*k = 128 rows at any corpus size; encode
+# is a row-local literal-argmin projection, ADC a row-local expression
+# over the codes column + one TakeOrderedAndProject; the 400-id
+# shortlist broadcasts back to the raw vectors, so the corpus is
+# scanned, never shuffled — and never exploded.
 # ---------------------------------------------------------------------------
 
 
@@ -1665,16 +1671,24 @@ def sim_pq_topk_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    books_df = pq_train(emb, m=8, k=16, n_iters=2).localCheckpoint(
-        eager=False
-    )
+    # pq_train is eager since r14 (one bounded collect per Lloyd round)
+    # and returns a local-relation snapshot — the localCheckpoint that
+    # used to pin ONE learned copy is redundant, and the collect here
+    # is free
+    books_df = pq_train(emb, m=8, k=16, n_iters=2)
     books = books_df.collect()  # m*k = 128 rows, bounded by construction
     codes = pq_encode(emb, books_df, m=8)
-    shortlist = pq_adc_topk(codes, books, qv, k=400, m=8).select(
-        F.col("vec_id").alias("sid")
+    # ONE corpus-wide ADC pass: the 400-id shortlist is snapshot
+    # (bounded) and feeds BOTH the membership audit and the rerank's
+    # candidate join — unshared, the full coded-corpus scan ran twice
+    cand = (
+        pq_adc_topk(codes, books, qv, k=400, m=8)
+        .select("vec_id")
+        .localCheckpoint(eager=False)
     )
+    shortlist = cand.select(F.col("vec_id").alias("sid"))
     reranked = pq_topk_reranked(
-        emb, codes, books, qv, k=10, shortlist=400, m=8
+        emb, codes, books, qv, k=10, shortlist=400, m=8, cand=cand
     )
     q = F.lit([float(x) for x in qv]).cast("array<double>")
     d2 = F.aggregate(
