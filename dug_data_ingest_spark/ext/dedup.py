@@ -1522,6 +1522,14 @@ def bloom_build(
     return words
 
 
+# Bitmaps up to this many 64-bit words (4 Mbit, 512 KB) fold into the
+# plan as an array literal; bigger ones ship as a 1-row broadcast —
+# see bloom_probe. 64k words keeps the SQL text under ~1.3 MB and the
+# parse/analyze cost trivial while covering every benched path
+# (dedup-bloom-probe uses 1<<14 bits = 256 words).
+_BLOOM_LITERAL_MAX_WORDS = 1 << 16
+
+
 def bloom_probe(
     batch: DataFrame,
     words: list[int],
@@ -1534,40 +1542,71 @@ def bloom_probe(
     filter's false-positive rate), False when definitely unseen, NULL
     for NULL keys.
 
-    The bitmap rides as a CONSTANT-FOLDED bigint array literal inside
+    Below ``_BLOOM_LITERAL_MAX_WORDS`` (64k words = 4 Mbit = 512 KB)
+    the bitmap rides as a CONSTANT-FOLDED bigint array literal inside
     the probe lambda (the DSIR literal-ratio idiom, r13 — one static
-    ArrayData in the plan, referenced per lookup) instead of the
-    previous 1-row broadcast crossJoin, which physically copied the
-    ``m_bits/64``-word array into EVERY output row of the join. The
-    probe is a pure row-local projection — no join against history,
-    no shuffle of the batch, whatever the history size was.
+    ArrayData in the plan, referenced per lookup) instead of a 1-row
+    broadcast crossJoin, which physically copied the ``m_bits/64``-word
+    array into EVERY output row of the join. Above the threshold the
+    literal stops being free — the SQL text alone is many MB, parsed
+    and analyzed per plan, and it grows with the filter — so big
+    bitmaps (e.g. the library-default ``m_bits=1<<23`` of
+    bloom_dedup_flags/bloom_prefilter_exact) keep the broadcast form:
+    one array shipped once per executor, still zero shuffles of the
+    batch. Either way the probe is a pure row-local lookup — no join
+    against history, whatever the history size was.
     """
     m_bits = len(words) * 64
     if not words:
         raise ValueError("words must be a non-empty bitmap")
     if k_hashes <= 0:
         raise ValueError(f"k_hashes must be positive, got {k_hashes}")
-    # bigint literals (L suffix), parsed in ONE JVM call; int values
-    # from bloom_build are exact in 64-bit, so the round-trip is exact
-    words_lit = F.expr(
-        "array(" + ",".join(f"{w}L" for w in words) + ")"
-    )
     key = F.col(key_col)
     masks = _bit_masks()
-    hit = F.aggregate(
-        _bloom_positions(key.cast("string"), m_bits, k_hashes),
-        F.lit(True),
-        lambda acc, p: acc
-        & (
-            F.element_at(
-                words_lit, F.shiftright(p, 6).cast("int") + 1
-            ).bitwiseAND(
-                F.element_at(masks, p.bitwiseAND(F.lit(63)).cast("int") + 1)
-            )
-            != 0
+
+    def hit(words_arr: Column) -> Column:
+        return F.aggregate(
+            _bloom_positions(key.cast("string"), m_bits, k_hashes),
+            F.lit(True),
+            lambda acc, p: acc
+            & (
+                F.element_at(
+                    words_arr, F.shiftright(p, 6).cast("int") + 1
+                ).bitwiseAND(
+                    F.element_at(
+                        masks, p.bitwiseAND(F.lit(63)).cast("int") + 1
+                    )
+                )
+                != 0
+            ),
+        )
+
+    if len(words) <= _BLOOM_LITERAL_MAX_WORDS:
+        # bigint literals (L suffix), parsed in ONE JVM call; int
+        # values from bloom_build are exact in 64-bit, so the
+        # round-trip is exact
+        words_lit = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+        return batch.withColumn(flag_col, F.when(key.isNotNull(), hit(words_lit)))
+
+    from pyspark.sql import types as T
+
+    # suffix-until-free staging guard (the gate_documents convention):
+    # a batch already carrying __bloom_words must come back intact,
+    # not collide ambiguously with the broadcast row's column
+    words_col = "__bloom_words"
+    while words_col in batch.columns:
+        words_col += "_"
+    words_row = batch.sparkSession.createDataFrame(
+        [(words,)],
+        T.StructType(
+            [T.StructField(words_col, T.ArrayType(T.LongType(), False))]
         ),
     )
-    return batch.withColumn(flag_col, F.when(key.isNotNull(), hit))
+    return (
+        batch.crossJoin(F.broadcast(words_row))  # 1-row scalar broadcast
+        .withColumn(flag_col, F.when(key.isNotNull(), hit(F.col(words_col))))
+        .drop(words_col)
+    )
 
 
 def bloom_dedup_flags(
