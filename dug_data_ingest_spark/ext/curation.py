@@ -1008,8 +1008,20 @@ def corpus_lm_scores(
     words = docs.select(
         F.col(id_col), normalized_words(F.col(text_col)).alias("w")
     )
-    bi = words.select(
-        F.col(id_col), F.explode(shingles_of(F.col("w"), k=2)).alias("bigram")
+    # The per-doc bigram ARRAYS are snapshot once (lazy localCheckpoint
+    # — the r13 ngram-novelty idiom): the LM rollup and the scoring
+    # join are two full passes over the exploded bigrams, and without
+    # the snapshot each pass re-runs the regex tokenization — the
+    # pipeline's dominant CPU — over the whole corpus (plan: two
+    # Scan+Generate branches; r14, guide §5 recompute elimination).
+    # Trade-off: the bigram arrays (~text-sized) are materialized to
+    # executor storage for the query's duration; at cluster scale
+    # persist them explicitly with a spillable level instead.
+    bia = words.select(
+        F.col(id_col), shingles_of(F.col("w"), k=2).alias("__bis")
+    ).localCheckpoint(eager=False)
+    bi = bia.select(
+        F.col(id_col), F.explode("__bis").alias("bigram")
     )
     counts = (
         bi.groupBy("bigram")
