@@ -228,7 +228,10 @@ def gate_documents(
     # stages rather than one withColumn per column: the py4j-built
     # Column trees plus the per-withColumn re-analysis cost ~3 s of
     # driver time per invocation on their own
-    tq = f"`{text_col}`"
+    # escape backticks in the user-supplied identifier (` doubles to
+    # `` inside a quoted identifier) so any column name survives the
+    # SQL interpolation below — ADVICE r13
+    tq = "`{}`".format(text_col.replace("`", "``"))
     stage1 = docs.selectExpr(
         "*",
         f"{SPARK_NORMALIZED_WORDS_SQL.format(t=tq)} AS `{words_col}`",
@@ -685,7 +688,9 @@ def dsir_log_weights(
         ids_col += "_"
     raw_ids = raw.withColumn(ids_col, ids)
     if materialize_ids:
-        raw_ids = raw_ids.localCheckpoint()
+        # lazy: the fit job below is the first action and materializes
+        # the snapshot in-line (one fewer blocking construction job)
+        raw_ids = raw_ids.localCheckpoint(eager=False)
 
     # one fit job for both sides: explode the (checkpointed) raw ids
     # and the target's inline ids, tag, and count (bucket, side) groups

@@ -1370,7 +1370,7 @@ def curate_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot is 3 scalar columns, never the text)
     scored = docs.select(
         "doc_id", "lang", quality_score(F.col("text")).alias("quality")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return perplexity_buckets(
         scored, score_col="quality", group_col="lang", ascending=False
     ).select("doc_id", "lang", "quality", "ppl_bucket")
@@ -1635,9 +1635,14 @@ def curate_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB fit jobs, which otherwise each recompute the 5-regex score
     # per doc (r13; determinism makes this a pure execution change —
     # md5 buckets, exact-regime GK cuts, integer counts)
+    # lazy (eager=False): the first consuming action (the GK cuts
+    # rollup inside perplexity_buckets) materializes the snapshot
+    # in-line instead of a separate blocking job at construction
+    # (r14, ADVICE r13). text rides the snapshot deliberately: both
+    # NB fit slices read it, so dropping it would re-scan the corpus.
     scored = docs.select(
         "doc_id", "text", quality_score(F.col("text")).alias("quality")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # global head/middle/tail thirds (one stratum — the seed-label
     # pass)
     buckets = perplexity_buckets(
