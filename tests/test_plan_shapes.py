@@ -750,13 +750,18 @@ def test_lm_score_caps_then_broadcasts_the_model(queries, spark):
     from dug_data_ingest_spark.queries.curation import _LM_MIN_COUNT
 
     assert f"n_big#" in plan and f">= {_LM_MIN_COUNT}" in plan, plan
-    # the LM build runs ONCE: corpus scanned exactly twice (build +
-    # score) in the FINAL plan — a regression to a second counts
-    # branch (the InferFilters reuse-defeat, SCALE.md lesson 12) would
-    # show a third scan
+    # r14: the per-doc bigram arrays are snapshot ONCE (lazy
+    # localCheckpoint) and BOTH passes — LM build and score — read the
+    # snapshot, so the FINAL plan has ZERO parquet scans: the corpus
+    # is tokenized exactly once, in the snapshot's own materialization
+    # job (the dedup-substring r13 precedent — pin upgraded from
+    # "scanned exactly twice" to "never scanned above the snapshot").
+    # A regression re-deriving either pass from the raw table would
+    # re-surface documents.parquet here.
     final = plan.split("+- == Initial Plan ==")[0]
     assert "isFinalPlan=true" in plan, plan
-    assert final.count("documents.parquet") == 2, final
+    assert final.count("documents.parquet") == 0, final
+    assert "Scan ExistingRDD" in final, final
 
 
 def test_lm_score_cap_bites_in_the_result(queries, spark):
